@@ -1,0 +1,4 @@
+from . import datatype
+from .array import Array, array, nulls, full, row_mask
+from .schema import Field, Schema, field, schema
+from .batch import Batch, Table, batch, table

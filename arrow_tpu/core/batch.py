@@ -1,0 +1,209 @@
+"""Batch (device RecordBatch) and Table (host-side chunked container).
+
+Reference: ``cpp/src/arrow/record_batch.h:41`` / ``table.h:43`` and Acero's
+ExecBatch (``compute/exec.h:174``). Our Batch plays both roles: it is the
+unit flowing through the staged execution engine (ExecBatch) and the public
+record-batch container. Like ExecBatch it has one shared dynamic ``length``;
+columns all share it. An optional ``index`` tags position in an ordered
+stream (ExecBatch::index, ``compute/exec.h:221``).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import datatype as dt
+from .array import Array, array as make_array, row_mask
+from .schema import Field, Schema
+
+__all__ = ["Batch", "Table", "batch", "table"]
+
+
+@jax.tree_util.register_pytree_node_class
+class Batch:
+    """An ordered set of equal-length Arrays + shared dynamic length."""
+
+    __slots__ = ("schema", "arrays", "length", "index")
+
+    def __init__(self, schema: Schema, arrays: Sequence[Array], length=None,
+                 index: int = -1):
+        self.schema = schema
+        self.arrays = tuple(arrays)
+        if length is None:
+            length = self.arrays[0].length if self.arrays else 0
+        self.length = length
+        self.index = index
+
+    # ---- pytree -------------------------------------------------------------
+    def tree_flatten(self):
+        return (self.arrays, self.length), (self.schema, self.index)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        arrays, length = children
+        obj = cls.__new__(cls)
+        obj.schema = aux[0]
+        obj.index = aux[1]
+        obj.arrays = tuple(arrays)
+        obj.length = length
+        return obj
+
+    # ---- accessors ----------------------------------------------------------
+    @property
+    def num_columns(self) -> int:
+        return len(self.arrays)
+
+    @property
+    def column_names(self) -> Tuple[str, ...]:
+        return self.schema.names
+
+    @property
+    def capacity(self) -> int:
+        if not self.arrays:
+            return 0
+        return self.arrays[0].capacity
+
+    @property
+    def has_static_length(self) -> bool:
+        return isinstance(self.length, (int, np.integer))
+
+    def __len__(self) -> int:
+        if self.has_static_length:
+            return int(self.length)
+        return int(jax.device_get(self.length))
+
+    def column(self, key: Union[int, str]) -> Array:
+        if isinstance(key, int):
+            a = self.arrays[key]
+        else:
+            i = self.schema.get_field_index(key)
+            if i < 0:
+                raise KeyError(key)
+            a = self.arrays[i]
+        return a.with_length(self.length)
+
+    def __getitem__(self, key) -> Array:
+        return self.column(key)
+
+    def row_mask(self) -> jax.Array:
+        return row_mask(self.capacity, self.length)
+
+    # ---- manipulation ---------------------------------------------------------
+    def select(self, names: Sequence[str]) -> "Batch":
+        idxs = [self.schema.get_field_index(n) for n in names]
+        return Batch(self.schema.select(names),
+                     [self.arrays[i] for i in idxs], self.length, self.index)
+
+    def set_column(self, name: str, arr: Array,
+                   nullable: bool = True) -> "Batch":
+        i = self.schema.get_field_index(name)
+        if i >= 0:
+            fields = list(self.schema.fields)
+            fields[i] = Field(name, arr.type, nullable)
+            arrays = list(self.arrays)
+            arrays[i] = arr
+            return Batch(Schema(tuple(fields)), arrays, self.length,
+                         self.index)
+        return Batch(self.schema.append(Field(name, arr.type, nullable)),
+                     list(self.arrays) + [arr], self.length, self.index)
+
+    def with_length(self, length) -> "Batch":
+        return Batch(self.schema, self.arrays, length, self.index)
+
+    def with_index(self, index: int) -> "Batch":
+        return Batch(self.schema, self.arrays, self.length, index)
+
+    def device_put(self, sharding=None) -> "Batch":
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, sharding), self)
+
+    def __repr__(self) -> str:
+        ln = self.length if self.has_static_length else "<traced>"
+        cols = ", ".join(f"{f.name}: {f.type}" for f in self.schema)
+        return f"Batch[{ln}/{self.capacity}]({cols})"
+
+    # ---- host conversion --------------------------------------------------
+    def to_pyarrow(self):
+        from .interop import batch_to_pyarrow
+        return batch_to_pyarrow(self)
+
+    def to_pydict(self):
+        return self.to_pyarrow().to_pydict()
+
+    @staticmethod
+    def from_pyarrow(rb, capacity: Optional[int] = None) -> "Batch":
+        from .interop import batch_from_pyarrow
+        return batch_from_pyarrow(rb, capacity=capacity)
+
+
+class Table:
+    """Host-side container of Batches sharing a schema (Arrow's Table /
+    ChunkedArray analog). Not a pytree — plans consume/emit streams of
+    Batches; Table is for user-facing materialization."""
+
+    def __init__(self, schema: Schema, batches: List[Batch]):
+        self.schema = schema
+        self.batches = list(batches)
+
+    @property
+    def num_rows(self) -> int:
+        return sum(len(b) for b in self.batches)
+
+    @property
+    def num_columns(self) -> int:
+        return len(self.schema)
+
+    @property
+    def column_names(self):
+        return self.schema.names
+
+    def to_pyarrow(self):
+        import pyarrow as pa
+        from .interop import batch_to_pyarrow
+        if not self.batches:
+            return self.schema.to_pyarrow().empty_table()
+        return pa.Table.from_batches(
+            [batch_to_pyarrow(b) for b in self.batches],
+            schema=self.schema.to_pyarrow())
+
+    def to_pydict(self):
+        return self.to_pyarrow().to_pydict()
+
+    @staticmethod
+    def from_pyarrow(pa_table, max_rows_per_batch: Optional[int] = None,
+                     capacity: Optional[int] = None) -> "Table":
+        from .interop import table_from_pyarrow
+        return table_from_pyarrow(pa_table, max_rows_per_batch, capacity)
+
+    def __repr__(self) -> str:
+        return (f"Table(rows={self.num_rows}, batches={len(self.batches)}, "
+                f"cols={list(self.schema.names)})")
+
+
+def batch(data: Dict[str, object], schema_: Optional[Schema] = None,
+          capacity: Optional[int] = None) -> Batch:
+    """Build a Batch from a dict of columns (python lists / numpy / Arrays)."""
+    names = list(data.keys())
+    arrays = []
+    length = None
+    for n in names:
+        t = schema_.field(n).type if schema_ is not None else None
+        a = make_array(data[n], type=t, capacity=capacity)
+        arrays.append(a)
+        if length is None:
+            length = a.length
+    fields = tuple(Field(n, a.type, True) for n, a in zip(names, arrays))
+    return Batch(Schema(fields), arrays, length)
+
+
+def table(data, capacity: Optional[int] = None) -> Table:
+    """Build a single-batch Table from a dict or pyarrow Table."""
+    import pyarrow as pa
+    if isinstance(data, pa.Table):
+        return Table.from_pyarrow(data, capacity=capacity)
+    b = batch(data, capacity=capacity)
+    return Table(b.schema, [b])

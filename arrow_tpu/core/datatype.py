@@ -1,0 +1,591 @@
+"""Logical data types for the TPU-native columnar engine.
+
+Mirrors the role of Arrow's ``DataType`` tree (reference:
+``cpp/src/arrow/type.h``) but is deliberately small: a frozen, hashable
+dataclass hierarchy that maps each logical type onto a TPU-friendly storage
+representation (a JAX dtype plus optional offsets/child structure).
+
+Storage conventions (decided up front, per SURVEY.md §7):
+  * numeric / temporal types -> a single ``values`` array of the storage dtype
+  * bool -> ``values`` is a bool array (bytemask, NOT Arrow's packed bits;
+    packed bitmaps are hostile to the VPU — we pack/unpack only at the
+    pyarrow interop boundary)
+  * string/binary -> ``offsets`` (int32, n+1) + ``values`` (uint8 byte pool)
+  * dictionary -> ``values`` holds indices; ``dictionary`` child Array holds
+    the dictionary values
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from typing import Optional
+
+import numpy as np
+
+__all__ = [
+    "DataType",
+    "IntegerType",
+    "FloatType",
+    "BoolType",
+    "StringType",
+    "BinaryType",
+    "TimestampType",
+    "Date32Type",
+    "Date64Type",
+    "Time32Type",
+    "Time64Type",
+    "DurationType",
+    "DecimalType",
+    "DictionaryType",
+    "ListType",
+    "StructType",
+    "FixedSizeBinaryType",
+    "NullType",
+    "int8", "int16", "int32", "int64",
+    "uint8", "uint16", "uint32", "uint64",
+    "float16", "float32", "float64",
+    "bool_", "string", "binary", "null",
+    "date32", "date64",
+    "timestamp", "time32", "time64", "duration",
+    "decimal128", "dictionary", "list_", "struct", "fixed_size_binary",
+    "from_pyarrow_type", "to_pyarrow_type",
+]
+
+
+@dataclass(frozen=True)
+class DataType:
+    """Base logical type. Frozen + hashable so types can key kernel dispatch
+    tables (the role of ``TypeHolder`` in reference ``compute/kernel.h``)."""
+
+    @property
+    def id(self) -> str:
+        raise NotImplementedError
+
+    # ---- storage mapping -------------------------------------------------
+    @property
+    def storage_np(self) -> np.dtype:
+        """NumPy dtype of the primary ``values`` buffer on device."""
+        raise NotImplementedError(f"no storage dtype for {self}")
+
+    @property
+    def is_primitive(self) -> bool:
+        """One fixed-width values buffer (plus validity)."""
+        return False
+
+    @property
+    def is_varlen(self) -> bool:
+        """offsets + byte pool layout (string/binary)."""
+        return False
+
+    @property
+    def is_nested(self) -> bool:
+        return False
+
+    @property
+    def is_numeric(self) -> bool:
+        return False
+
+    @property
+    def is_integer(self) -> bool:
+        return False
+
+    @property
+    def is_floating(self) -> bool:
+        return False
+
+    @property
+    def is_signed_integer(self) -> bool:
+        return False
+
+    @property
+    def is_unsigned_integer(self) -> bool:
+        return False
+
+    @property
+    def is_temporal(self) -> bool:
+        return False
+
+    @property
+    def bit_width(self) -> int:
+        return 8 * self.storage_np.itemsize
+
+    def __str__(self) -> str:
+        return self.id
+
+
+@dataclass(frozen=True)
+class NullType(DataType):
+    @property
+    def id(self) -> str:
+        return "null"
+
+
+@dataclass(frozen=True)
+class IntegerType(DataType):
+    bits: int
+    signed: bool
+
+    @property
+    def id(self) -> str:
+        return f"{'int' if self.signed else 'uint'}{self.bits}"
+
+    @property
+    def storage_np(self) -> np.dtype:
+        return np.dtype(f"{'i' if self.signed else 'u'}{self.bits // 8}")
+
+    @property
+    def is_primitive(self) -> bool:
+        return True
+
+    @property
+    def is_numeric(self) -> bool:
+        return True
+
+    @property
+    def is_integer(self) -> bool:
+        return True
+
+    @property
+    def is_signed_integer(self) -> bool:
+        return self.signed
+
+    @property
+    def is_unsigned_integer(self) -> bool:
+        return not self.signed
+
+
+@dataclass(frozen=True)
+class FloatType(DataType):
+    bits: int
+
+    @property
+    def id(self) -> str:
+        return {16: "halffloat", 32: "float", 64: "double"}[self.bits]
+
+    @property
+    def storage_np(self) -> np.dtype:
+        return np.dtype(f"f{self.bits // 8}")
+
+    @property
+    def is_primitive(self) -> bool:
+        return True
+
+    @property
+    def is_numeric(self) -> bool:
+        return True
+
+    @property
+    def is_floating(self) -> bool:
+        return True
+
+
+@dataclass(frozen=True)
+class BoolType(DataType):
+    @property
+    def id(self) -> str:
+        return "bool"
+
+    @property
+    def storage_np(self) -> np.dtype:
+        return np.dtype(np.bool_)
+
+    @property
+    def is_primitive(self) -> bool:
+        return True
+
+    @property
+    def bit_width(self) -> int:
+        return 1  # logical width (Arrow packs bools; we store a bytemask)
+
+
+@dataclass(frozen=True)
+class StringType(DataType):
+    @property
+    def id(self) -> str:
+        return "string"
+
+    @property
+    def storage_np(self) -> np.dtype:
+        return np.dtype(np.uint8)  # byte pool
+
+    @property
+    def is_varlen(self) -> bool:
+        return True
+
+
+@dataclass(frozen=True)
+class BinaryType(DataType):
+    @property
+    def id(self) -> str:
+        return "binary"
+
+    @property
+    def storage_np(self) -> np.dtype:
+        return np.dtype(np.uint8)
+
+    @property
+    def is_varlen(self) -> bool:
+        return True
+
+
+@dataclass(frozen=True)
+class FixedSizeBinaryType(DataType):
+    byte_width: int
+
+    @property
+    def id(self) -> str:
+        return f"fixed_size_binary[{self.byte_width}]"
+
+    @property
+    def storage_np(self) -> np.dtype:
+        return np.dtype(np.uint8)
+
+    @property
+    def is_primitive(self) -> bool:
+        return True
+
+    @property
+    def bit_width(self) -> int:
+        return 8 * self.byte_width
+
+
+@dataclass(frozen=True)
+class TimestampType(DataType):
+    unit: str = "us"  # s|ms|us|ns
+    tz: Optional[str] = None
+
+    @property
+    def id(self) -> str:
+        return f"timestamp[{self.unit}{', tz=' + self.tz if self.tz else ''}]"
+
+    @property
+    def storage_np(self) -> np.dtype:
+        return np.dtype(np.int64)
+
+    @property
+    def is_primitive(self) -> bool:
+        return True
+
+    @property
+    def is_temporal(self) -> bool:
+        return True
+
+
+@dataclass(frozen=True)
+class Date32Type(DataType):
+    @property
+    def id(self) -> str:
+        return "date32[day]"
+
+    @property
+    def storage_np(self) -> np.dtype:
+        return np.dtype(np.int32)
+
+    @property
+    def is_primitive(self) -> bool:
+        return True
+
+    @property
+    def is_temporal(self) -> bool:
+        return True
+
+
+@dataclass(frozen=True)
+class Date64Type(DataType):
+    @property
+    def id(self) -> str:
+        return "date64[ms]"
+
+    @property
+    def storage_np(self) -> np.dtype:
+        return np.dtype(np.int64)
+
+    @property
+    def is_primitive(self) -> bool:
+        return True
+
+    @property
+    def is_temporal(self) -> bool:
+        return True
+
+
+@dataclass(frozen=True)
+class Time32Type(DataType):
+    unit: str = "ms"  # s|ms
+
+    @property
+    def id(self) -> str:
+        return f"time32[{self.unit}]"
+
+    @property
+    def storage_np(self) -> np.dtype:
+        return np.dtype(np.int32)
+
+    @property
+    def is_primitive(self) -> bool:
+        return True
+
+    @property
+    def is_temporal(self) -> bool:
+        return True
+
+
+@dataclass(frozen=True)
+class Time64Type(DataType):
+    unit: str = "us"  # us|ns
+
+    @property
+    def id(self) -> str:
+        return f"time64[{self.unit}]"
+
+    @property
+    def storage_np(self) -> np.dtype:
+        return np.dtype(np.int64)
+
+    @property
+    def is_primitive(self) -> bool:
+        return True
+
+    @property
+    def is_temporal(self) -> bool:
+        return True
+
+
+@dataclass(frozen=True)
+class DurationType(DataType):
+    unit: str = "us"
+
+    @property
+    def id(self) -> str:
+        return f"duration[{self.unit}]"
+
+    @property
+    def storage_np(self) -> np.dtype:
+        return np.dtype(np.int64)
+
+    @property
+    def is_primitive(self) -> bool:
+        return True
+
+    @property
+    def is_temporal(self) -> bool:
+        return True
+
+
+@dataclass(frozen=True)
+class DecimalType(DataType):
+    """decimal128 stored as scaled int64 on device (precision <= 18 only in
+    round 1); full 128-bit via dual-limb representation is future work."""
+
+    precision: int
+    scale: int
+
+    @property
+    def id(self) -> str:
+        return f"decimal128({self.precision}, {self.scale})"
+
+    @property
+    def storage_np(self) -> np.dtype:
+        return np.dtype(np.int64)
+
+    @property
+    def is_primitive(self) -> bool:
+        return True
+
+
+@dataclass(frozen=True)
+class DictionaryType(DataType):
+    index_type: DataType
+    value_type: DataType
+    ordered: bool = False
+
+    @property
+    def id(self) -> str:
+        return f"dictionary<values={self.value_type}, indices={self.index_type}>"
+
+    @property
+    def storage_np(self) -> np.dtype:
+        return self.index_type.storage_np
+
+    @property
+    def is_primitive(self) -> bool:
+        return True  # indices are primitive; dictionary is a child
+
+
+@dataclass(frozen=True)
+class ListType(DataType):
+    value_type: DataType
+
+    @property
+    def id(self) -> str:
+        return f"list<item: {self.value_type}>"
+
+    @property
+    def is_nested(self) -> bool:
+        return True
+
+
+@dataclass(frozen=True)
+class StructType(DataType):
+    fields: tuple  # tuple[tuple[str, DataType], ...]
+
+    @property
+    def id(self) -> str:
+        inner = ", ".join(f"{n}: {t}" for n, t in self.fields)
+        return f"struct<{inner}>"
+
+    @property
+    def is_nested(self) -> bool:
+        return True
+
+
+# ---- canonical singletons -------------------------------------------------
+int8 = IntegerType(8, True)
+int16 = IntegerType(16, True)
+int32 = IntegerType(32, True)
+int64 = IntegerType(64, True)
+uint8 = IntegerType(8, False)
+uint16 = IntegerType(16, False)
+uint32 = IntegerType(32, False)
+uint64 = IntegerType(64, False)
+float16 = FloatType(16)
+float32 = FloatType(32)
+float64 = FloatType(64)
+bool_ = BoolType()
+string = StringType()
+binary = BinaryType()
+null = NullType()
+date32 = Date32Type()
+date64 = Date64Type()
+
+ALL_INTEGER = (int8, int16, int32, int64, uint8, uint16, uint32, uint64)
+ALL_FLOATING = (float16, float32, float64)
+ALL_NUMERIC = ALL_INTEGER + ALL_FLOATING
+
+
+def timestamp(unit: str = "us", tz: Optional[str] = None) -> TimestampType:
+    return TimestampType(unit, tz)
+
+
+def time32(unit: str = "ms") -> Time32Type:
+    return Time32Type(unit)
+
+
+def time64(unit: str = "us") -> Time64Type:
+    return Time64Type(unit)
+
+
+def duration(unit: str = "us") -> DurationType:
+    return DurationType(unit)
+
+
+def decimal128(precision: int, scale: int = 0) -> DecimalType:
+    return DecimalType(precision, scale)
+
+
+def dictionary(index_type: DataType, value_type: DataType,
+               ordered: bool = False) -> DictionaryType:
+    return DictionaryType(index_type, value_type, ordered)
+
+
+def list_(value_type: DataType) -> ListType:
+    return ListType(value_type)
+
+
+def struct(fields) -> StructType:
+    return StructType(tuple((n, t) for n, t in fields))
+
+
+def fixed_size_binary(byte_width: int) -> FixedSizeBinaryType:
+    return FixedSizeBinaryType(byte_width)
+
+
+# ---- pyarrow bridge ---------------------------------------------------------
+
+def to_pyarrow_type(t: DataType):
+    import pyarrow as pa
+
+    if isinstance(t, NullType):
+        return pa.null()
+    if isinstance(t, IntegerType):
+        return getattr(pa, t.id)()
+    if isinstance(t, FloatType):
+        return {16: pa.float16, 32: pa.float32, 64: pa.float64}[t.bits]()
+    if isinstance(t, BoolType):
+        return pa.bool_()
+    if isinstance(t, StringType):
+        return pa.string()
+    if isinstance(t, BinaryType):
+        return pa.binary()
+    if isinstance(t, FixedSizeBinaryType):
+        return pa.binary(t.byte_width)
+    if isinstance(t, TimestampType):
+        return pa.timestamp(t.unit, t.tz)
+    if isinstance(t, Date32Type):
+        return pa.date32()
+    if isinstance(t, Date64Type):
+        return pa.date64()
+    if isinstance(t, Time32Type):
+        return pa.time32(t.unit)
+    if isinstance(t, Time64Type):
+        return pa.time64(t.unit)
+    if isinstance(t, DurationType):
+        return pa.duration(t.unit)
+    if isinstance(t, DecimalType):
+        return pa.decimal128(t.precision, t.scale)
+    if isinstance(t, DictionaryType):
+        return pa.dictionary(to_pyarrow_type(t.index_type),
+                             to_pyarrow_type(t.value_type), t.ordered)
+    if isinstance(t, ListType):
+        return pa.list_(to_pyarrow_type(t.value_type))
+    if isinstance(t, StructType):
+        return pa.struct([(n, to_pyarrow_type(ft)) for n, ft in t.fields])
+    raise NotImplementedError(f"to_pyarrow_type({t})")
+
+
+def from_pyarrow_type(pt) -> DataType:
+    import pyarrow as pa
+    import pyarrow.types as pat
+
+    if pat.is_null(pt):
+        return null
+    if pat.is_boolean(pt):
+        return bool_
+    if pat.is_integer(pt):
+        return IntegerType(pt.bit_width, pat.is_signed_integer(pt))
+    if pat.is_float16(pt):
+        return float16
+    if pat.is_float32(pt):
+        return float32
+    if pat.is_float64(pt):
+        return float64
+    if pat.is_string(pt) or pat.is_large_string(pt):
+        return string
+    if pat.is_fixed_size_binary(pt):
+        return FixedSizeBinaryType(pt.byte_width)
+    if pat.is_binary(pt) or pat.is_large_binary(pt):
+        return binary
+    if pat.is_timestamp(pt):
+        return TimestampType(pt.unit, pt.tz)
+    if pat.is_date32(pt):
+        return date32
+    if pat.is_date64(pt):
+        return date64
+    if pat.is_time32(pt):
+        return Time32Type(pt.unit)
+    if pat.is_time64(pt):
+        return Time64Type(pt.unit)
+    if pat.is_duration(pt):
+        return DurationType(pt.unit)
+    if pat.is_decimal(pt):
+        return DecimalType(pt.precision, pt.scale)
+    if pat.is_dictionary(pt):
+        return DictionaryType(from_pyarrow_type(pt.index_type),
+                              from_pyarrow_type(pt.value_type), pt.ordered)
+    if pat.is_list(pt) or pat.is_large_list(pt):
+        return ListType(from_pyarrow_type(pt.value_type))
+    if pat.is_struct(pt):
+        return StructType(tuple((f.name, from_pyarrow_type(f.type))
+                                for f in pt))
+    raise NotImplementedError(f"from_pyarrow_type({pt})")

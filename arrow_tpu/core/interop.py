@@ -1,0 +1,243 @@
+"""pyarrow <-> device-array interop.
+
+This is the engine's boundary layer (the role the C data interface plays in
+the reference, ``cpp/src/arrow/c/bridge.h``): host Arrow buffers are staged
+into padded device buffers, and device results are exported back as genuine
+pyarrow arrays so the test oracle can compare bit-for-bit.
+
+Packed validity bitmaps (Arrow) <-> bool bytemasks (device) conversion lives
+here and only here.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import datatype as dt
+from .array import Array
+from .batch import Batch, Table
+from .schema import Schema
+
+__all__ = [
+    "array_from_pyarrow", "array_to_pyarrow",
+    "batch_from_pyarrow", "batch_to_pyarrow",
+    "table_from_pyarrow",
+    "pad_capacity",
+]
+
+# Capacity bucketing: pad to one of these row counts to bound the number of
+# distinct compiled shapes (recompilation buckets — SURVEY.md §7 hard part 1).
+_BUCKETS = [1 << k for k in range(4, 31)]
+
+
+def pad_capacity(n: int, capacity: Optional[int] = None) -> int:
+    if capacity is not None:
+        if capacity < n:
+            raise ValueError(f"capacity {capacity} < length {n}")
+        return capacity
+    n = max(n, 1)
+    for b in _BUCKETS:
+        if b >= n:
+            return b
+    return n
+
+
+def _unpack_validity(pa_arr, n: int) -> Optional[np.ndarray]:
+    """Return bool bytemask or None if all-valid."""
+    if pa_arr.null_count == 0:
+        return None
+    buf = pa_arr.buffers()[0]
+    if buf is None:
+        return None
+    bits = np.frombuffer(buf, dtype=np.uint8)
+    mask = np.unpackbits(bits, count=pa_arr.offset + n,
+                         bitorder="little")[pa_arr.offset:]
+    return mask.astype(np.bool_)
+
+
+def _pack_validity(mask: np.ndarray):
+    import pyarrow as pa
+    return pa.py_buffer(np.packbits(mask, bitorder="little").tobytes())
+
+
+def _primitive_values(pa_arr, t: dt.DataType, n: int) -> np.ndarray:
+    """Extract the raw fixed-width values buffer as numpy (no null decoding)."""
+    buf = pa_arr.buffers()[1]
+    if isinstance(t, dt.BoolType):
+        bits = np.frombuffer(buf, dtype=np.uint8)
+        vals = np.unpackbits(bits, count=pa_arr.offset + n,
+                             bitorder="little")[pa_arr.offset:]
+        return vals.astype(np.bool_)
+    if isinstance(t, dt.FixedSizeBinaryType):
+        w = t.byte_width
+        raw = np.frombuffer(buf, dtype=np.uint8)
+        start = pa_arr.offset * w
+        return raw[start:start + n * w].reshape(n, w)
+    npdt = t.storage_np
+    raw = np.frombuffer(buf, dtype=npdt)
+    return raw[pa_arr.offset:pa_arr.offset + n]
+
+
+def array_from_pyarrow(pa_arr, capacity: Optional[int] = None,
+                       byte_capacity: Optional[int] = None) -> Array:
+    import pyarrow as pa
+
+    if isinstance(pa_arr, pa.ChunkedArray):
+        pa_arr = pa_arr.combine_chunks()
+    n = len(pa_arr)
+    cap = pad_capacity(n, capacity)
+    t = dt.from_pyarrow_type(pa_arr.type)
+    validity_np = _unpack_validity(pa_arr, n)
+    validity = None
+    if validity_np is not None:
+        v = np.zeros((cap,), dtype=np.bool_)
+        v[:n] = validity_np
+        validity = jnp.asarray(v)
+
+    if isinstance(t, dt.DictionaryType):
+        indices = pa_arr.indices
+        dict_arr = array_from_pyarrow(pa_arr.dictionary)
+        idx_np = _primitive_values(indices, t.index_type, n)
+        buf = np.zeros((cap,), dtype=t.index_type.storage_np)
+        # null slots may hold garbage in pyarrow's indices buffer; zero them so
+        # padded/null indices stay in-range for gathers.
+        if validity_np is not None:
+            idx_np = np.where(validity_np, idx_np, 0)
+        buf[:n] = idx_np
+        return Array(t, jnp.asarray(buf), validity, dictionary=dict_arr,
+                     length=n)
+
+    if t.is_varlen:
+        if pa.types.is_large_string(pa_arr.type) or \
+           pa.types.is_large_binary(pa_arr.type):
+            pa_arr = pa_arr.cast(
+                pa.string() if pa.types.is_large_string(pa_arr.type)
+                else pa.binary())
+        offsets_buf = pa_arr.buffers()[1]
+        data_buf = pa_arr.buffers()[2]
+        raw_off = np.frombuffer(offsets_buf, dtype=np.int32)
+        off = raw_off[pa_arr.offset:pa_arr.offset + n + 1].astype(np.int32)
+        base = off[0] if n >= 0 and len(off) else 0
+        off = off - base
+        nbytes = int(off[-1]) if len(off) else 0
+        bcap = pad_capacity(max(nbytes, 1), byte_capacity)
+        data = np.zeros((bcap,), dtype=np.uint8)
+        if data_buf is not None and nbytes:
+            raw = np.frombuffer(data_buf, dtype=np.uint8)
+            data[:nbytes] = raw[base:base + nbytes]
+        offsets = np.zeros((cap + 1,), dtype=np.int32)
+        offsets[:n + 1] = off
+        offsets[n + 1:] = off[-1] if len(off) else 0
+        return Array(t, jnp.asarray(data), validity,
+                     offsets=jnp.asarray(offsets), length=n)
+
+    if t.is_primitive:
+        vals = _primitive_values(pa_arr, t, n)
+        if isinstance(t, dt.FixedSizeBinaryType):
+            buf = np.zeros((cap, t.byte_width), dtype=np.uint8)
+            buf[:n] = vals
+        else:
+            buf = np.zeros((cap,), dtype=t.storage_np)
+            buf[:n] = vals
+        return Array(t, jnp.asarray(buf), validity, length=n)
+
+    raise NotImplementedError(f"array_from_pyarrow for {t}")
+
+
+def array_to_pyarrow(arr: Array):
+    import pyarrow as pa
+
+    n = len(arr)
+    t = arr.type
+    pa_type = dt.to_pyarrow_type(t)
+
+    validity_buf = None
+    null_count = 0
+    if arr.validity is not None:
+        v = np.asarray(jax.device_get(arr.validity))[:n]
+        null_count = int((~v).sum())
+        if null_count:
+            validity_buf = _pack_validity(v)
+        else:
+            validity_buf = None
+
+    if isinstance(t, dt.DictionaryType):
+        idx = np.asarray(jax.device_get(arr.values))[:n]
+        indices = pa.Array.from_buffers(
+            dt.to_pyarrow_type(t.index_type), n,
+            [validity_buf, pa.py_buffer(np.ascontiguousarray(idx).tobytes())],
+            null_count=null_count if validity_buf else 0)
+        dictionary = array_to_pyarrow(arr.dictionary)
+        return pa.DictionaryArray.from_arrays(indices, dictionary,
+                                              ordered=t.ordered)
+
+    if t.is_varlen:
+        off = np.asarray(jax.device_get(arr.offsets))[:n + 1].astype(np.int32)
+        nbytes = int(off[-1]) if len(off) else 0
+        data = np.asarray(jax.device_get(arr.values))[:nbytes]
+        return pa.Array.from_buffers(
+            pa_type, n,
+            [validity_buf, pa.py_buffer(off.tobytes()),
+             pa.py_buffer(data.tobytes())],
+            null_count=null_count if validity_buf else 0)
+
+    if isinstance(t, dt.BoolType):
+        vals = np.asarray(jax.device_get(arr.values))[:n].astype(np.bool_)
+        data_buf = pa.py_buffer(
+            np.packbits(vals, bitorder="little").tobytes())
+        return pa.Array.from_buffers(
+            pa_type, n, [validity_buf, data_buf],
+            null_count=null_count if validity_buf else 0)
+
+    if isinstance(t, dt.FixedSizeBinaryType):
+        vals = np.asarray(jax.device_get(arr.values))[:n]
+        data_buf = pa.py_buffer(np.ascontiguousarray(vals).tobytes())
+        return pa.Array.from_buffers(
+            pa_type, n, [validity_buf, data_buf],
+            null_count=null_count if validity_buf else 0)
+
+    if t.is_primitive:
+        vals = np.asarray(jax.device_get(arr.values))[:n]
+        vals = vals.astype(t.storage_np, copy=False)
+        data_buf = pa.py_buffer(np.ascontiguousarray(vals).tobytes())
+        return pa.Array.from_buffers(
+            pa_type, n, [validity_buf, data_buf],
+            null_count=null_count if validity_buf else 0)
+
+    raise NotImplementedError(f"array_to_pyarrow for {t}")
+
+
+def batch_from_pyarrow(rb, capacity: Optional[int] = None) -> Batch:
+    import pyarrow as pa
+    if isinstance(rb, pa.Table):
+        rb = rb.combine_chunks().to_batches()
+        if len(rb) != 1:
+            raise ValueError("use table_from_pyarrow for multi-batch tables")
+        rb = rb[0]
+    cap = pad_capacity(rb.num_rows, capacity)
+    arrays = [array_from_pyarrow(rb.column(i), capacity=cap)
+              for i in range(rb.num_columns)]
+    return Batch(Schema.from_pyarrow(rb.schema), arrays, rb.num_rows)
+
+
+def batch_to_pyarrow(b: Batch):
+    import pyarrow as pa
+    n = len(b)
+    cols = [array_to_pyarrow(b.column(i).with_length(n))
+            for i in range(b.num_columns)]
+    return pa.RecordBatch.from_arrays(cols, schema=b.schema.to_pyarrow())
+
+
+def table_from_pyarrow(pa_table, max_rows_per_batch: Optional[int] = None,
+                       capacity: Optional[int] = None) -> Table:
+    if max_rows_per_batch is None:
+        max_rows_per_batch = 1 << 15  # ExecPlan::kMaxBatchSize analog
+    pa_table = pa_table.combine_chunks()
+    batches: List[Batch] = []
+    for rb in pa_table.to_batches(max_chunksize=max_rows_per_batch):
+        batches.append(batch_from_pyarrow(rb, capacity=capacity))
+    return Table(Schema.from_pyarrow(pa_table.schema), batches)

@@ -1,0 +1,189 @@
+"""Vectorized key hashing + fixed-width key packing.
+
+Reference: ``cpp/src/arrow/compute/key_hash_internal.{h,cc}`` (xxh3-style
+``Hashing32/64`` with per-column hash + combine, ``HashMultiColumn``
+``key_hash_internal.h:46``) and the row encoder
+(``compute/row/encode_internal.h``).
+
+TPU-native design: every key column is first **normalized to a fixed-width
+integer word** (uint32 or uint64 lanes):
+  * ints/bools/temporals -> their bits (sign handled by the sort encoder,
+    not the hasher)
+  * floats -> raw bits with -0.0 canonicalized to +0.0 (Arrow hashes equal
+    values identically)
+  * dictionary -> indices (dictionaries are shared within a batch)
+  * strings -> a 64-bit content fingerprint (length-mixed chunked FNV over
+    the byte pool) — collisions resolved by full key comparison in the
+    grouper, exactly like the reference resolves stamp collisions.
+
+Hash function: a Murmur3-style finalizer chain per word with per-column seed
+mixing — multiplicative mixing vectorizes perfectly on the VPU (no
+byte-level xxh3 loops, which would be scalar poison on TPU).
+
+Everything here operates on u32 lanes (TPU has no native 64-bit ints; XLA
+emulates them) with an optional u64 variant on CPU for collision headroom.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ..core import datatype as dt
+from ..core.array import Array
+
+__all__ = ["hash32", "hash64", "normalize_keys", "hash_batch_columns",
+           "combine_hashes32"]
+
+# Murmur3 / xxh-style constants
+_C1 = jnp.uint32(0xCC9E2D51)
+_C2 = jnp.uint32(0x1B873593)
+_FMIX1 = jnp.uint32(0x85EBCA6B)
+_FMIX2 = jnp.uint32(0xC2B2AE35)
+
+_PRIME64_1 = 0x9E3779B185EBCA87
+_PRIME64_2 = 0xC2B2AE3D27D4EB4F
+_PRIME64_3 = 0x165667B19E3779F9
+
+
+def _rotl32(x, r):
+    return (x << r) | (x >> (32 - r))
+
+
+def _fmix32(h):
+    h = h ^ (h >> 16)
+    h = h * _FMIX1
+    h = h ^ (h >> 13)
+    h = h * _FMIX2
+    h = h ^ (h >> 16)
+    return h
+
+
+def _mix32(h, k):
+    k = k * _C1
+    k = _rotl32(k, 15)
+    k = k * _C2
+    h = h ^ k
+    h = _rotl32(h, 13)
+    h = h * jnp.uint32(5) + jnp.uint32(0xE6546B64)
+    return h
+
+
+def _word_lanes(a: Array) -> List[jax.Array]:
+    """Normalize one key column to a list of uint32 lanes (LSW first)."""
+    t = a.type
+    if isinstance(t, dt.DictionaryType):
+        return [a.values.astype(jnp.uint32)]
+    if t.is_varlen:
+        fp = _string_fingerprint64(a)
+        return [fp.astype(jnp.uint32),
+                (fp >> jnp.uint64(32)).astype(jnp.uint32)]
+    v = a.values
+    if isinstance(t, dt.BoolType):
+        return [v.astype(jnp.uint32)]
+    if t.is_floating:
+        # canonicalize -0.0 == +0.0 ; NaNs all hash alike only if same bits
+        v = jnp.where(v == 0, jnp.zeros_like(v), v)
+        if t.bits == 64:
+            bits = jax.lax.bitcast_convert_type(v, jnp.uint64)
+            return [bits.astype(jnp.uint32),
+                    (bits >> jnp.uint64(32)).astype(jnp.uint32)]
+        if t.bits == 16:
+            return [jax.lax.bitcast_convert_type(v, jnp.uint16).astype(
+                jnp.uint32)]
+        return [jax.lax.bitcast_convert_type(v, jnp.uint32)]
+    if t.is_integer or t.is_temporal or isinstance(t, dt.DecimalType):
+        if t.bit_width == 64:
+            bits = v.astype(jnp.uint64)
+            return [bits.astype(jnp.uint32),
+                    (bits >> jnp.uint64(32)).astype(jnp.uint32)]
+        return [v.astype(jnp.uint32)]
+    raise NotImplementedError(f"hashing of {t}")
+
+
+def _string_fingerprint64(a: Array) -> jax.Array:
+    """64-bit content fingerprint of each string row.
+
+    A strided chunked hash: each row mixes in up to 16 sampled bytes (exact
+    for short strings, stride-sampled for long ones) plus its exact last 8
+    bytes and its length. Exactness is NOT required here — groupers/joins
+    re-verify candidate matches with full key comparisons (the same way the
+    reference resolves SwissTable stamp collisions); this only needs good
+    dispersion.
+    """
+    off = a.offsets
+    n = off.shape[0] - 1
+    lens = (off[1:] - off[:-1]).astype(jnp.uint64)
+    data = a.values
+    bcap = data.shape[0]
+    h = lens * jnp.uint64(_PRIME64_2) + jnp.uint64(_PRIME64_3)
+    start = off[:-1]
+    # 16 strided probes cover short strings exactly and sample long ones;
+    # stride grows with length so the whole string influences the hash.
+    NPROBE = 16
+    stride = jnp.maximum(lens // NPROBE, 1).astype(jnp.int32)
+    for k in range(NPROBE):
+        pos = start + stride * k
+        valid = (jnp.uint64(k) * stride.astype(jnp.uint64)) < lens
+        byte = data[jnp.clip(pos, 0, bcap - 1)].astype(jnp.uint64)
+        contrib = jnp.where(valid, byte + jnp.uint64(k + 1), jnp.uint64(0))
+        h = (h ^ contrib) * jnp.uint64(_PRIME64_1)
+        h = h ^ (h >> jnp.uint64(29))
+    # fold in the exact last 8 bytes (catches suffix-only differences)
+    for k in range(8):
+        pos = off[1:] - 1 - k
+        valid = jnp.uint64(k) < lens
+        byte = data[jnp.clip(pos, 0, bcap - 1)].astype(jnp.uint64)
+        contrib = jnp.where(valid, byte, jnp.uint64(0))
+        h = (h ^ (contrib << jnp.uint64(8 * (k % 8)))) * \
+            jnp.uint64(_PRIME64_2)
+    h = h ^ (h >> jnp.uint64(32))
+    return h
+
+
+def normalize_keys(columns: Sequence[Array]) -> List[jax.Array]:
+    """All key columns as uint32 lanes; validity folded in as an extra lane
+    trait is NOT done here — groupers handle nulls explicitly."""
+    lanes: List[jax.Array] = []
+    for c in columns:
+        lanes.extend(_word_lanes(c))
+    return lanes
+
+
+def hash32(columns: Sequence[Array],
+           seed: int = 0) -> jax.Array:
+    """(capacity,) uint32 hash of the key tuple in each row.
+
+    Null rows: a null key value hashes as value-bits with a null marker
+    mixed in (so null == null groups together, distinct from zero).
+    """
+    cap = columns[0].capacity
+    h = jnp.full((cap,), jnp.uint32(seed ^ 0x9747B28C), dtype=jnp.uint32)
+    col_seed = 0x9E3779B9
+    for ci, c in enumerate(columns):
+        for lane in _word_lanes(c):
+            h = _mix32(h, lane ^ jnp.uint32((col_seed * (ci + 1)) &
+                                            0xFFFFFFFF))
+        if c.validity is not None:
+            null_marker = jnp.where(c.validity, jnp.uint32(0),
+                                    jnp.uint32(0x7FB5D329))
+            h = _mix32(h, null_marker)
+    return _fmix32(h)
+
+
+def combine_hashes32(a: jax.Array, b: jax.Array) -> jax.Array:
+    return _fmix32(_mix32(a, b))
+
+
+def hash64(columns: Sequence[Array], seed: int = 0) -> jax.Array:
+    """uint64 hash: two decorrelated 32-bit hashes packed."""
+    h1 = hash32(columns, seed=seed)
+    h2 = hash32(columns, seed=seed ^ 0x52DCE729)
+    return h1.astype(jnp.uint64) << jnp.uint64(32) | h2.astype(jnp.uint64)
+
+
+def hash_batch_columns(batch, names: Sequence[str],
+                       seed: int = 0) -> jax.Array:
+    return hash32([batch.column(n) for n in names], seed=seed)

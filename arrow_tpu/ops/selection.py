@@ -1,0 +1,206 @@
+"""Selection kernels: filter / take / indices-from-mask.
+
+Reference: ``cpp/src/arrow/compute/kernels/vector_selection*.cc``. The
+reference's hot loop walks the filter bitmap with ``BitBlockCounter`` 64-row
+word runs (``vector_selection_filter_internal.cc:159``); the TPU-native
+equivalent is a whole-batch **prefix-sum compaction**: positions =
+cumsum(mask)-1 followed by a masked scatter, which XLA maps onto the VPU at
+memory bandwidth.
+
+Like the reference's ``GetTakeIndices`` (filter bitmap -> index array), the
+batch-level filter computes take-indices ONCE and gathers every column
+through them — one compaction + N gathers per batch.
+
+Dynamic-shape discipline: outputs keep the input capacity; the dynamic
+``length`` is the number of selected rows. Padding rows hold zeros (in-range
+for downstream gathers).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..core import datatype as dt
+from ..core.array import Array, row_mask
+from ..core.batch import Batch
+from ..compute.registry import Kind, NullHandling, register_function
+from ..compute.scalar import Scalar
+
+__all__ = [
+    "FilterOptions", "TakeOptions",
+    "get_take_indices", "take_array", "filter_array",
+    "take_batch", "filter_batch",
+]
+
+
+class FilterOptions:
+    DROP = "drop"
+    EMIT_NULL = "emit_null"
+
+    def __init__(self, null_selection_behavior: str = "drop"):
+        assert null_selection_behavior in (self.DROP, self.EMIT_NULL)
+        self.null_selection_behavior = null_selection_behavior
+
+
+class TakeOptions:
+    def __init__(self, boundscheck: bool = True):
+        self.boundscheck = boundscheck  # no data-dependent errors on TPU
+
+
+def get_take_indices(mask: Array,
+                     null_selection: str = FilterOptions.DROP) -> Array:
+    """Filter mask -> int32 take indices (dynamic length).
+
+    DROP: selected = valid & true. EMIT_NULL: null mask slots are selected
+    too but yield a null index (validity=False) so takes produce null rows.
+    """
+    cap = mask.capacity
+    mvals = mask.values.astype(jnp.bool_)
+    in_range = row_mask(cap, mask.length)
+    if mask.validity is not None:
+        mvalid = mask.validity
+    else:
+        mvalid = None
+
+    if null_selection == FilterOptions.DROP or mvalid is None:
+        sel = mvals if mvalid is None else (mvals & mvalid)
+        sel = sel & in_range
+        emit_valid = None
+    else:
+        is_null = (~mvalid) & in_range
+        sel = ((mvals & mvalid) | is_null) & in_range
+        emit_valid = mvalid  # selected-and-null -> invalid index
+
+    positions = jnp.cumsum(sel.astype(jnp.int32)) - 1
+    out_len = jnp.where(cap > 0, positions[-1] + 1, 0).astype(jnp.int32)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0).reshape((cap,))
+    scatter_pos = jnp.where(sel, positions, cap)  # cap -> dropped
+    indices = jnp.zeros((cap,), dtype=jnp.int32).at[scatter_pos].set(
+        iota, mode="drop", unique_indices=True)
+
+    validity = None
+    if emit_valid is not None:
+        validity = jnp.ones((cap,), dtype=jnp.bool_).at[scatter_pos].set(
+            emit_valid, mode="drop", unique_indices=True)
+    return Array(dt.int32, indices, validity, length=out_len)
+
+
+def _gather_validity(values: Array, idx: jax.Array,
+                     idx_validity: Optional[jax.Array]):
+    validity = None
+    if values.validity is not None:
+        validity = values.validity[idx]
+    if idx_validity is not None:
+        validity = idx_validity if validity is None \
+            else (validity & idx_validity)
+    return validity
+
+
+def take_array(values: Array, indices: Array) -> Array:
+    """Gather rows of `values` at `indices` (Arrow `take`).
+
+    Indices must be in [0, values.capacity); padding index rows must also be
+    in-range (the compaction above guarantees zeros).
+    """
+    t = values.type
+    idx = indices.values.astype(jnp.int32)
+    out_len = indices.length
+
+    if isinstance(t, dt.DictionaryType):
+        out_vals = values.values[idx]
+        validity = _gather_validity(values, idx, indices.validity)
+        return Array(t, out_vals, validity, dictionary=values.dictionary,
+                     length=out_len)
+
+    if t.is_varlen:
+        return _take_varlen(values, idx, indices, out_len)
+
+    out_vals = values.values[idx]
+    validity = _gather_validity(values, idx, indices.validity)
+    return Array(t, out_vals, validity, length=out_len)
+
+
+def _take_varlen(values: Array, idx: jax.Array, indices: Array, out_len):
+    """Variable-length (string/binary) gather.
+
+    Two-phase: (1) gather per-row byte lengths, prefix-sum into new offsets;
+    (2) map every output byte position back to its source byte via a
+    searchsorted over the new offsets. O(B log N) — later a Pallas kernel
+    with row-parallel DMA copies.
+    """
+    t = values.type
+    ocap = idx.shape[0]
+    off = values.offsets
+    in_range = row_mask(ocap, out_len)
+    # null/padding rows contribute 0 bytes
+    sel_ok = in_range
+    if indices.validity is not None:
+        sel_ok = sel_ok & indices.validity
+    lens = jnp.where(sel_ok, off[idx + 1] - off[idx], 0)
+    new_off = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(lens).astype(jnp.int32)])
+    bcap = values.values.shape[0]
+    total = new_off[-1]
+    # output byte j -> row r -> source byte
+    bidx = jax.lax.broadcasted_iota(jnp.int32, (bcap, 1), 0).reshape((bcap,))
+    r = jnp.searchsorted(new_off, bidx, side="right").astype(jnp.int32) - 1
+    r = jnp.clip(r, 0, ocap - 1)
+    src = off[idx[r]] + (bidx - new_off[r])
+    src = jnp.clip(src, 0, bcap - 1)
+    out_bytes = jnp.where(bidx < total, values.values[src], 0).astype(
+        jnp.uint8)
+    validity = _gather_validity(values, idx, indices.validity)
+    return Array(t, out_bytes, validity, offsets=new_off, length=out_len)
+
+
+def filter_array(values: Array, mask: Array,
+                 options: Optional[FilterOptions] = None) -> Array:
+    opts = options or FilterOptions()
+    indices = get_take_indices(mask, opts.null_selection_behavior)
+    return take_array(values, indices)
+
+
+def take_batch(b: Batch, indices: Array) -> Batch:
+    arrays = [take_array(b.column(i), indices) for i in range(b.num_columns)]
+    return Batch(b.schema, arrays, indices.length, b.index)
+
+
+def filter_batch(b: Batch, mask: Array,
+                 options: Optional[FilterOptions] = None) -> Batch:
+    opts = options or FilterOptions()
+    indices = get_take_indices(mask, opts.null_selection_behavior)
+    return take_batch(b, indices)
+
+
+# ---- registry entries ---------------------------------------------------------
+
+@register_function("filter", Kind.VECTOR, 2,
+                   null_handling=NullHandling.COMPUTED,
+                   options_class=FilterOptions)
+def _filter(args, options):
+    values, mask = args
+    if isinstance(values, Batch):
+        return filter_batch(values, mask, options)
+    return filter_array(values, mask, options)
+
+
+@register_function("take", Kind.VECTOR, 2,
+                   null_handling=NullHandling.COMPUTED,
+                   options_class=TakeOptions)
+def _take(args, options):
+    values, indices = args
+    if isinstance(values, Batch):
+        return take_batch(values, indices)
+    return take_array(values, indices)
+
+
+@register_function("array_take_indices_from_mask", Kind.VECTOR, 1,
+                   null_handling=NullHandling.COMPUTED,
+                   options_class=FilterOptions)
+def _indices_nonzero(args, options):
+    (mask,) = args
+    opts = options or FilterOptions()
+    return get_take_indices(mask, opts.null_selection_behavior)

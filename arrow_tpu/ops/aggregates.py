@@ -1,0 +1,591 @@
+"""Grouped + scalar aggregation kernels.
+
+Reference: the GroupedAggregator state protocol
+(``hash_aggregate_internal.h:39-58``: Resize/Consume(values, group_ids)/
+Merge(other, group_id_mapping)/Finalize) and the kernel set in
+``hash_aggregate.cc`` / ``hash_aggregate_numeric.cc`` / ``aggregate_basic.cc``.
+
+TPU-native: Consume is a masked **scatter-accumulate** over the group-id
+axis (``.at[gid].add/min/max`` — XLA lowers to vectorized scatters);
+Merge re-keys one state into another through a group-id mapping, which is
+exactly the cross-shard combine used by the distributed engine (per-chip
+partial states -> all_to_all by key -> Merge).
+
+Aggregator states are pytrees of fixed-capacity (max_groups,) buffers, so a
+whole multi-aggregate consume jits into one fused pass over the batch.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import datatype as dt
+from ..core.array import Array, row_mask
+from ..compute.registry import Kind, NullHandling, register_function
+from ..compute.scalar import Scalar
+
+__all__ = [
+    "GroupedAggregator", "make_grouped_aggregator", "GROUPED_AGGREGATORS",
+    "ScalarAggregateOptions", "CountOptions", "VarianceOptions",
+]
+
+
+class ScalarAggregateOptions:
+    def __init__(self, skip_nulls: bool = True, min_count: int = 1):
+        self.skip_nulls = skip_nulls
+        self.min_count = min_count
+
+
+class CountOptions:
+    def __init__(self, mode: str = "only_valid"):
+        assert mode in ("only_valid", "only_null", "all")
+        self.mode = mode
+
+
+class VarianceOptions:
+    def __init__(self, ddof: int = 0, skip_nulls: bool = True,
+                 min_count: int = 0):
+        self.ddof = ddof
+        self.skip_nulls = skip_nulls
+        self.min_count = min_count
+
+
+def _sum_output_type(t: dt.DataType) -> dt.DataType:
+    if t.is_floating:
+        return t
+    if isinstance(t, dt.BoolType):
+        return dt.uint64
+    if t.is_signed_integer:
+        return dt.int64
+    return dt.uint64
+
+
+def _contrib_mask(values: Array, group_ids: jax.Array) -> jax.Array:
+    """Rows that contribute: in a group AND valid (skip_nulls)."""
+    m = group_ids >= 0
+    if values.validity is not None:
+        m = m & values.validity
+    return m
+
+
+def _positions(mask: jax.Array, group_ids: jax.Array, G: int) -> jax.Array:
+    """Scatter positions: group id, or G (dropped) for non-contributors."""
+    return jnp.where(mask, group_ids, G)
+
+
+class GroupedAggregator:
+    """Base class. Subclasses define init/consume/merge/finalize."""
+
+    name: str = ""
+
+    def __init__(self, in_type: Optional[dt.DataType], G: int, options=None):
+        self.in_type = in_type
+        self.G = G
+        self.options = options
+
+    def init(self):
+        raise NotImplementedError
+
+    def consume(self, state, values: Optional[Array], group_ids: jax.Array):
+        raise NotImplementedError
+
+    def merge(self, state, other, mapping: jax.Array):
+        """Fold `other`'s group g into this state's group mapping[g]."""
+        raise NotImplementedError
+
+    def finalize(self, state, num_groups) -> Array:
+        raise NotImplementedError
+
+
+class GroupedCount(GroupedAggregator):
+    """hash_count (``hash_aggregate.cc:108``); CountOptions modes."""
+
+    name = "count"
+    out_type = dt.int64
+
+    def init(self):
+        return jnp.zeros((self.G,), dtype=jnp.int64)
+
+    def consume(self, state, values, group_ids):
+        mode = self.options.mode if isinstance(self.options, CountOptions) \
+            else "only_valid"
+        in_group = group_ids >= 0
+        if values is None or values.validity is None:
+            ok = in_group if mode != "only_null" else jnp.zeros_like(in_group)
+        elif mode == "only_valid":
+            ok = in_group & values.validity
+        elif mode == "only_null":
+            ok = in_group & ~values.validity
+        else:
+            ok = in_group
+        pos = _positions(ok, group_ids, self.G)
+        return state.at[pos].add(jnp.ones_like(pos, dtype=jnp.int64),
+                                 mode="drop")
+
+    def merge(self, state, other, mapping):
+        return state.at[mapping].add(other, mode="drop")
+
+    def finalize(self, state, num_groups) -> Array:
+        return Array(dt.int64, state, None, length=num_groups)
+
+
+class GroupedCountAll(GroupedCount):
+    """hash_count_all (``hash_aggregate.cc:62``) — nullary, counts rows."""
+
+    name = "count_all"
+
+    def consume(self, state, values, group_ids):
+        ok = group_ids >= 0
+        pos = _positions(ok, group_ids, self.G)
+        return state.at[pos].add(jnp.ones_like(pos, dtype=jnp.int64),
+                                 mode="drop")
+
+
+class GroupedSum(GroupedAggregator):
+    """hash_sum (``hash_aggregate_numeric.cc:275``)."""
+
+    name = "sum"
+
+    @property
+    def out_type(self):
+        return _sum_output_type(self.in_type)
+
+    @property
+    def _acc_dtype(self):
+        return jnp.dtype(self.out_type.storage_np)
+
+    def init(self):
+        return (jnp.zeros((self.G,), dtype=self._acc_dtype),
+                jnp.zeros((self.G,), dtype=jnp.int64))
+
+    def consume(self, state, values, group_ids):
+        acc, cnt = state
+        ok = _contrib_mask(values, group_ids)
+        pos = _positions(ok, group_ids, self.G)
+        v = values.values.astype(self._acc_dtype)
+        v = jnp.where(ok, v, jnp.zeros_like(v))
+        return (acc.at[pos].add(v, mode="drop"),
+                cnt.at[pos].add(ok.astype(jnp.int64), mode="drop"))
+
+    def merge(self, state, other, mapping):
+        acc, cnt = state
+        oacc, ocnt = other
+        return (acc.at[mapping].add(oacc, mode="drop"),
+                cnt.at[mapping].add(ocnt, mode="drop"))
+
+    def finalize(self, state, num_groups) -> Array:
+        acc, cnt = state
+        # all-null / empty group -> null (Arrow: sum of no rows is null)
+        validity = cnt > 0
+        return Array(self.out_type, acc, validity, length=num_groups)
+
+
+class GroupedProduct(GroupedSum):
+    name = "product"
+
+    def init(self):
+        return (jnp.ones((self.G,), dtype=self._acc_dtype),
+                jnp.zeros((self.G,), dtype=jnp.int64))
+
+    def consume(self, state, values, group_ids):
+        acc, cnt = state
+        ok = _contrib_mask(values, group_ids)
+        pos = _positions(ok, group_ids, self.G)
+        v = values.values.astype(self._acc_dtype)
+        v = jnp.where(ok, v, jnp.ones_like(v))
+        return (acc.at[pos].multiply(v, mode="drop"),
+                cnt.at[pos].add(ok.astype(jnp.int64), mode="drop"))
+
+    def merge(self, state, other, mapping):
+        acc, cnt = state
+        oacc, ocnt = other
+        return (acc.at[mapping].multiply(oacc, mode="drop"),
+                cnt.at[mapping].add(ocnt, mode="drop"))
+
+
+class GroupedMean(GroupedSum):
+    """hash_mean (``hash_aggregate_numeric.cc:360``) — always float64 out."""
+
+    name = "mean"
+    out_type = dt.float64
+
+    @property
+    def _acc_dtype(self):
+        return jnp.float64
+
+    def finalize(self, state, num_groups) -> Array:
+        acc, cnt = state
+        validity = cnt > 0
+        mean = acc / jnp.where(cnt > 0, cnt, 1).astype(jnp.float64)
+        return Array(dt.float64, mean, validity, length=num_groups)
+
+
+class _GroupedExtremum(GroupedAggregator):
+    is_min = True
+
+    @property
+    def out_type(self):
+        return self.in_type
+
+    def _identity(self, dtype):
+        if jnp.issubdtype(dtype, jnp.floating):
+            v = jnp.inf if self.is_min else -jnp.inf
+            return jnp.asarray(v, dtype=dtype)
+        info = jnp.iinfo(dtype)
+        return jnp.asarray(info.max if self.is_min else info.min,
+                           dtype=dtype)
+
+    def init(self):
+        d = jnp.dtype(self.in_type.storage_np)
+        if d == jnp.bool_:
+            d = jnp.uint8
+        return (jnp.full((self.G,), self._identity(d), dtype=d),
+                jnp.zeros((self.G,), dtype=jnp.int64))
+
+    def consume(self, state, values, group_ids):
+        acc, cnt = state
+        ok = _contrib_mask(values, group_ids)
+        pos = _positions(ok, group_ids, self.G)
+        v = values.values.astype(acc.dtype)
+        ident = self._identity(acc.dtype)
+        v = jnp.where(ok, v, ident)
+        # NaN handling: Arrow min/max skip NaNs only with skip_nulls?
+        # Arrow treats NaN as a value for min/max (propagates). jnp.minimum
+        # propagates NaN; scatter-min uses min which propagates — matches.
+        if self.is_min:
+            acc = acc.at[pos].min(v, mode="drop")
+        else:
+            acc = acc.at[pos].max(v, mode="drop")
+        return acc, cnt.at[pos].add(ok.astype(jnp.int64), mode="drop")
+
+    def merge(self, state, other, mapping):
+        acc, cnt = state
+        oacc, ocnt = other
+        if self.is_min:
+            acc = acc.at[mapping].min(oacc, mode="drop")
+        else:
+            acc = acc.at[mapping].max(oacc, mode="drop")
+        return acc, cnt.at[mapping].add(ocnt, mode="drop")
+
+    def finalize(self, state, num_groups) -> Array:
+        acc, cnt = state
+        validity = cnt > 0
+        out = acc
+        if isinstance(self.in_type, dt.BoolType):
+            out = acc.astype(jnp.bool_)
+        return Array(self.in_type, out, validity, length=num_groups)
+
+
+class GroupedMin(_GroupedExtremum):
+    name = "min"
+    is_min = True
+
+
+class GroupedMax(_GroupedExtremum):
+    name = "max"
+    is_min = False
+
+
+class GroupedAny(GroupedAggregator):
+    """hash_any (``hash_aggregate.cc:1224``)."""
+
+    name = "any"
+    out_type = dt.bool_
+
+    def init(self):
+        return (jnp.zeros((self.G,), dtype=jnp.bool_),
+                jnp.zeros((self.G,), dtype=jnp.int64))
+
+    def consume(self, state, values, group_ids):
+        acc, cnt = state
+        ok = _contrib_mask(values, group_ids)
+        pos = _positions(ok, group_ids, self.G)
+        v = values.values.astype(jnp.bool_) & ok
+        return (acc.at[pos].max(v, mode="drop"),
+                cnt.at[pos].add(ok.astype(jnp.int64), mode="drop"))
+
+    def merge(self, state, other, mapping):
+        acc, cnt = state
+        oacc, ocnt = other
+        return (acc.at[mapping].max(oacc, mode="drop"),
+                cnt.at[mapping].add(ocnt, mode="drop"))
+
+    def finalize(self, state, num_groups) -> Array:
+        acc, cnt = state
+        return Array(dt.bool_, acc, cnt > 0, length=num_groups)
+
+
+class GroupedAll(GroupedAggregator):
+    name = "all"
+    out_type = dt.bool_
+
+    def init(self):
+        return (jnp.ones((self.G,), dtype=jnp.bool_),
+                jnp.zeros((self.G,), dtype=jnp.int64))
+
+    def consume(self, state, values, group_ids):
+        acc, cnt = state
+        ok = _contrib_mask(values, group_ids)
+        pos = _positions(ok, group_ids, self.G)
+        v = values.values.astype(jnp.bool_) | ~ok
+        return (acc.at[pos].min(v, mode="drop"),
+                cnt.at[pos].add(ok.astype(jnp.int64), mode="drop"))
+
+    def merge(self, state, other, mapping):
+        acc, cnt = state
+        oacc, ocnt = other
+        return (acc.at[mapping].min(oacc, mode="drop"),
+                cnt.at[mapping].add(ocnt, mode="drop"))
+
+    def finalize(self, state, num_groups) -> Array:
+        acc, cnt = state
+        return Array(dt.bool_, acc, cnt > 0, length=num_groups)
+
+
+class GroupedVariance(GroupedAggregator):
+    """hash_variance/hash_stddev (``GroupedStatisticImpl``,
+    ``hash_aggregate_numeric.cc:458``). Sum/sumsq moments in float64; the
+    mean-shifted merge differences vs Arrow's incremental algorithm are
+    within float tolerance (tested with rtol)."""
+
+    name = "variance"
+    out_type = dt.float64
+    is_std = False
+
+    def init(self):
+        z = jnp.zeros((self.G,), dtype=jnp.float64)
+        return (z, z, jnp.zeros((self.G,), dtype=jnp.int64))
+
+    def consume(self, state, values, group_ids):
+        s, ss, cnt = state
+        ok = _contrib_mask(values, group_ids)
+        pos = _positions(ok, group_ids, self.G)
+        v = values.values.astype(jnp.float64)
+        v = jnp.where(ok, v, 0.0)
+        return (s.at[pos].add(v, mode="drop"),
+                ss.at[pos].add(v * v, mode="drop"),
+                cnt.at[pos].add(ok.astype(jnp.int64), mode="drop"))
+
+    def merge(self, state, other, mapping):
+        s, ss, cnt = state
+        os_, oss, ocnt = other
+        return (s.at[mapping].add(os_, mode="drop"),
+                ss.at[mapping].add(oss, mode="drop"),
+                cnt.at[mapping].add(ocnt, mode="drop"))
+
+    def finalize(self, state, num_groups) -> Array:
+        s, ss, cnt = state
+        ddof = self.options.ddof if isinstance(
+            self.options, VarianceOptions) else 0
+        n = cnt.astype(jnp.float64)
+        denom = n - ddof
+        validity = denom > 0
+        mean = s / jnp.where(cnt > 0, n, 1.0)
+        var = (ss - n * mean * mean) / jnp.where(validity, denom, 1.0)
+        var = jnp.maximum(var, 0.0)  # clamp catastrophic-cancellation dust
+        out = jnp.sqrt(var) if self.is_std else var
+        return Array(dt.float64, out, validity, length=num_groups)
+
+
+class GroupedStddev(GroupedVariance):
+    name = "stddev"
+    is_std = True
+
+
+class GroupedFirst(GroupedAggregator):
+    """hash_first/hash_last (``hash_aggregate.cc:730``): value at the
+    smallest/largest global row position per group (skip_nulls default).
+
+    State: (best_pos, value, seen_count); consume tracks a monotonically
+    increasing global row counter so multiple Consume calls order correctly.
+    """
+
+    name = "first"
+    is_first = True
+
+    @property
+    def out_type(self):
+        return self.in_type
+
+    def init(self):
+        d = jnp.dtype(self.in_type.storage_np)
+        if d == jnp.bool_:
+            d = jnp.uint8
+        sentinel = jnp.iinfo(jnp.int64).max if self.is_first else -1
+        return (jnp.full((self.G,), sentinel, dtype=jnp.int64),
+                jnp.zeros((self.G,), dtype=d),
+                jnp.int64(0))
+
+    def consume(self, state, values, group_ids):
+        best, val, base = state
+        cap = values.capacity
+        ok = _contrib_mask(values, group_ids)
+        pos = _positions(ok, group_ids, self.G)
+        rows = base + jax.lax.broadcasted_iota(
+            jnp.int64, (cap, 1), 0).reshape((cap,))
+        if self.is_first:
+            cand = jnp.where(ok, rows, jnp.iinfo(jnp.int64).max)
+            best2 = best.at[pos].min(cand, mode="drop")
+        else:
+            cand = jnp.where(ok, rows, -1)
+            best2 = best.at[pos].max(cand, mode="drop")
+        # winner rows write their value
+        winner = ok & (best2[group_ids.clip(0)] == rows)
+        wpos = _positions(winner, group_ids, self.G)
+        v = values.values.astype(val.dtype)
+        val2 = val.at[wpos].set(v, mode="drop")
+        return best2, val2, base + jnp.int64(cap)
+
+    def merge(self, state, other, mapping):
+        best, val, base = state
+        obest, oval, obase = other
+        if self.is_first:
+            newbest = best.at[mapping].min(obest, mode="drop")
+        else:
+            newbest = best.at[mapping].max(obest, mode="drop")
+        takes = newbest[mapping] == obest
+        G = mapping.shape[0]
+        wpos = jnp.where(takes, mapping, self.G)
+        val = val.at[wpos].set(oval, mode="drop")
+        return newbest, val, jnp.maximum(base, obase)
+
+    def finalize(self, state, num_groups) -> Array:
+        best, val, _ = state
+        sentinel = jnp.iinfo(jnp.int64).max if self.is_first else -1
+        validity = best != sentinel
+        out = val
+        if isinstance(self.in_type, dt.BoolType):
+            out = val.astype(jnp.bool_)
+        return Array(self.in_type, out, validity, length=num_groups)
+
+
+class GroupedLast(GroupedFirst):
+    name = "last"
+    is_first = False
+
+
+class GroupedOne(GroupedLast):
+    """hash_one (``hash_aggregate.cc:1550``) — any value per group."""
+    name = "one"
+
+
+GROUPED_AGGREGATORS = {
+    c.name: c for c in [
+        GroupedCount, GroupedCountAll, GroupedSum, GroupedProduct,
+        GroupedMean, GroupedMin, GroupedMax, GroupedAny, GroupedAll,
+        GroupedVariance, GroupedStddev, GroupedFirst, GroupedLast,
+        GroupedOne,
+    ]
+}
+
+
+def make_grouped_aggregator(name: str, in_type: Optional[dt.DataType],
+                            max_groups: int, options=None
+                            ) -> GroupedAggregator:
+    key = name[5:] if name.startswith("hash_") else name
+    if key not in GROUPED_AGGREGATORS:
+        raise KeyError(f"no grouped aggregator named {name!r}")
+    return GROUPED_AGGREGATORS[key](in_type, max_groups, options)
+
+
+# ---- scalar (whole-array) aggregates ----------------------------------------
+
+def _scalar_reduce(name, a: Array, options) -> Scalar:
+    skip_nulls = options.skip_nulls if isinstance(
+        options, (ScalarAggregateOptions, VarianceOptions)) else True
+    min_count = options.min_count if isinstance(
+        options, ScalarAggregateOptions) else (
+            options.min_count if isinstance(options, VarianceOptions) else 1)
+    present = a.present_mask()
+    n_valid = jnp.sum(present)
+    has_null_in_range = a.validity is not None
+    v = a.values
+
+    def done(value, out_type, valid=True):
+        pyv = np.asarray(jax.device_get(value))[()] if hasattr(
+            value, "shape") else value
+        return Scalar(out_type.storage_np.type(pyv) if valid else None,
+                      out_type, is_valid=bool(valid))
+
+    count_ok = bool(jax.device_get(n_valid) >= max(min_count, 1)) \
+        if name not in ("count", "count_all") else True
+    if not skip_nulls and a.validity is not None:
+        any_null = bool(jax.device_get(
+            jnp.any(a.row_mask() & ~a.validity)))
+        if any_null and name not in ("count", "count_all"):
+            count_ok = False
+
+    if name == "count":
+        mode = options.mode if isinstance(options, CountOptions) \
+            else "only_valid"
+        if mode == "only_valid":
+            return done(n_valid, dt.int64)
+        if mode == "only_null":
+            return done(jnp.sum(a.row_mask() & ~a.validity)
+                        if a.validity is not None else 0, dt.int64)
+        return done(jnp.sum(a.row_mask()), dt.int64)
+    if name == "sum":
+        t = _sum_output_type(a.type)
+        acc = jnp.where(present, v, 0).astype(t.storage_np)
+        return done(jnp.sum(acc), t, count_ok)
+    if name == "product":
+        t = _sum_output_type(a.type)
+        acc = jnp.where(present, v, 1).astype(t.storage_np)
+        return done(jnp.prod(acc), t, count_ok)
+    if name == "mean":
+        acc = jnp.where(present, v, 0).astype(jnp.float64)
+        m = jnp.sum(acc) / jnp.maximum(n_valid, 1)
+        return done(m, dt.float64, count_ok)
+    if name in ("min", "max"):
+        d = v.dtype if v.dtype != jnp.bool_ else jnp.uint8
+        if jnp.issubdtype(d, jnp.floating):
+            ident = jnp.inf if name == "min" else -jnp.inf
+        else:
+            ident = jnp.iinfo(d).max if name == "min" else jnp.iinfo(d).min
+        acc = jnp.where(present, v.astype(d), ident)
+        r = jnp.min(acc) if name == "min" else jnp.max(acc)
+        if isinstance(a.type, dt.BoolType):
+            return done(r.astype(jnp.bool_), a.type, count_ok)
+        return done(r, a.type, count_ok)
+    if name == "any":
+        acc = jnp.where(present, v.astype(jnp.bool_), False)
+        return done(jnp.any(acc), dt.bool_, count_ok)
+    if name == "all":
+        acc = jnp.where(present, v.astype(jnp.bool_), True)
+        return done(jnp.all(acc), dt.bool_, count_ok)
+    if name in ("variance", "stddev"):
+        ddof = options.ddof if isinstance(options, VarianceOptions) else 0
+        x = jnp.where(present, v, 0).astype(jnp.float64)
+        n = n_valid.astype(jnp.float64)
+        mean = jnp.sum(x) / jnp.maximum(n, 1.0)
+        centered = jnp.where(present, (v.astype(jnp.float64) - mean), 0.0)
+        var = jnp.sum(centered * centered) / jnp.maximum(n - ddof, 1.0)
+        valid = bool(jax.device_get(n_valid)) and \
+            bool(jax.device_get(n_valid) - ddof > 0) and count_ok
+        r = jnp.sqrt(var) if name == "stddev" else var
+        return done(r, dt.float64, valid)
+    raise KeyError(name)
+
+
+def _register_scalar_aggs():
+    for name in ["sum", "product", "mean", "min", "max", "any", "all",
+                 "variance", "stddev", "count"]:
+        opts_cls = {"count": CountOptions,
+                    "variance": VarianceOptions,
+                    "stddev": VarianceOptions}.get(name,
+                                                   ScalarAggregateOptions)
+
+        def _exec(args, options, _name=name):
+            (a,) = args
+            return _scalar_reduce(_name, a, options)
+
+        register_function(name, Kind.SCALAR_AGGREGATE, 1,
+                          null_handling=NullHandling.COMPUTED,
+                          options_class=opts_cls)(_exec)
+
+
+_register_scalar_aggs()

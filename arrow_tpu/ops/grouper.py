@@ -1,0 +1,285 @@
+"""Grouper: vectorized hash-table grouping (the SwissTable/Grouper analog).
+
+Reference contract: ``cpp/src/arrow/compute/row/grouper.h:105`` — Consume
+(keys) -> dense uint32 group ids in ORDER OF FIRST APPEARANCE, persisting
+across calls; GetUniques() returns the unique key rows in group-id order.
+Reference implementation: ``grouper.cc:548`` (GrouperFastImpl = SwissTable +
+RowTableEncoder, 1024-row minibatches, AVX2).
+
+TPU-native redesign (SURVEY.md §2.4 "TPU mapping"): the per-row probe loop
+does not translate; instead the whole batch probes **in lockstep**:
+
+  1. Keys are normalized to fixed-width uint32 **lanes** (raw bits +
+     a validity lane per nullable column). Group equality is Arrow's
+     byte-equality: -0.0 != 0.0, NaN == NaN bitwise, null == null.
+  2. All rows hash, then a ``lax.while_loop`` runs rounds of a
+     **claim tournament** over an open-addressing table: every unresolved
+     row gathers its slot; rows matching an existing equal key resolve;
+     rows hitting an empty slot scatter-min their row id to claim it; the
+     winner inserts its lanes, losers and colliders advance to the next
+     slot (linear probe). Each round resolves >=1 row per contested slot,
+     so rounds ~= max probe-chain length (short at <=50% load factor).
+  3. Group ids are assigned AFTER the loop in one pass:
+     first-occurrence rows are ranked by row order with a cumsum —
+     exactly Arrow's first-appearance numbering — offset by the group
+     count from prior Consume calls.
+
+Everything is jit-compatible: static table capacity, dynamic counts.
+Overflow (more groups than capacity) sets ``state.error`` (deferred
+error — checked at the host boundary, Arrow would have resized).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import datatype as dt
+from ..core.array import Array, row_mask
+from .hashing import _fmix32, _mix32
+
+__all__ = ["Grouper", "GrouperState", "group_key_lanes"]
+
+_EMPTY = jnp.int32(2147483647)  # claim sentinel (INT32_MAX)
+
+
+def _raw_lanes(a: Array) -> List[jax.Array]:
+    """Key column -> uint32 lanes of the RAW storage bits (bit equality)."""
+    t = a.type
+    v = a.values
+    if isinstance(t, dt.DictionaryType):
+        return [v.astype(jnp.uint32)]
+    if t.is_varlen:
+        raise NotImplementedError(
+            "grouper on raw strings: dictionary-encode first "
+            "(the engine does this at ingest)")
+    if isinstance(t, dt.BoolType):
+        return [v.astype(jnp.uint32)]
+    if t.is_floating:
+        if t.bits == 64:
+            bits = jax.lax.bitcast_convert_type(v, jnp.uint64)
+            return [bits.astype(jnp.uint32),
+                    (bits >> jnp.uint64(32)).astype(jnp.uint32)]
+        if t.bits == 16:
+            return [jax.lax.bitcast_convert_type(v, jnp.uint16).astype(
+                jnp.uint32)]
+        return [jax.lax.bitcast_convert_type(v, jnp.uint32)]
+    if t.bit_width == 64:
+        bits = v.astype(jnp.uint64)
+        return [bits.astype(jnp.uint32),
+                (bits >> jnp.uint64(32)).astype(jnp.uint32)]
+    return [v.astype(jnp.uint32)]
+
+
+def group_key_lanes(columns: Sequence[Array],
+                    nullable: Optional[Sequence[bool]] = None) -> jax.Array:
+    """(capacity, L) uint32 lane matrix. Value lanes of null rows are zeroed
+    (canonical) and a validity lane distinguishes null from zero."""
+    lanes = []
+    for i, c in enumerate(columns):
+        is_nullable = c.validity is not None if nullable is None \
+            else nullable[i]
+        col_lanes = _raw_lanes(c)
+        if c.validity is not None:
+            ok = c.validity
+            col_lanes = [jnp.where(ok, l, 0) for l in col_lanes]
+            lanes.append(ok.astype(jnp.uint32))
+        elif is_nullable:
+            lanes.append(jnp.ones_like(col_lanes[0]))
+        lanes.extend(col_lanes)
+    return jnp.stack(lanes, axis=1)  # (cap, L)
+
+
+def _hash_lanes(lanes: jax.Array, seed: int = 0) -> jax.Array:
+    h = jnp.full((lanes.shape[0],), jnp.uint32(seed ^ 0x9747B28C),
+                 dtype=jnp.uint32)
+    for j in range(lanes.shape[1]):
+        h = _mix32(h, lanes[:, j] ^ jnp.uint32(0x9E3779B9 * (j + 1) &
+                                               0xFFFFFFFF))
+    return _fmix32(h)
+
+
+@jax.tree_util.register_pytree_node_class
+class GrouperState:
+    """Persistent grouping table (pytree).
+
+    table_lanes: (S, L) uint32 — lanes of inserted unique keys
+    table_gid:   (S,) int32   — group id per slot, -1 empty
+    num_groups:  int32 scalar
+    error:       int32 scalar — nonzero => table overflow
+    """
+
+    __slots__ = ("table_lanes", "table_gid", "num_groups", "error")
+
+    def __init__(self, table_lanes, table_gid, num_groups, error):
+        self.table_lanes = table_lanes
+        self.table_gid = table_gid
+        self.num_groups = num_groups
+        self.error = error
+
+    def tree_flatten(self):
+        return ((self.table_lanes, self.table_gid, self.num_groups,
+                 self.error), None)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @property
+    def capacity(self) -> int:
+        return self.table_gid.shape[0]
+
+
+class Grouper:
+    """Static-config grouping engine over fixed-width normalized keys.
+
+    max_groups: static capacity for distinct keys; the probe table is
+    2*max_groups slots (50% max load factor).
+    """
+
+    def __init__(self, key_types: Sequence[dt.DataType],
+                 key_nullable: Sequence[bool],
+                 max_groups: int = 1 << 16):
+        self.key_types = tuple(key_types)
+        self.key_nullable = tuple(key_nullable)
+        self.max_groups = max_groups
+        self.table_size = 1
+        while self.table_size < 2 * max_groups:
+            self.table_size *= 2
+        # lane count is static given types+nullability
+        self.num_lanes = 0
+        for t, nb in zip(self.key_types, self.key_nullable):
+            width = 2 if (t.is_primitive and t.bit_width == 64) else 1
+            if isinstance(t, dt.DictionaryType):
+                width = 1
+            self.num_lanes += width + (1 if nb else 0)
+
+    def init_state(self) -> GrouperState:
+        S = self.table_size
+        return GrouperState(
+            table_lanes=jnp.zeros((S, self.num_lanes), dtype=jnp.uint32),
+            table_gid=jnp.full((S,), -1, dtype=jnp.int32),
+            num_groups=jnp.int32(0),
+            error=jnp.int32(0),
+        )
+
+    # -------------------------------------------------------------------
+    def consume(self, state: GrouperState, keys: Sequence[Array],
+                length=None) -> Tuple[GrouperState, jax.Array]:
+        """Insert key rows; return (new_state, group_ids int32 (capacity,)).
+
+        Padding / filtered-out rows get group_id -1.
+        """
+        cap = keys[0].capacity
+        if length is None:
+            length = keys[0].length
+        lanes = group_key_lanes(keys, self.key_nullable)  # (cap, L)
+        in_range = row_mask(cap, length)
+        return self._consume_lanes(state, lanes, in_range)
+
+    def _consume_lanes(self, state: GrouperState, lanes: jax.Array,
+                       active: jax.Array
+                       ) -> Tuple[GrouperState, jax.Array]:
+        cap, L = lanes.shape
+        S = self.table_size
+        mask_u = jnp.uint32(S - 1)
+        mask_s = jnp.int32(S - 1)
+        h = _hash_lanes(lanes)
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0).reshape(
+            (cap,))
+
+        # loop state: (slot per row, resolved mask, repr table, lane table,
+        #              rounds)
+        # repr: -1 empty, -2 pre-existing group (from prior consume),
+        #       >=0 row id that inserted this round
+        slot0 = (h & mask_u).astype(jnp.int32)
+        resolved0 = ~active
+        repr0 = jnp.where(state.table_gid >= 0, jnp.int32(-2), jnp.int32(-1))
+
+        def cond(carry):
+            _, resolved, _, _, rounds = carry
+            return (~jnp.all(resolved)) & (rounds <= 2 * S)
+
+        def body(carry):
+            slot, resolved, repr_t, lanes_t, rounds = carry
+            unresolved = ~resolved
+            occupied = repr_t[slot] != -1
+            key_eq = jnp.all(lanes_t[slot] == lanes, axis=1)
+            match = unresolved & occupied & key_eq
+            collide = unresolved & occupied & ~key_eq
+            # claim tournament on empty slots
+            want = unresolved & ~occupied
+            claim = jnp.full((S,), _EMPTY, dtype=jnp.int32).at[
+                jnp.where(want, slot, S)].min(
+                jnp.where(want, row_ids, _EMPTY), mode="drop")
+            win = want & (claim[slot] == row_ids)
+            # winners insert their lanes + repr
+            ins_slot = jnp.where(win, slot, S)
+            repr_t = repr_t.at[ins_slot].set(
+                jnp.where(win, row_ids, 0), mode="drop",
+                unique_indices=True)
+            lanes_t = lanes_t.at[ins_slot].set(lanes, mode="drop",
+                                               unique_indices=True)
+            resolved = resolved | match | win
+            # ONLY colliders (occupied, different key) advance; claim losers
+            # retry the same (now occupied) slot next round and match or
+            # collide there — advancing them would insert duplicate keys.
+            slot = jnp.where(collide,
+                             (slot + 1).astype(jnp.int32) & mask_s, slot)
+            return slot, resolved, repr_t, lanes_t, rounds + 1
+
+        slot, resolved, repr_t, lanes_t, rounds = jax.lax.while_loop(
+            cond, body,
+            (slot0, resolved0, repr0, state.table_lanes, jnp.int32(0)))
+
+        # Every resolved row's slot now holds its key. First-appearance
+        # group numbering: inserting rows are those whose slot repr is
+        # their own row id; rank them in row order with a cumsum.
+        is_repr = (repr_t[slot] == row_ids) & active
+        new_rank = jnp.cumsum(is_repr.astype(jnp.int32)) - 1
+        new_count = jnp.where(cap > 0, new_rank[-1] + 1, 0).astype(jnp.int32)
+        gid_of_repr = state.num_groups + new_rank
+        table_gid = state.table_gid.at[
+            jnp.where(is_repr, slot, S)].set(
+            gid_of_repr, mode="drop", unique_indices=True)
+        group_ids = jnp.where(active, table_gid[slot], jnp.int32(-1))
+
+        num_groups = state.num_groups + new_count
+        error = state.error | jnp.int32(
+            jnp.where(num_groups > self.max_groups, 1, 0)) | jnp.int32(
+            jnp.where(jnp.all(resolved), 0, 2))
+        new_state = GrouperState(lanes_t, table_gid, num_groups, error)
+        return new_state, group_ids
+
+    # -------------------------------------------------------------------
+    def uniques_scatter(self, keys: Sequence[Array], group_ids: jax.Array,
+                        uniques: Optional[Sequence[Array]] = None
+                        ) -> List[Array]:
+        """Scatter this batch's key values into per-group unique buffers
+        (GetUniques building block). `uniques` carries buffers from prior
+        consumes; capacity = max_groups."""
+        G = self.max_groups
+        out = []
+        for i, k in enumerate(keys):
+            t = k.type
+            if t.is_varlen:
+                raise NotImplementedError("string uniques via dictionary")
+            pos = jnp.where(group_ids >= 0, group_ids, G)
+            if uniques is None:
+                vals = jnp.zeros((G,) + k.values.shape[1:],
+                                 dtype=k.values.dtype)
+                valid = jnp.zeros((G,), dtype=jnp.bool_)
+            else:
+                vals, valid = uniques[i].values, (
+                    uniques[i].validity if uniques[i].validity is not None
+                    else jnp.ones((G,), dtype=jnp.bool_))
+            vals = vals.at[pos].set(k.values, mode="drop")
+            kv = k.validity if k.validity is not None else \
+                jnp.ones((k.capacity,), dtype=jnp.bool_)
+            valid = valid.at[pos].set(kv, mode="drop")
+            out.append(Array(t, vals, valid,
+                             dictionary=k.dictionary, length=None))
+        return out

@@ -1,0 +1,143 @@
+"""Grouped hash aggregation: Grouper + GroupedAggregators glued together.
+
+Reference: ``GroupByNode`` (``acero/groupby_aggregate_node.cc``; Consume
+:210, Merge :255, Finalize :300) and pyarrow's ``Table.group_by`` →
+``acero._group_by`` path (``python/pyarrow/acero.py:412``).
+
+The engine-side node (arrow_tpu.acero) streams batches through
+``HashAggregate.consume`` (one fused jitted scatter pass per batch) and
+emits ``finalize`` at end-of-stream. The same consume/merge protocol serves
+the distributed combine: per-shard HashAggregate states are merged after an
+all-to-all re-key (arrow_tpu.parallel).
+
+String group keys are dictionary-encoded at ingest (SURVEY.md §7: "most
+kernels operate on dictionary-encoded or padded forms"), so device-side
+keys are always fixed-width.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import datatype as dt
+from ..core.array import Array
+from ..core.batch import Batch
+from ..core.schema import Field, Schema
+from .aggregates import make_grouped_aggregator
+from .grouper import Grouper, GrouperState
+
+__all__ = ["AggregateSpec", "HashAggregate"]
+
+
+@dataclass(frozen=True)
+class AggregateSpec:
+    """One aggregate: (input column or None for count_all, function,
+    options, output field name). Mirrors Arrow's Aggregate struct
+    (``compute/api_aggregate.h``)."""
+    function: str                  # e.g. "sum" or "hash_sum"
+    target: Optional[str] = None   # input column; None for count_all
+    options: object = None
+    name: Optional[str] = None     # output column; default "{target}_{fn}"
+
+    @property
+    def out_name(self) -> str:
+        if self.name:
+            return self.name
+        fn = self.function[5:] if self.function.startswith("hash_") \
+            else self.function
+        return f"{self.target}_{fn}" if self.target else fn
+
+
+class HashAggregate:
+    """Static-config grouped aggregation over a stream of batches."""
+
+    def __init__(self, in_schema: Schema, keys: Sequence[str],
+                 aggs: Sequence[AggregateSpec], max_groups: int = 1 << 16):
+        self.in_schema = in_schema
+        self.keys = tuple(keys)
+        self.aggs = tuple(aggs)
+        self.max_groups = max_groups
+        key_fields = [in_schema.field(k) for k in keys]
+        self.grouper = Grouper(
+            [f.type for f in key_fields],
+            [f.nullable for f in key_fields],
+            max_groups=max_groups,
+        )
+        self._aggregators = []
+        for spec in self.aggs:
+            in_type = in_schema.field(spec.target).type if spec.target \
+                else None
+            self._aggregators.append(make_grouped_aggregator(
+                spec.function, in_type, max_groups, spec.options))
+        # output column order matches pyarrow Table.group_by: keys first,
+        # then aggregates (verified empirically on pyarrow 25)
+        fields = [Field(k, f.type, True)
+                  for k, f in zip(keys, key_fields)]
+        self.key_fields = list(fields)
+        agg_fields = []
+        for spec, agg in zip(self.aggs, self._aggregators):
+            agg_fields.append(Field(spec.out_name, agg.out_type, True))
+        self.out_schema = Schema(tuple(fields + agg_fields))
+
+    # -- state: (grouper_state, tuple(agg_states), tuple(unique key Arrays))
+    def init_state(self):
+        grouper_state = self.grouper.init_state()
+        agg_states = tuple(a.init() for a in self._aggregators)
+        uniques = None
+        return (grouper_state, agg_states, uniques)
+
+    def consume(self, state, batch: Batch):
+        grouper_state, agg_states, uniques = state
+        key_cols = [batch.column(k) for k in self.keys]
+        grouper_state, gids = self.grouper.consume(
+            grouper_state, key_cols, length=batch.length)
+        uniques = tuple(self.grouper.uniques_scatter(
+            key_cols, gids, uniques))
+        new_agg_states = []
+        for spec, agg, st in zip(self.aggs, self._aggregators, agg_states):
+            values = batch.column(spec.target) if spec.target else None
+            new_agg_states.append(agg.consume(st, values, gids))
+        return (grouper_state, tuple(new_agg_states), uniques)
+
+    def merge(self, state, other_state):
+        """Cross-shard combine: feed other's unique keys through our
+        grouper to build the group-id mapping, then Merge each aggregator
+        (the reference's Merge-with-group_id_mapping,
+        ``groupby_aggregate_node.cc:255``)."""
+        grouper_state, agg_states, uniques = state
+        o_grouper_state, o_agg_states, o_uniques = other_state
+        o_count = o_grouper_state.num_groups
+        # other's uniques (capacity = max_groups) are consumed as keys
+        grouper_state, mapping = self.grouper.consume(
+            grouper_state, list(o_uniques), length=o_count)
+        uniques = tuple(self.grouper.uniques_scatter(
+            list(o_uniques), mapping, uniques))
+        new_agg_states = []
+        for agg, st, ost in zip(self._aggregators, agg_states,
+                                o_agg_states):
+            new_agg_states.append(agg.merge(st, ost, mapping))
+        return (grouper_state, tuple(new_agg_states), uniques)
+
+    def finalize(self, state) -> Batch:
+        grouper_state, agg_states, uniques = state
+        n = grouper_state.num_groups
+        arrays = []
+        for u in (uniques or
+                  [Array(f.type, jnp.zeros((self.max_groups,),
+                                           dtype=f.type.storage_np), None)
+                   for f in self.key_fields]):
+            arrays.append(u.with_length(n))
+        for agg, st in zip(self._aggregators, agg_states):
+            arrays.append(agg.finalize(st, n))
+        return Batch(self.out_schema, arrays, n)
+
+    @property
+    def error(self):
+        """Extract deferred error flag from a state (host check)."""
+        def get(state):
+            return state[0].error
+        return get

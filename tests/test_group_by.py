@@ -1,0 +1,265 @@
+"""Grouper + grouped aggregation vs the pyarrow oracle.
+
+Reference test model: NaiveGroupBy cross-check
+(``acero/hash_aggregate_test.cc:166``) — here the oracle is pyarrow's
+Table.group_by itself.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+import arrow_tpu as at
+from arrow_tpu.core.schema import Schema
+from arrow_tpu.ops.grouper import Grouper
+from arrow_tpu.ops.hash_aggregate import AggregateSpec, HashAggregate
+from arrow_tpu.ops.aggregates import CountOptions, VarianceOptions
+
+from oracle import random_numeric_array
+
+
+def run_group_by(pa_table, keys, aggs, max_groups=1 << 12,
+                 batch_rows=None):
+    """Drive HashAggregate over (possibly several) batches; return pyarrow."""
+    tt = at.Table.from_pyarrow(pa_table, max_rows_per_batch=batch_rows)
+    ha = HashAggregate(tt.schema, keys, aggs, max_groups=max_groups)
+    state = ha.init_state()
+    for b in tt.batches:
+        state = ha.consume(state, b)
+    out = ha.finalize(state)
+    assert int(np.asarray(state[0].error)) == 0, "grouper error flag set"
+    return out.to_pyarrow()
+
+
+def assert_group_by_equal(pa_table, keys, aggs, oracle_aggs=None,
+                          rtol=0.0, **kw):
+    """Order-insensitive comparison (sort by keys): Arrow's group output
+    order is an implementation detail — even unthreaded pyarrow is not
+    strictly first-appearance — so like the reference's own tests
+    (AssertExecBatchesEqualIgnoringOrder, hash_join_node_test.cc:3167) we
+    compare contents. Our engine's order (true first-appearance) is pinned
+    separately in test_grouper_first_appearance_order."""
+    got = run_group_by(pa_table, keys, aggs, **kw)
+    expected = pa_table.group_by(keys).aggregate(
+        oracle_aggs if oracle_aggs is not None else
+        [((a.target if a.target else []), a.function, a.options)
+         if a.options is not None else
+         ((a.target if a.target else []), a.function) for a in aggs])
+    sort_keys = [(k, "ascending") for k in keys]
+    got_t = pa.table(got).sort_by(sort_keys)
+    expected = expected.sort_by(sort_keys)
+    if got_t.schema != expected.schema:
+        raise AssertionError(
+            f"schema: got {got_t.schema}, want {expected.schema}")
+    if rtol == 0.0:
+        assert got_t.equals(expected), (
+            f"\ngot: {got_t.to_pydict()}\nwant: {expected.to_pydict()}")
+    else:
+        gd, ed = got_t.to_pydict(), expected.to_pydict()
+        assert list(gd) == list(ed)
+        for c in gd:
+            g, e = gd[c], ed[c]
+            assert len(g) == len(e), c
+            for x, y in zip(g, e):
+                if x is None or y is None:
+                    assert x == y, (c, x, y)
+                elif isinstance(x, float):
+                    assert x == pytest.approx(y, rel=rtol), (c, x, y)
+                else:
+                    assert x == y, (c, x, y)
+
+
+# ---- grouper unit behavior ---------------------------------------------------
+
+def test_grouper_first_appearance_order():
+    t = pa.table({"k": [3, 1, 3, 2, 1, 3]})
+    got = run_group_by(t, ["k"], [AggregateSpec("count_all")])
+    assert got.to_pydict() == {"k": [3, 1, 2], "count_all": [3, 2, 1]}
+
+
+def test_grouper_null_and_negzero_and_nan_keys():
+    t = pa.table({"k": pa.array([0.0, -0.0, float("nan"), float("nan"),
+                                 1.0, None, 0.0]),
+                  "v": [1, 2, 3, 4, 5, 6, 7]})
+    got = run_group_by(t, ["k"], [AggregateSpec("sum", "v")])
+    expected = t.group_by("k").aggregate([("v", "sum")])
+    # Table.equals treats NaN != NaN; compare bit patterns instead
+    gk = np.asarray(got["k"].to_numpy(zero_copy_only=False)).view(np.uint64)
+    ek = np.asarray(expected["k"].to_numpy(
+        zero_copy_only=False)).view(np.uint64)
+    assert gk.tolist() == ek.tolist()
+    assert got["v_sum"].to_pylist() == expected["v_sum"].to_pylist()
+
+
+def test_grouper_multi_key_multi_batch():
+    rng = np.random.default_rng(0)
+    n = 5000
+    t = pa.table({
+        "a": rng.integers(0, 13, n),
+        "b": rng.integers(-3, 3, n).astype(np.int8),
+        "v": rng.standard_normal(n),
+    })
+    assert_group_by_equal(t, ["a", "b"],
+                          [AggregateSpec("count", "v")],
+                          batch_rows=512)
+
+
+def test_grouper_persists_across_consumes():
+    g = Grouper([at.int64], [False], max_groups=64)
+    st = g.init_state()
+    a1 = at.array(np.array([5, 7, 5], dtype=np.int64))
+    a2 = at.array(np.array([7, 9, 5], dtype=np.int64))
+    st, gid1 = g.consume(st, [a1])
+    st, gid2 = g.consume(st, [a2])
+    assert np.asarray(gid1)[:3].tolist() == [0, 1, 0]
+    assert np.asarray(gid2)[:3].tolist() == [1, 2, 0]
+    assert int(st.num_groups) == 3
+
+
+# ---- aggregate functions vs oracle -----------------------------------------
+
+AGG_CASES = [
+    ("sum", {}, 0.0),
+    ("product", {}, 1e-12),
+    ("mean", {}, 1e-12),
+    ("min", {}, 0.0),
+    ("max", {}, 0.0),
+    ("count", {}, 0.0),
+    ("first", {}, 0.0),
+    ("last", {}, 0.0),
+]
+
+
+@pytest.mark.parametrize("fn,opts,rtol", AGG_CASES, ids=lambda c: str(c)[:12])
+@pytest.mark.parametrize("vtype", [pa.int64(), pa.float64(), pa.int32()])
+def test_agg_oracle(rng, fn, opts, rtol, vtype):
+    n = 2000
+    t = pa.table({
+        "k": pa.array(rng.integers(0, 50, n)),
+        "v": random_numeric_array(rng, n, vtype, null_prob=0.25, small=True),
+    })
+    assert_group_by_equal(t, ["k"], [AggregateSpec(fn, "v")], rtol=rtol)
+
+
+def test_agg_bool_any_all(rng):
+    n = 1000
+    t = pa.table({
+        "k": pa.array(rng.integers(0, 20, n)),
+        "v": random_numeric_array(rng, n, pa.bool_(), null_prob=0.3),
+    })
+    assert_group_by_equal(t, ["k"], [AggregateSpec("any", "v"),
+                                     AggregateSpec("all", "v")])
+
+
+def test_agg_variance_stddev(rng):
+    n = 3000
+    t = pa.table({
+        "k": pa.array(rng.integers(0, 30, n)),
+        "v": pa.array(rng.standard_normal(n) * 10),
+    })
+    assert_group_by_equal(
+        t, ["k"],
+        [AggregateSpec("variance", "v", VarianceOptions(ddof=1)),
+         AggregateSpec("stddev", "v", VarianceOptions(ddof=0))],
+        oracle_aggs=[("v", "variance", pc.VarianceOptions(ddof=1)),
+                     ("v", "stddev", pc.VarianceOptions(ddof=0))],
+        rtol=1e-9)
+
+
+def test_agg_count_modes(rng):
+    n = 500
+    t = pa.table({
+        "k": pa.array(rng.integers(0, 10, n)),
+        "v": random_numeric_array(rng, n, pa.int64(), null_prob=0.4),
+    })
+    got = run_group_by(
+        t, ["k"],
+        [AggregateSpec("count", "v", CountOptions("only_valid"),
+                       name="v_count"),
+         AggregateSpec("count", "v", CountOptions("only_null"),
+                       name="n_count"),
+         AggregateSpec("count", "v", CountOptions("all"), name="a_count")])
+    expected = t.group_by("k").aggregate(
+        [("v", "count", pc.CountOptions(mode="only_valid")),
+         ("v", "count", pc.CountOptions(mode="only_null")),
+         ("v", "count", pc.CountOptions(mode="all"))])
+    # pyarrow names all three "v_count"; compare positionally
+    for i in range(4):
+        assert got.column(i).to_pylist() == \
+            expected.column(i).to_pylist(), i
+
+
+def test_agg_all_null_group():
+    t = pa.table({"k": [1, 1, 2], "v": pa.array([None, None, 3],
+                                                type=pa.int64())})
+    assert_group_by_equal(t, ["k"], [AggregateSpec("sum", "v"),
+                                     AggregateSpec("min", "v")])
+
+
+def test_dictionary_string_keys(rng):
+    n = 800
+    words = np.array(["alpha", "beta", "gamma", "delta", "eps"])
+    raw = pa.array(words[rng.integers(0, 5, n)])
+    t_dict = pa.table({"k": raw.dictionary_encode(),
+                       "v": pa.array(rng.integers(0, 100, n))})
+    got = run_group_by(t_dict, ["k"], [AggregateSpec("sum", "v")])
+    # oracle on the decoded table (group_by on dictionary col directly)
+    t_plain = pa.table({"k": raw, "v": t_dict["v"]})
+    expected = t_plain.group_by("k").aggregate([("v", "sum")])
+    got_decoded = pa.table({"k": got["k"].cast(pa.string()),
+                            "v_sum": got["v_sum"]})
+    assert got_decoded.equals(expected)
+
+
+def test_merge_two_states(rng):
+    """Cross-shard combine: split table in half, aggregate separately,
+    merge — must equal single-pass result."""
+    n = 2000
+    t = pa.table({
+        "k": pa.array(rng.integers(0, 40, n)),
+        "v": pa.array(rng.integers(-50, 50, n)),
+    })
+    schema = Schema.from_pyarrow(t.schema)
+    aggs = [AggregateSpec("sum", "v"), AggregateSpec("count", "v"),
+            AggregateSpec("min", "v"), AggregateSpec("max", "v")]
+    ha = HashAggregate(schema, ["k"], aggs, max_groups=256)
+
+    half = n // 2
+    t1, t2 = t.slice(0, half), t.slice(half)
+    s1, s2 = ha.init_state(), ha.init_state()
+    s1 = ha.consume(s1, at.Table.from_pyarrow(t1).batches[0])
+    s2 = ha.consume(s2, at.Table.from_pyarrow(t2).batches[0])
+    merged = ha.merge(s1, s2)
+    got = pa.table(ha.finalize(merged).to_pyarrow())
+
+    expected = t.group_by("k").aggregate(
+        [("v", "sum"), ("v", "count"), ("v", "min"), ("v", "max")])
+    assert got.equals(expected), (
+        f"\ngot: {got.to_pydict()}\nwant: {expected.to_pydict()}")
+
+
+def test_group_by_jit_consume(rng):
+    """The consume path must be jittable (deployment mode)."""
+    import jax
+    n = 512
+    t = pa.table({"k": pa.array(rng.integers(0, 16, n)),
+                  "v": pa.array(rng.integers(0, 100, n))})
+    tt = at.Table.from_pyarrow(t)
+    ha = HashAggregate(tt.schema, ["k"], [AggregateSpec("sum", "v")],
+                       max_groups=64)
+    consume = jax.jit(ha.consume)
+    state = ha.init_state()
+    state = consume(state, tt.batches[0])
+    got = pa.table(ha.finalize(state).to_pyarrow())
+    expected = t.group_by("k").aggregate([("v", "sum")])
+    assert got.equals(expected)
+
+
+def test_high_cardinality_keys(rng):
+    """Many distinct keys (stress the probe loop & first-appearance order)."""
+    n = 4096
+    t = pa.table({"k": pa.array(rng.integers(0, 3000, n)),
+                  "v": pa.array(np.ones(n, dtype=np.int64))})
+    assert_group_by_equal(t, ["k"], [AggregateSpec("sum", "v")],
+                          max_groups=4096)

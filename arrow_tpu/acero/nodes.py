@@ -1,0 +1,327 @@
+"""Exec nodes (reference: the node set in ``cpp/src/arrow/acero/`` —
+source_node.cc, filter_node.cc, project_node.cc, groupby_aggregate_node.cc,
+order_by_node.cc, fetch_node.cc, union_node.cc).
+
+Each node is a pull-based stage: ``batches()`` yields device Batches; the
+per-batch work is a jitted pure function, so stages fuse into single XLA
+programs and recompile only per capacity bucket.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import datatype as dt
+from ..core.array import Array
+from ..core.batch import Batch, Table
+from ..core.schema import Field, Schema
+from ..compute.expressions import execute_scalar_expression
+from ..compute.scalar import Scalar
+from ..ops.concat import concat_batches
+from ..ops.hash_aggregate import HashAggregate
+from ..ops.selection import filter_batch, take_batch
+from ..ops.sorting import SortOptions, sort_indices_batch
+from ..compute.registry import call_function
+from . import options as opts
+
+__all__ = ["ExecNode", "FACTORIES", "register_node_factory", "empty_batch"]
+
+FACTORIES: Dict[str, type] = {}
+
+
+def register_node_factory(name: str):
+    def deco(cls):
+        FACTORIES[name] = cls
+        cls.factory_name = name
+        return cls
+    return deco
+
+
+def empty_batch(schema: Schema, capacity: int = 16) -> Batch:
+    arrays = []
+    for f in schema.fields:
+        t = f.type
+        if t.is_varlen:
+            arrays.append(Array(
+                t, jnp.zeros((16,), dtype=jnp.uint8),
+                jnp.zeros((capacity,), dtype=jnp.bool_) if f.nullable
+                else None,
+                offsets=jnp.zeros((capacity + 1,), dtype=jnp.int32),
+                length=0))
+        elif isinstance(t, dt.DictionaryType):
+            arrays.append(Array(
+                t, jnp.zeros((capacity,), dtype=t.storage_np),
+                jnp.zeros((capacity,), dtype=jnp.bool_) if f.nullable
+                else None,
+                dictionary=empty_batch(
+                    Schema((Field("d", t.value_type, True),)),
+                    capacity).column(0),
+                length=0))
+        else:
+            arrays.append(Array(
+                t, jnp.zeros((capacity,), dtype=t.storage_np),
+                jnp.zeros((capacity,), dtype=jnp.bool_) if f.nullable
+                else None,
+                length=0))
+    return Batch(schema, arrays, 0)
+
+
+class ExecNode:
+    factory_name = "?"
+
+    def __init__(self, options, inputs: Sequence["ExecNode"]):
+        self.options = options
+        self.inputs = list(inputs)
+
+    def output_schema(self) -> Schema:
+        raise NotImplementedError
+
+    def batches(self) -> Iterator[Batch]:
+        raise NotImplementedError
+
+
+@register_node_factory("table_source")
+class TableSourceNode(ExecNode):
+    """``source_node.cc:303`` TableSourceNodeOptions — with morsel slicing
+    to <=max_batch_rows (``SliceAndDeliverMorsel``, source_node.cc:122)."""
+
+    def __init__(self, options: opts.TableSourceNodeOptions, inputs):
+        super().__init__(options, inputs)
+        table = options.table
+        import pyarrow as pa
+        if isinstance(table, (pa.Table,)):
+            table = Table.from_pyarrow(
+                table, max_rows_per_batch=options.max_batch_rows)
+        self.table = table
+
+    def output_schema(self) -> Schema:
+        return self.table.schema
+
+    def batches(self) -> Iterator[Batch]:
+        for i, b in enumerate(self.table.batches):
+            yield b.with_index(i)
+
+
+@register_node_factory("source")
+class SourceNode(ExecNode):
+    def __init__(self, options: opts.SourceNodeOptions, inputs):
+        super().__init__(options, inputs)
+
+    def output_schema(self) -> Schema:
+        return self.options.schema
+
+    def batches(self) -> Iterator[Batch]:
+        for i, b in enumerate(self.options.generator()):
+            yield b.with_index(i)
+
+
+@register_node_factory("filter")
+class FilterNode(ExecNode):
+    """``filter_node.cc:42``: expression -> bool mask -> filter kernel.
+    The mask evaluation and the compaction run in ONE jitted program."""
+
+    def __init__(self, options: opts.FilterNodeOptions, inputs):
+        super().__init__(options, inputs)
+        expr = options.filter_expression
+
+        def run(b: Batch) -> Batch:
+            mask = execute_scalar_expression(expr, b)
+            return filter_batch(b, mask)
+
+        self._run = jax.jit(run)
+
+    def output_schema(self) -> Schema:
+        return self.inputs[0].output_schema()
+
+    def batches(self) -> Iterator[Batch]:
+        for b in self.inputs[0].batches():
+            yield self._run(b).with_index(b.index)
+
+
+@register_node_factory("project")
+class ProjectNode(ExecNode):
+    """``project_node.cc:43``: N expressions per batch, fused in one jit."""
+
+    def __init__(self, options: opts.ProjectNodeOptions, inputs):
+        super().__init__(options, inputs)
+        self.exprs = options.expressions
+        self.names = options.names or [
+            repr(e) for e in self.exprs]
+
+        def run(b: Batch) -> Batch:
+            arrays = []
+            for e in self.exprs:
+                v = execute_scalar_expression(e, b)
+                if isinstance(v, Scalar):
+                    arrays.append(Array(
+                        v.type,
+                        jnp.full((b.capacity,), v.storage_value()),
+                        None if v.is_valid else
+                        jnp.zeros((b.capacity,), dtype=jnp.bool_),
+                        length=b.length))
+                else:
+                    arrays.append(v)
+            fields = tuple(Field(n, a.type, True)
+                           for n, a in zip(self.names, arrays))
+            return Batch(Schema(fields), arrays, b.length, b.index)
+
+        self._run = jax.jit(run)
+        self._out_schema: Optional[Schema] = None
+
+    def output_schema(self) -> Schema:
+        if self._out_schema is None:
+            probe = empty_batch(self.inputs[0].output_schema())
+            out = jax.eval_shape(self._run, probe)
+            self._out_schema = out.schema
+        return self._out_schema
+
+    def batches(self) -> Iterator[Batch]:
+        for b in self.inputs[0].batches():
+            yield self._run(b)
+
+
+@register_node_factory("aggregate")
+class AggregateNode(ExecNode):
+    """``groupby_aggregate_node.cc`` (keyed) / ``scalar_aggregate_node.cc``
+    (no keys). Keyed: streamed HashAggregate consume (jitted) + finalize.
+    Deferred grouper-overflow errors raise at materialization."""
+
+    def __init__(self, options: opts.AggregateNodeOptions, inputs):
+        super().__init__(options, inputs)
+        self._in_schema = self.inputs[0].output_schema()
+        if options.keys:
+            self.ha = HashAggregate(self._in_schema, options.keys,
+                                    options.aggregates,
+                                    max_groups=options.max_groups)
+            self._consume = jax.jit(self.ha.consume)
+        else:
+            self.ha = None
+
+    def output_schema(self) -> Schema:
+        if self.ha is not None:
+            return self.ha.out_schema
+        from ..ops.aggregates import make_grouped_aggregator
+        fields = []
+        for spec in self.options.aggregates:
+            in_type = self._in_schema.field(spec.target).type \
+                if spec.target else None
+            agg = make_grouped_aggregator(spec.function, in_type, 1,
+                                          spec.options)
+            fields.append(Field(spec.out_name, agg.out_type, True))
+        return Schema(tuple(fields))
+
+    def batches(self) -> Iterator[Batch]:
+        if self.ha is not None:
+            state = self.ha.init_state()
+            for b in self.inputs[0].batches():
+                state = self._consume(state, b)
+            err = int(np.asarray(jax.device_get(state[0].error)))
+            if err:
+                raise RuntimeError(
+                    f"aggregate: group table overflow (error={err}); "
+                    f"raise AggregateNodeOptions.max_groups "
+                    f"(currently {self.options.max_groups})")
+            yield self.ha.finalize(state).with_index(0)
+            return
+        # scalar aggregation: accumulate then reduce once
+        accumulated = [b for b in self.inputs[0].batches()]
+        if not accumulated:
+            accumulated = [empty_batch(self._in_schema)]
+        big = concat_batches(accumulated)
+        arrays = []
+        schema = self.output_schema()
+        for spec in self.options.aggregates:
+            fn = spec.function[5:] if spec.function.startswith("hash_") \
+                else spec.function
+            target = big.column(spec.target) if spec.target else None
+            if fn == "count_all":
+                s = Scalar(len(big), dt.int64)
+            else:
+                s = call_function(fn, [target], options=spec.options)
+            t = s.type
+            arrays.append(Array(
+                t, jnp.full((16,), s.storage_value(), dtype=t.storage_np),
+                None if s.is_valid else jnp.zeros((16,), dtype=jnp.bool_),
+                length=1))
+        yield Batch(schema, arrays, 1, 0)
+
+
+@register_node_factory("order_by")
+class OrderByNode(ExecNode):
+    """``order_by_node.cc:45``: accumulate -> SortIndices -> take."""
+
+    def __init__(self, options: opts.OrderByNodeOptions, inputs):
+        super().__init__(options, inputs)
+
+        def run(big: Batch) -> Batch:
+            idx = sort_indices_batch(big, SortOptions(
+                self.options.sort_keys, self.options.null_placement))
+            idx32 = Array(dt.int32, idx.values.astype(jnp.int32), None,
+                          length=idx.length)
+            return take_batch(big, idx32)
+
+        self._run = jax.jit(run)
+
+    def output_schema(self) -> Schema:
+        return self.inputs[0].output_schema()
+
+    def batches(self) -> Iterator[Batch]:
+        accumulated = [b for b in self.inputs[0].batches()]
+        if not accumulated:
+            return
+        big = concat_batches(accumulated) if len(accumulated) > 1 \
+            else accumulated[0]
+        yield self._run(big).with_index(0)
+
+
+@register_node_factory("fetch")
+class FetchNode(ExecNode):
+    """``fetch_node.cc:76``: limit/offset over the (sequenced) stream."""
+
+    def __init__(self, options: opts.FetchNodeOptions, inputs):
+        super().__init__(options, inputs)
+
+    def output_schema(self) -> Schema:
+        return self.inputs[0].output_schema()
+
+    def batches(self) -> Iterator[Batch]:
+        remaining_skip = self.options.offset
+        remaining_take = self.options.count
+        for b in self.inputs[0].batches():
+            if remaining_take <= 0:
+                break
+            n = len(b)  # host sync — fetch is a stream-control node
+            if remaining_skip >= n:
+                remaining_skip -= n
+                continue
+            start = remaining_skip
+            take_n = min(n - start, remaining_take)
+            remaining_skip = 0
+            remaining_take -= take_n
+            idx = jnp.arange(b.capacity, dtype=jnp.int32) + start
+            idx = jnp.minimum(idx, b.capacity - 1)
+            sl = take_batch(b, Array(dt.int32, idx, None, length=take_n))
+            yield sl
+        return
+
+
+@register_node_factory("union")
+class UnionNode(ExecNode):
+    """``union_node.cc:50``: concatenation of input streams."""
+
+    def __init__(self, options, inputs):
+        super().__init__(options, inputs)
+
+    def output_schema(self) -> Schema:
+        return self.inputs[0].output_schema()
+
+    def batches(self) -> Iterator[Batch]:
+        i = 0
+        for inp in self.inputs:
+            for b in inp.batches():
+                yield b.with_index(i)
+                i += 1

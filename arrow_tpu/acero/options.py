@@ -1,0 +1,106 @@
+"""Per-node options (reference: ``cpp/src/arrow/acero/options.h``)."""
+
+from __future__ import annotations
+
+from typing import Callable, Iterable, List, Optional, Sequence, Tuple
+
+from ..compute.expressions import Expression
+from ..ops.hash_aggregate import AggregateSpec
+from ..ops.sorting import SortKey
+
+__all__ = [
+    "ExecNodeOptions", "TableSourceNodeOptions", "SourceNodeOptions",
+    "FilterNodeOptions", "ProjectNodeOptions", "AggregateNodeOptions",
+    "OrderByNodeOptions", "FetchNodeOptions", "UnionNodeOptions",
+    "HashJoinNodeOptions",
+]
+
+
+class ExecNodeOptions:
+    pass
+
+
+class TableSourceNodeOptions(ExecNodeOptions):
+    """Feed an in-memory table (arrow_tpu.Table or pyarrow.Table), sliced
+    into <=max_batch_rows batches (ExecPlan::kMaxBatchSize analog)."""
+
+    def __init__(self, table, max_batch_rows: int = 1 << 15):
+        self.table = table
+        self.max_batch_rows = max_batch_rows
+
+
+class SourceNodeOptions(ExecNodeOptions):
+    """Feed from a generator of Batches (AsyncGenerator<ExecBatch> analog,
+    ``source_node.cc:96``)."""
+
+    def __init__(self, schema, generator: Callable[[], Iterable]):
+        self.schema = schema
+        self.generator = generator
+
+
+class FilterNodeOptions(ExecNodeOptions):
+    def __init__(self, filter_expression: Expression):
+        self.filter_expression = filter_expression
+
+
+class ProjectNodeOptions(ExecNodeOptions):
+    def __init__(self, expressions: Sequence[Expression],
+                 names: Optional[Sequence[str]] = None):
+        self.expressions = list(expressions)
+        self.names = list(names) if names is not None else None
+
+
+class AggregateNodeOptions(ExecNodeOptions):
+    """aggregates: list of AggregateSpec or (function, target, options,
+    name) tuples; keys empty => scalar aggregation."""
+
+    def __init__(self, aggregates: Sequence, keys: Sequence[str] = (),
+                 max_groups: int = 1 << 16):
+        self.aggregates = [
+            a if isinstance(a, AggregateSpec) else AggregateSpec(*a)
+            for a in aggregates]
+        self.keys = list(keys)
+        self.max_groups = max_groups
+
+
+class OrderByNodeOptions(ExecNodeOptions):
+    def __init__(self, sort_keys: Sequence, null_placement: str = "at_end"):
+        self.sort_keys = [k if isinstance(k, SortKey) else SortKey(*k)
+                          for k in sort_keys]
+        self.null_placement = null_placement
+
+
+class FetchNodeOptions(ExecNodeOptions):
+    def __init__(self, offset: int, count: int):
+        self.offset = offset
+        self.count = count
+
+
+class UnionNodeOptions(ExecNodeOptions):
+    pass
+
+
+class HashJoinNodeOptions(ExecNodeOptions):
+    """Reference: ``acero/options.h`` HashJoinNodeOptions."""
+
+    def __init__(self, join_type: str = "inner",
+                 left_keys: Sequence[str] = (),
+                 right_keys: Sequence[str] = (),
+                 left_output: Optional[Sequence[str]] = None,
+                 right_output: Optional[Sequence[str]] = None,
+                 output_suffix_for_left: str = "",
+                 output_suffix_for_right: str = "",
+                 max_build_rows: int = 1 << 20,
+                 fanout_capacity: Optional[int] = None):
+        assert join_type in ("inner", "left outer", "right outer",
+                             "full outer", "left semi", "right semi",
+                             "left anti", "right anti")
+        self.join_type = join_type
+        self.left_keys = list(left_keys)
+        self.right_keys = list(right_keys)
+        self.left_output = list(left_output) if left_output else None
+        self.right_output = list(right_output) if right_output else None
+        self.output_suffix_for_left = output_suffix_for_left
+        self.output_suffix_for_right = output_suffix_for_right
+        self.max_build_rows = max_build_rows
+        self.fanout_capacity = fanout_capacity

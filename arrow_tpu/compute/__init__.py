@@ -16,6 +16,8 @@ from ..ops import scalar_arithmetic  # noqa: F401,E402
 from ..ops import scalar_compare  # noqa: F401,E402
 from ..ops import scalar_cast  # noqa: F401,E402
 from ..ops import selection  # noqa: F401,E402
+from ..ops import sorting  # noqa: F401,E402
+from ..ops import aggregates  # noqa: F401,E402
 from ..ops.scalar_cast import CastOptions  # noqa: F401,E402
 from ..ops.selection import (  # noqa: F401,E402
     FilterOptions, TakeOptions, filter_array, filter_batch, take_array,

@@ -57,8 +57,9 @@ class Function:
     options_class: Optional[type] = None
 
     def call(self, args: Sequence, options=None):
-        args = [a if isinstance(a, (Array, Scalar)) else make_scalar(a)
-                for a in args]
+        from ..core.batch import Batch
+        args = [a if isinstance(a, (Array, Scalar, Batch)) else
+                make_scalar(a) for a in args]
         if self.arity >= 0 and len(args) != self.arity:
             raise ValueError(
                 f"{self.name} expects {self.arity} args, got {len(args)}")

@@ -1,0 +1,347 @@
+"""Sort kernels: sort_indices / rank / select_k / partition_nth.
+
+Reference: ``vector_sort.cc:911`` (SortIndicesMetaFunction),
+``vector_array_sort.cc`` (single-array sorters), the multi-key
+``RadixRecordBatchSorter`` (``vector_sort.cc:391``), null partitioning
+(``vector_sort_internal.h:173-233``).
+
+TPU-native design: Arrow's radix sorter relies on key **normalization to a
+byte-comparable encoding** — we do the same trick but keep whole words:
+every key column becomes one uint64 lane whose unsigned order equals the
+column's sort order (sign-flip for ints, the IEEE bit trick for floats,
+rank-remap for dictionary columns), plus a null lane for null placement and
+a leading padding lane that pushes rows >= length to the very end. The
+composite sort is a single multi-operand stable ``lax.sort`` — XLA's TPU
+sort is the hardware-tuned replacement for the reference's MSB radix +
+stable_sort hybrid.
+
+Semantics matched to Arrow:
+  * stable (equal keys keep input order — reference uses std::stable_sort)
+  * NaN sorts after all numbers (before nulls when at_end) — NaNs
+    canonicalized to one bit pattern
+  * null_placement at_start/at_end applies per batch, independent of
+    ascending/descending (Arrow SortOptions semantics)
+  * dictionary keys sort by decoded value rank (vector_array_sort.cc:179)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+
+from ..core import datatype as dt
+from ..core.array import Array, row_mask
+from ..core.batch import Batch
+from ..compute.registry import Kind, NullHandling, register_function
+
+__all__ = ["SortKey", "SortOptions", "ArraySortOptions", "SelectKOptions",
+           "RankOptions", "PartitionNthOptions", "sort_indices_batch",
+           "sort_indices_array", "sortable_u64"]
+
+
+@dataclass(frozen=True)
+class SortKey:
+    name: str
+    order: str = "ascending"  # ascending | descending
+
+
+class SortOptions:
+    def __init__(self, sort_keys: Sequence, null_placement: str = "at_end"):
+        self.sort_keys = [k if isinstance(k, SortKey) else SortKey(*k)
+                          for k in sort_keys]
+        assert null_placement in ("at_start", "at_end")
+        self.null_placement = null_placement
+
+
+class ArraySortOptions:
+    def __init__(self, order: str = "ascending",
+                 null_placement: str = "at_end"):
+        self.order = order
+        self.null_placement = null_placement
+
+
+class SelectKOptions:
+    def __init__(self, k: int, sort_keys: Sequence):
+        self.k = k
+        self.sort_keys = [x if isinstance(x, SortKey) else SortKey(*x)
+                          for x in sort_keys]
+
+
+class RankOptions:
+    def __init__(self, sort_keys: Sequence = (), null_placement="at_end",
+                 tiebreaker: str = "first"):
+        self.sort_keys = [x if isinstance(x, SortKey) else SortKey(*x)
+                          for x in sort_keys]
+        self.null_placement = null_placement
+        assert tiebreaker in ("min", "max", "first", "dense")
+        self.tiebreaker = tiebreaker
+
+
+class PartitionNthOptions:
+    def __init__(self, pivot: int, null_placement: str = "at_end"):
+        self.pivot = pivot
+        self.null_placement = null_placement
+
+
+# ---- key normalization -----------------------------------------------------
+
+def sortable_u64(a: Array) -> jax.Array:
+    """(capacity,) uint64 whose unsigned ascending order == the column's
+    ascending sort order. Null handling is SEPARATE (null lane)."""
+    t = a.type
+    v = a.values
+    if isinstance(t, dt.DictionaryType):
+        # rank-remap: position of each dictionary value in the sorted
+        # dictionary (nulls in the dictionary sort last, but null slots are
+        # masked by the indices' validity anyway)
+        rank = _dictionary_rank(a.dictionary)
+        idx = jnp.clip(v.astype(jnp.int32), 0, rank.shape[0] - 1)
+        return rank[idx].astype(jnp.uint64)
+    if isinstance(t, dt.BoolType):
+        return v.astype(jnp.uint64)
+    if t.is_floating:
+        if t.bits == 64:
+            bits = jax.lax.bitcast_convert_type(v, jnp.uint64)
+            # canonicalize NaN -> +qNaN so every NaN sorts identically
+            bits = jnp.where(jnp.isnan(v),
+                             jnp.uint64(0x7FF8000000000000), bits)
+            sign = bits >> jnp.uint64(63)
+            return jnp.where(sign == 1, ~bits,
+                             bits | jnp.uint64(1) << jnp.uint64(63))
+        # f16/f32 via f32 bits
+        f32 = v.astype(jnp.float32)
+        bits = jax.lax.bitcast_convert_type(f32, jnp.uint32)
+        bits = jnp.where(jnp.isnan(f32), jnp.uint32(0x7FC00000), bits)
+        sign = bits >> jnp.uint32(31)
+        enc = jnp.where(sign == 1, ~bits, bits | jnp.uint32(0x80000000))
+        return enc.astype(jnp.uint64)
+    if t.is_signed_integer or t.is_temporal or isinstance(t, dt.DecimalType):
+        bits = v.astype(jnp.int64)
+        return (bits.astype(jnp.uint64)) ^ (jnp.uint64(1) << jnp.uint64(63))
+    if t.is_unsigned_integer:
+        return v.astype(jnp.uint64)
+    raise NotImplementedError(f"sort key normalization for {t} "
+                              "(strings: dictionary-encode first)")
+
+
+def _dictionary_rank(dictionary: Array) -> jax.Array:
+    """rank[i] = position of dictionary value i in sorted order."""
+    t = dictionary.type
+    if t.is_varlen:
+        # order strings on device via a host-free trick is future work;
+        # dictionaries are small — rank by first-8-bytes prefix then break
+        # remaining ties via host fallback is avoided: use prefix u64 which
+        # is exact for prefixes; ties beyond 8 bytes use byte-length then
+        # next 8 bytes (24-byte effective prefix).
+        lanes = _string_prefix_lanes(dictionary, nwords=3)
+        n = lanes[0].shape[0]
+        iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).reshape((n,))
+        out = jax.lax.sort(list(lanes) + [iota], num_keys=len(lanes),
+                           is_stable=True)
+        perm = out[-1]
+        rank = jnp.zeros((n,), jnp.int32).at[perm].set(
+            jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).reshape((n,)))
+        return rank
+    keys = sortable_u64(dictionary)
+    n = keys.shape[0]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).reshape((n,))
+    perm = jax.lax.sort([keys, iota], num_keys=1, is_stable=True)[1]
+    rank = jnp.zeros((n,), jnp.int32).at[perm].set(
+        jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).reshape((n,)))
+    return rank
+
+
+def _string_prefix_lanes(a: Array, nwords: int = 3) -> List[jax.Array]:
+    """Big-endian uint64 words of the first 8*nwords bytes (byte order ==
+    lexicographic order), then length as final tiebreak lane."""
+    off = a.offsets
+    n = off.shape[0] - 1
+    data = a.values
+    bcap = max(data.shape[0], 1)
+    lens = off[1:] - off[:-1]
+    lanes = []
+    for w in range(nwords):
+        word = jnp.zeros((n,), dtype=jnp.uint64)
+        for b in range(8):
+            pos = off[:-1] + (8 * w + b)
+            valid = (8 * w + b) < lens
+            byte = jnp.where(valid, data[jnp.clip(pos, 0, bcap - 1)], 0)
+            word = (word << jnp.uint64(8)) | byte.astype(jnp.uint64)
+        lanes.append(word)
+    lanes.append(lens.astype(jnp.uint64))
+    return lanes
+
+
+def _key_lanes(a: Array, order: str, null_placement: str,
+               capacity: int) -> List[jax.Array]:
+    """[null_lane, value_lane] for one sort key."""
+    enc = sortable_u64(a)
+    if order == "descending":
+        enc = ~enc
+    if a.validity is not None:
+        if null_placement == "at_end":
+            null_lane = (~a.validity).astype(jnp.uint8)
+        else:
+            null_lane = a.validity.astype(jnp.uint8)
+        enc = jnp.where(a.validity, enc, 0)
+        return [null_lane, enc]
+    return [jnp.zeros((capacity,), dtype=jnp.uint8), enc]
+
+
+def _composite_sort_perm(columns: Sequence[Array],
+                         orders: Sequence[str],
+                         null_placement: str,
+                         capacity: int, length) -> jax.Array:
+    """Stable multi-key sort permutation (padding rows pushed to end)."""
+    pad_lane = (~row_mask(capacity, length)).astype(jnp.uint8)
+    lanes: List[jax.Array] = [pad_lane]
+    for col, order in zip(columns, orders):
+        lanes.extend(_key_lanes(col, order, null_placement, capacity))
+    iota = jax.lax.broadcasted_iota(jnp.int32, (capacity, 1), 0).reshape(
+        (capacity,))
+    out = jax.lax.sort(lanes + [iota], num_keys=len(lanes), is_stable=True)
+    return out[-1]
+
+
+def sort_indices_array(a: Array, order: str = "ascending",
+                       null_placement: str = "at_end") -> Array:
+    perm = _composite_sort_perm([a], [order], null_placement,
+                                a.capacity, a.length)
+    return Array(dt.uint64, perm.astype(jnp.uint64), None, length=a.length)
+
+
+def sort_indices_batch(b: Batch, options: SortOptions) -> Array:
+    cols = [b.column(k.name) for k in options.sort_keys]
+    orders = [k.order for k in options.sort_keys]
+    perm = _composite_sort_perm(cols, orders, options.null_placement,
+                                b.capacity, b.length)
+    return Array(dt.uint64, perm.astype(jnp.uint64), None, length=b.length)
+
+
+# ---- registry --------------------------------------------------------------
+
+@register_function("sort_indices", Kind.VECTOR, 1,
+                   null_handling=NullHandling.OUTPUT_NOT_NULL,
+                   options_class=SortOptions)
+def _sort_indices(args, options):
+    (x,) = args
+    if isinstance(x, Batch):
+        if options is None:
+            raise ValueError("sort_indices on a batch needs SortOptions")
+        return sort_indices_batch(x, options)
+    if options is not None and options.sort_keys:
+        k = options.sort_keys[0]
+        return sort_indices_array(x, k.order, options.null_placement)
+    return sort_indices_array(x)
+
+
+@register_function("array_sort_indices", Kind.VECTOR, 1,
+                   null_handling=NullHandling.OUTPUT_NOT_NULL,
+                   options_class=ArraySortOptions)
+def _array_sort_indices(args, options):
+    (x,) = args
+    opts = options or ArraySortOptions()
+    return sort_indices_array(x, opts.order, opts.null_placement)
+
+
+@register_function("select_k_unstable", Kind.VECTOR, 1,
+                   null_handling=NullHandling.OUTPUT_NOT_NULL,
+                   options_class=SelectKOptions)
+def _select_k(args, options):
+    """Top-k indices (``vector_select_k.cc``). Arrow's select_k treats
+    nulls as absent (never selected) — we sort with nulls at_end and cut k.
+    Full-sort implementation; a fused lax.top_k path for single keys is a
+    planned optimization."""
+    (x,) = args
+    if options is None:
+        raise ValueError("select_k_unstable needs SelectKOptions")
+    if isinstance(x, Batch):
+        perm_arr = sort_indices_batch(
+            x, SortOptions(options.sort_keys, "at_end"))
+        n = x.length
+    else:
+        k0 = options.sort_keys[0]
+        perm_arr = sort_indices_array(x, k0.order, "at_end")
+        n = x.length
+    k = jnp.minimum(jnp.asarray(options.k, dtype=jnp.int32),
+                    jnp.asarray(n, dtype=jnp.int32))
+    # exclude null rows from the k cut (Arrow semantics)
+    if isinstance(x, Batch):
+        first = x.column(options.sort_keys[0].name)
+        valid_counts = [x.column(kk.name) for kk in options.sort_keys]
+        nv = None
+        for c in valid_counts:
+            if c.validity is not None:
+                nv = c.validity if nv is None else (nv & c.validity)
+        if nv is not None:
+            n_valid = jnp.sum(nv & row_mask(x.capacity, x.length))
+            k = jnp.minimum(k, n_valid.astype(jnp.int32))
+    else:
+        if x.validity is not None:
+            n_valid = jnp.sum(x.present_mask())
+            k = jnp.minimum(k, n_valid.astype(jnp.int32))
+    return perm_arr.with_length(k)
+
+
+@register_function("rank", Kind.VECTOR, 1,
+                   null_handling=NullHandling.OUTPUT_NOT_NULL,
+                   options_class=RankOptions)
+def _rank(args, options):
+    """``vector_rank.cc``: 1-based rank with tiebreakers
+    (min/max/first/dense)."""
+    (x,) = args
+    opts = options or RankOptions()
+    order = opts.sort_keys[0].order if opts.sort_keys else "ascending"
+    a = x if isinstance(x, Array) else x.column(opts.sort_keys[0].name)
+    cap = a.capacity
+    perm = _composite_sort_perm([a], [order], opts.null_placement,
+                                cap, a.length)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0).reshape((cap,))
+    if opts.tiebreaker == "first":
+        rank_sorted = iota + 1
+    else:
+        # group equal keys in sorted order
+        enc = sortable_u64(a)
+        if order == "descending":
+            enc = ~enc
+        sorted_enc = enc[perm]
+        # padding rows must form their own trailing group or the max-rank
+        # scan would leak their garbage keys into the last real group
+        sorted_pad = (~row_mask(cap, a.length))[perm]
+        boundary = (sorted_enc[1:] != sorted_enc[:-1]) | \
+            (sorted_pad[1:] != sorted_pad[:-1])
+        if a.validity is not None:
+            sorted_null = (~a.validity)[perm]
+            boundary = boundary | (sorted_null[1:] != sorted_null[:-1])
+        new_grp = jnp.concatenate([jnp.ones((1,), jnp.bool_), boundary])
+        if opts.tiebreaker == "dense":
+            rank_sorted = jnp.cumsum(new_grp.astype(jnp.int64))
+        elif opts.tiebreaker == "min":
+            grp_start = jnp.where(new_grp, iota, 0)
+            rank_sorted = jax.lax.associative_scan(
+                jnp.maximum, grp_start) + 1
+        else:  # max: position of last element of the tie group
+            rev_is_last = jnp.concatenate([
+                new_grp[1:], jnp.ones((1,), jnp.bool_)])
+            grp_end = jnp.where(rev_is_last, iota, cap + 1)
+            rank_sorted = jax.lax.associative_scan(
+                jnp.minimum, grp_end, reverse=True) + 1
+    ranks = jnp.zeros((cap,), dtype=jnp.uint64).at[perm].set(
+        rank_sorted.astype(jnp.uint64))
+    return Array(dt.uint64, ranks, None, length=a.length)
+
+
+@register_function("partition_nth_indices", Kind.VECTOR, 1,
+                   null_handling=NullHandling.OUTPUT_NOT_NULL,
+                   options_class=PartitionNthOptions)
+def _partition_nth(args, options):
+    """``vector_array_sort.cc:56``: indices such that element N is in its
+    sorted position (we return fully sorted indices — a valid refinement of
+    the partial guarantee)."""
+    (x,) = args
+    return sort_indices_array(x, "ascending",
+                              options.null_placement if options else
+                              "at_end")

@@ -1,0 +1,175 @@
+"""Plan engine tests vs pyarrow.acero / table API oracles
+(reference: pyarrow/tests/test_acero.py style)."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+import arrow_tpu as at
+from arrow_tpu import acero
+from arrow_tpu.acero import (AggregateNodeOptions, AggregateSpec,
+                             Declaration, FetchNodeOptions,
+                             FilterNodeOptions, OrderByNodeOptions,
+                             ProjectNodeOptions, SortKey,
+                             TableSourceNodeOptions, UnionNodeOptions)
+from arrow_tpu.compute.expressions import field, literal
+
+from oracle import random_numeric_array
+
+
+def make_table(rng, n=3000):
+    return pa.table({
+        "k": pa.array(rng.integers(0, 40, n)),
+        "x": random_numeric_array(rng, n, pa.int64(), null_prob=0.15,
+                                  small=True),
+        "y": random_numeric_array(rng, n, pa.float64(), null_prob=0.15),
+    })
+
+
+def test_table_source_roundtrip(rng):
+    t = make_table(rng, 1000)
+    decl = Declaration("table_source", TableSourceNodeOptions(
+        t, max_batch_rows=256))
+    got = decl.to_pyarrow()
+    assert got.equals(t.combine_chunks())
+
+
+def test_filter_node(rng):
+    t = make_table(rng)
+    decl = Declaration.from_sequence([
+        Declaration("table_source", TableSourceNodeOptions(
+            t, max_batch_rows=512)),
+        Declaration("filter", FilterNodeOptions(
+            (field("x") > 5) & field("y").is_valid())),
+    ])
+    got = decl.to_pyarrow()
+    expected = t.filter(pc.and_kleene(pc.greater(t["x"], 5),
+                                      pc.is_valid(t["y"])))
+    assert got.to_pydict() == expected.to_pydict()
+
+
+def test_project_node(rng):
+    t = make_table(rng, 500)
+    decl = Declaration.from_sequence([
+        Declaration("table_source", TableSourceNodeOptions(t)),
+        Declaration("project", ProjectNodeOptions(
+            [field("k"), field("x") * 2 + 1, field("y") / 2.0],
+            ["k", "x2", "y2"])),
+    ])
+    got = decl.to_pyarrow()
+    assert got.column_names == ["k", "x2", "y2"]
+    assert got["x2"].to_pylist() == pc.add(
+        pc.multiply(t["x"], 2), 1).to_pylist()
+
+
+def test_aggregate_node_keyed(rng):
+    t = make_table(rng)
+    got = acero.group_by(t, ["k"], [("sum", "x"), ("mean", "y"),
+                                    ("count_all",)],
+                         max_groups=128).to_pyarrow()
+    expected = t.group_by("k").aggregate([("x", "sum"), ("y", "mean"),
+                                          ([], "count_all")])
+    sort = [("k", "ascending")]
+    g, e = got.sort_by(sort), expected.sort_by(sort)
+    assert g["k"].to_pylist() == e["k"].to_pylist()
+    assert g["x_sum"].to_pylist() == e["x_sum"].to_pylist()
+    assert g["count_all"].to_pylist() == e["count_all"].to_pylist()
+    for a, b in zip(g["y_mean"].to_pylist(), e["y_mean"].to_pylist()):
+        assert (a is None) == (b is None)
+        if a is not None:
+            assert a == pytest.approx(b, rel=1e-12)
+
+
+def test_aggregate_node_scalar(rng):
+    t = make_table(rng, 800)
+    decl = Declaration.from_sequence([
+        Declaration("table_source", TableSourceNodeOptions(
+            t, max_batch_rows=128)),
+        Declaration("aggregate", AggregateNodeOptions(
+            [("sum", "x"), ("min", "y"), ("count", "x"), ("count_all",)])),
+    ])
+    got = decl.to_pyarrow()
+    assert got.num_rows == 1
+    assert got["x_sum"][0].as_py() == pc.sum(t["x"]).as_py()
+    assert got["y_min"][0].as_py() == pc.min(t["y"]).as_py()
+    assert got["x_count"][0].as_py() == pc.count(t["x"]).as_py()
+    assert got["count_all"][0].as_py() == t.num_rows
+
+
+def test_order_by_node(rng):
+    t = make_table(rng, 2000)
+    got = acero.sort_by(t, [("k", "ascending"),
+                            ("y", "descending")]).to_pyarrow()
+    expected = t.sort_by([("k", "ascending"), ("y", "descending")])
+    assert got.to_pydict() == expected.to_pydict()
+
+
+def test_fetch_node(rng):
+    t = make_table(rng, 1000)
+    decl = Declaration.from_sequence([
+        Declaration("table_source", TableSourceNodeOptions(
+            t, max_batch_rows=128)),
+        Declaration("fetch", FetchNodeOptions(offset=300, count=250)),
+    ])
+    got = decl.to_pyarrow()
+    assert got.to_pydict() == t.slice(300, 250).to_pydict()
+
+
+def test_union_node(rng):
+    t1 = make_table(rng, 300)
+    t2 = make_table(rng, 200)
+    decl = Declaration("union", UnionNodeOptions(), [
+        Declaration("table_source", TableSourceNodeOptions(t1)),
+        Declaration("table_source", TableSourceNodeOptions(t2)),
+    ])
+    got = decl.to_pyarrow()
+    expected = pa.concat_tables([t1, t2]).combine_chunks()
+    assert got.to_pydict() == expected.to_pydict()
+
+
+def test_full_pipeline_filter_groupby_sort(rng):
+    """The minimum end-to-end slice (SURVEY.md §7): filter -> hash
+    aggregate -> order_by, vs pyarrow doing the same."""
+    t = make_table(rng, 5000)
+    decl = Declaration.from_sequence([
+        Declaration("table_source", TableSourceNodeOptions(
+            t, max_batch_rows=1024)),
+        Declaration("filter", FilterNodeOptions(field("x") > 0)),
+        Declaration("aggregate", AggregateNodeOptions(
+            [("sum", "x"), ("count", "y")], keys=["k"], max_groups=128)),
+        Declaration("order_by", OrderByNodeOptions([("k", "ascending")])),
+    ])
+    got = decl.to_pyarrow()
+
+    ft = t.filter(pc.greater(t["x"], 0))
+    expected = ft.group_by("k").aggregate(
+        [("x", "sum"), ("y", "count")]).sort_by([("k", "ascending")])
+    assert got.to_pydict() == expected.to_pydict()
+
+
+def test_aggregate_overflow_raises(rng):
+    t = make_table(rng, 2000)
+    decl = Declaration.from_sequence([
+        Declaration("table_source", TableSourceNodeOptions(t)),
+        Declaration("aggregate", AggregateNodeOptions(
+            [("sum", "x")], keys=["x"], max_groups=4)),
+    ])
+    with pytest.raises(RuntimeError, match="overflow"):
+        decl.to_table()
+
+
+def test_unknown_factory():
+    with pytest.raises(KeyError, match="no exec node factory"):
+        Declaration("nonsense", None).to_table()
+
+
+def test_empty_source():
+    t = pa.table({"x": pa.array([], type=pa.int64())})
+    decl = Declaration.from_sequence([
+        Declaration("table_source", TableSourceNodeOptions(t)),
+        Declaration("filter", FilterNodeOptions(field("x") > 0)),
+    ])
+    got = decl.to_pyarrow()
+    assert got.num_rows == 0
+    assert got.schema.names == ["x"]

@@ -1,8 +1,12 @@
 """arrow_tpu.compute — the function registry + kernel API surface.
 
 Plays the role of pyarrow.compute: every registered function is callable as
-``compute.call_function(name, args)`` and the common ones are exposed as
-module-level helpers.
+``compute.call_function(name, args)`` and exposed as a module-level helper.
+
+Import-order note: kernel modules live in ``arrow_tpu.ops`` and import the
+registry from here; to stay cycle-safe this module only *imports the ops
+modules for registration* and resolves their option classes lazily via
+``__getattr__``.
 """
 
 from .registry import (  # noqa: F401
@@ -11,44 +15,59 @@ from .registry import (  # noqa: F401
 )
 from .scalar import Scalar, scalar  # noqa: F401
 
-# Import kernel modules for their registration side effects.
+# Import kernel modules for their registration side effects. When an ops
+# module is itself mid-import (it imported us to reach the registry),
+# importing it here just binds the partial module — fine, registration
+# happens as it finishes.
 from ..ops import scalar_arithmetic  # noqa: F401,E402
 from ..ops import scalar_compare  # noqa: F401,E402
 from ..ops import scalar_cast  # noqa: F401,E402
 from ..ops import selection  # noqa: F401,E402
 from ..ops import sorting  # noqa: F401,E402
 from ..ops import aggregates  # noqa: F401,E402
-from ..ops.scalar_cast import CastOptions  # noqa: F401,E402
-from ..ops.selection import (  # noqa: F401,E402
-    FilterOptions, TakeOptions, filter_array, filter_batch, take_array,
-    take_batch, get_take_indices,
-)
+
+_LAZY = {
+    "CastOptions": "arrow_tpu.ops.scalar_cast",
+    "FilterOptions": "arrow_tpu.ops.selection",
+    "TakeOptions": "arrow_tpu.ops.selection",
+    "filter_array": "arrow_tpu.ops.selection",
+    "filter_batch": "arrow_tpu.ops.selection",
+    "take_array": "arrow_tpu.ops.selection",
+    "take_batch": "arrow_tpu.ops.selection",
+    "get_take_indices": "arrow_tpu.ops.selection",
+    "SortKey": "arrow_tpu.ops.sorting",
+    "SortOptions": "arrow_tpu.ops.sorting",
+    "ArraySortOptions": "arrow_tpu.ops.sorting",
+    "SelectKOptions": "arrow_tpu.ops.sorting",
+    "RankOptions": "arrow_tpu.ops.sorting",
+    "ScalarAggregateOptions": "arrow_tpu.ops.aggregates",
+    "CountOptions": "arrow_tpu.ops.aggregates",
+    "VarianceOptions": "arrow_tpu.ops.aggregates",
+}
 
 
-def _make_wrapper(name):
-    def wrapper(*args, options=None, **kwargs):
-        return call_function(name, list(args), options=options, **kwargs)
-    wrapper.__name__ = name
-    wrapper.__qualname__ = name
-    wrapper.__doc__ = registry.get(name).doc or f"compute function {name!r}"
-    return wrapper
-
-
-def _expose_all():
-    import sys
-    mod = sys.modules[__name__]
-    for name in registry.list_functions():
-        attr = name
-        if not attr.isidentifier():
-            continue
-        if hasattr(mod, attr) and attr not in ("filter", "take", "cast"):
-            continue
-        setattr(mod, attr, _make_wrapper(name))
-
-
-_expose_all()
+def __getattr__(name):
+    if name in _LAZY:
+        import importlib
+        mod = importlib.import_module(_LAZY[name])
+        return getattr(mod, name)
+    fn = registry.get(name) if name in registry else None
+    if fn is not None:
+        def wrapper(*args, options=None, **kwargs):
+            return call_function(name, list(args), options=options,
+                                 **kwargs)
+        wrapper.__name__ = name
+        wrapper.__doc__ = fn.doc or f"compute function {name!r}"
+        return wrapper
+    raise AttributeError(f"module 'arrow_tpu.compute' has no attribute "
+                         f"{name!r}")
 
 
 def cast(arr, target_type, **kwargs):
+    from ..ops.scalar_cast import CastOptions
     return call_function("cast", [arr],
                          options=CastOptions(target_type, **kwargs))
+
+
+def list_functions():
+    return registry.list_functions()

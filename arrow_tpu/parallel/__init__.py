@@ -1,0 +1,3 @@
+"""arrow_tpu.parallel — multi-chip SPMD execution (mesh + shuffle)."""
+from .context import DistContext  # noqa: F401
+from .shuffle import shuffle_batch, partition_for_exchange  # noqa: F401

@@ -39,6 +39,7 @@ import jax.numpy as jnp
 
 from ..core import datatype as dt
 from ..core.array import Array, row_mask
+from .bits import value_lanes32
 from .hashing import _fmix32, _mix32
 
 __all__ = ["Grouper", "GrouperState", "group_key_lanes"]
@@ -47,31 +48,14 @@ _EMPTY = jnp.int32(2147483647)  # claim sentinel (INT32_MAX)
 
 
 def _raw_lanes(a: Array) -> List[jax.Array]:
-    """Key column -> uint32 lanes of the RAW storage bits (bit equality)."""
-    t = a.type
-    v = a.values
-    if isinstance(t, dt.DictionaryType):
-        return [v.astype(jnp.uint32)]
-    if t.is_varlen:
+    """Key column -> uint32 lanes of the raw storage bits (bit equality).
+    Delegates to ops.bits (TPU-safe: no 64-bit bitcasts; f64 handled per
+    platform — see bits.py header)."""
+    if a.type.is_varlen:
         raise NotImplementedError(
             "grouper on raw strings: dictionary-encode first "
             "(the engine does this at ingest)")
-    if isinstance(t, dt.BoolType):
-        return [v.astype(jnp.uint32)]
-    if t.is_floating:
-        if t.bits == 64:
-            bits = jax.lax.bitcast_convert_type(v, jnp.uint64)
-            return [bits.astype(jnp.uint32),
-                    (bits >> jnp.uint64(32)).astype(jnp.uint32)]
-        if t.bits == 16:
-            return [jax.lax.bitcast_convert_type(v, jnp.uint16).astype(
-                jnp.uint32)]
-        return [jax.lax.bitcast_convert_type(v, jnp.uint32)]
-    if t.bit_width == 64:
-        bits = v.astype(jnp.uint64)
-        return [bits.astype(jnp.uint32),
-                (bits >> jnp.uint64(32)).astype(jnp.uint32)]
-    return [v.astype(jnp.uint32)]
+    return value_lanes32(a.values, a.type)
 
 
 def group_key_lanes(columns: Sequence[Array],

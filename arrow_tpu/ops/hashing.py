@@ -33,6 +33,7 @@ import jax.numpy as jnp
 
 from ..core import datatype as dt
 from ..core.array import Array
+from .bits import value_lanes32
 
 __all__ = ["hash32", "hash64", "normalize_keys", "hash_batch_columns",
            "combine_hashes32"]
@@ -72,35 +73,17 @@ def _mix32(h, k):
 
 
 def _word_lanes(a: Array) -> List[jax.Array]:
-    """Normalize one key column to a list of uint32 lanes (LSW first)."""
+    """Normalize one key column to a list of uint32 lanes.
+
+    Must be CONSISTENT with the grouper's equality lanes (equal group keys
+    must produce equal hashes), so it delegates to the same
+    bits.value_lanes32 (raw bits; NaNs canonicalized there)."""
     t = a.type
-    if isinstance(t, dt.DictionaryType):
-        return [a.values.astype(jnp.uint32)]
     if t.is_varlen:
         fp = _string_fingerprint64(a)
         return [fp.astype(jnp.uint32),
                 (fp >> jnp.uint64(32)).astype(jnp.uint32)]
-    v = a.values
-    if isinstance(t, dt.BoolType):
-        return [v.astype(jnp.uint32)]
-    if t.is_floating:
-        # canonicalize -0.0 == +0.0 ; NaNs all hash alike only if same bits
-        v = jnp.where(v == 0, jnp.zeros_like(v), v)
-        if t.bits == 64:
-            bits = jax.lax.bitcast_convert_type(v, jnp.uint64)
-            return [bits.astype(jnp.uint32),
-                    (bits >> jnp.uint64(32)).astype(jnp.uint32)]
-        if t.bits == 16:
-            return [jax.lax.bitcast_convert_type(v, jnp.uint16).astype(
-                jnp.uint32)]
-        return [jax.lax.bitcast_convert_type(v, jnp.uint32)]
-    if t.is_integer or t.is_temporal or isinstance(t, dt.DecimalType):
-        if t.bit_width == 64:
-            bits = v.astype(jnp.uint64)
-            return [bits.astype(jnp.uint32),
-                    (bits >> jnp.uint64(32)).astype(jnp.uint32)]
-        return [v.astype(jnp.uint32)]
-    raise NotImplementedError(f"hashing of {t}")
+    return value_lanes32(a.values, t)
 
 
 def _string_fingerprint64(a: Array) -> jax.Array:
@@ -164,6 +147,10 @@ def hash32(columns: Sequence[Array],
     col_seed = 0x9E3779B9
     for ci, c in enumerate(columns):
         for lane in _word_lanes(c):
+            if c.validity is not None:
+                # zero null rows' value bits: all nulls must hash alike or
+                # a shuffle would split the null group across shards
+                lane = jnp.where(c.validity, lane, jnp.uint32(0))
             h = _mix32(h, lane ^ jnp.uint32((col_seed * (ci + 1)) &
                                             0xFFFFFFFF))
         if c.validity is not None:

@@ -50,20 +50,12 @@ class TakeOptions:
         self.boundscheck = boundscheck  # no data-dependent errors on TPU
 
 
-def get_take_indices(mask: Array,
-                     null_selection: str = FilterOptions.DROP) -> Array:
-    """Filter mask -> int32 take indices (dynamic length).
-
-    DROP: selected = valid & true. EMIT_NULL: null mask slots are selected
-    too but yield a null index (validity=False) so takes produce null rows.
-    """
+def _selection_mask(mask: Array, null_selection: str):
+    """(selected bool (capacity,), emit_valid bool or None, out_len)."""
     cap = mask.capacity
     mvals = mask.values.astype(jnp.bool_)
     in_range = row_mask(cap, mask.length)
-    if mask.validity is not None:
-        mvalid = mask.validity
-    else:
-        mvalid = None
+    mvalid = mask.validity
 
     if null_selection == FilterOptions.DROP or mvalid is None:
         sel = mvals if mvalid is None else (mvals & mvalid)
@@ -72,15 +64,41 @@ def get_take_indices(mask: Array,
     else:
         is_null = (~mvalid) & in_range
         sel = ((mvals & mvalid) | is_null) & in_range
-        emit_valid = mvalid  # selected-and-null -> invalid index
+        emit_valid = mvalid  # selected-and-null -> null output row
+    out_len = jnp.sum(sel.astype(jnp.int32))
+    return sel, emit_valid, out_len
+
+
+def _use_sort_compaction() -> bool:
+    """Element scatters/gathers run ~1000x below bandwidth on TPU; a
+    1-bit-key multi-payload stable sort is ~13x faster there (measured).
+    On CPU the O(N) scatter path wins."""
+    return jax.default_backend() == "tpu"
+
+
+def get_take_indices(mask: Array,
+                     null_selection: str = FilterOptions.DROP) -> Array:
+    """Filter mask -> int32 take indices (dynamic length).
+
+    DROP: selected = valid & true. EMIT_NULL: null mask slots are selected
+    too but yield a null index (validity=False) so takes produce null rows.
+    """
+    cap = mask.capacity
+    sel, emit_valid, out_len = _selection_mask(mask, null_selection)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0).reshape((cap,))
+
+    if _use_sort_compaction():
+        key = (~sel).astype(jnp.uint8)
+        ops = [key, iota] + ([emit_valid] if emit_valid is not None else [])
+        out = jax.lax.sort(ops, num_keys=1, is_stable=True)
+        indices = out[1]
+        validity = out[2] if emit_valid is not None else None
+        return Array(dt.int32, indices, validity, length=out_len)
 
     positions = jnp.cumsum(sel.astype(jnp.int32)) - 1
-    out_len = jnp.where(cap > 0, positions[-1] + 1, 0).astype(jnp.int32)
-    iota = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0).reshape((cap,))
     scatter_pos = jnp.where(sel, positions, cap)  # cap -> dropped
     indices = jnp.zeros((cap,), dtype=jnp.int32).at[scatter_pos].set(
         iota, mode="drop", unique_indices=True)
-
     validity = None
     if emit_valid is not None:
         validity = jnp.ones((cap,), dtype=jnp.bool_).at[scatter_pos].set(
@@ -159,6 +177,12 @@ def _take_varlen(values: Array, idx: jax.Array, indices: Array, out_len):
 def filter_array(values: Array, mask: Array,
                  options: Optional[FilterOptions] = None) -> Array:
     opts = options or FilterOptions()
+    if _use_sort_compaction():
+        from ..core.schema import Field, Schema
+        tmp = Batch(Schema((Field("v", values.type, True),)), [values],
+                    values.length)
+        return _filter_batch_sorted(
+            tmp, mask, opts.null_selection_behavior).column(0)
     indices = get_take_indices(mask, opts.null_selection_behavior)
     return take_array(values, indices)
 
@@ -168,9 +192,68 @@ def take_batch(b: Batch, indices: Array) -> Batch:
     return Batch(b.schema, arrays, indices.length, b.index)
 
 
+def _filter_batch_sorted(b: Batch, mask: Array,
+                         null_selection: str) -> Batch:
+    """TPU fast path: ONE multi-payload 1-bit-key stable sort compacts
+    every fixed-width column (values + validity) directly — no random
+    scatters/gathers. Varlen columns ride a take through the iota payload.
+    """
+    cap = b.capacity
+    sel, emit_valid, out_len = _selection_mask(mask, null_selection)
+    key = (~sel).astype(jnp.uint8)
+
+    payloads = []
+    layout = []  # (col_idx, kind)
+    any_varlen = False
+    for i in range(b.num_columns):
+        a = b.column(i)
+        if a.type.is_varlen:
+            any_varlen = True
+            continue
+        payloads.append(a.values)
+        layout.append((i, "values"))
+        validity = a.validity
+        if validity is not None or emit_valid is not None:
+            v = validity if validity is not None else \
+                jnp.ones((cap,), dtype=jnp.bool_)
+            if emit_valid is not None:
+                v = v & emit_valid
+            payloads.append(v)
+            layout.append((i, "validity"))
+    iota = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0).reshape((cap,))
+    need_iota = any_varlen
+    if need_iota:
+        payloads.append(iota)
+        layout.append((-1, "iota"))
+        if emit_valid is not None:
+            payloads.append(emit_valid)
+            layout.append((-1, "emit_valid"))
+
+    out = jax.lax.sort([key] + payloads, num_keys=1, is_stable=True)[1:]
+    results = {}
+    for o, (ci, kind) in zip(out, layout):
+        results[(ci, kind)] = o
+
+    arrays = []
+    for i in range(b.num_columns):
+        a = b.column(i)
+        if a.type.is_varlen:
+            idx_arr = Array(dt.int32, results[(-1, "iota")],
+                            results.get((-1, "emit_valid")),
+                            length=out_len)
+            arrays.append(take_array(a, idx_arr))
+            continue
+        validity = results.get((i, "validity"))
+        arrays.append(Array(a.type, results[(i, "values")], validity,
+                            dictionary=a.dictionary, length=out_len))
+    return Batch(b.schema, arrays, out_len, b.index)
+
+
 def filter_batch(b: Batch, mask: Array,
                  options: Optional[FilterOptions] = None) -> Batch:
     opts = options or FilterOptions()
+    if _use_sort_compaction():
+        return _filter_batch_sorted(b, mask, opts.null_selection_behavior)
     indices = get_take_indices(mask, opts.null_selection_behavior)
     return take_batch(b, indices)
 

@@ -34,12 +34,13 @@ import jax.numpy as jnp
 
 from ..core import datatype as dt
 from ..core.array import Array, row_mask
+from .bits import ascending_lanes32
 from ..core.batch import Batch
 from ..compute.registry import Kind, NullHandling, register_function
 
 __all__ = ["SortKey", "SortOptions", "ArraySortOptions", "SelectKOptions",
            "RankOptions", "PartitionNthOptions", "sort_indices_batch",
-           "sort_indices_array", "sortable_u64"]
+           "sort_indices_array", "sortable_lanes"]
 
 
 @dataclass(frozen=True)
@@ -88,9 +89,12 @@ class PartitionNthOptions:
 
 # ---- key normalization -----------------------------------------------------
 
-def sortable_u64(a: Array) -> jax.Array:
-    """(capacity,) uint64 whose unsigned ascending order == the column's
-    ascending sort order. Null handling is SEPARATE (null lane)."""
+def sortable_lanes(a: Array) -> List[jax.Array]:
+    """uint32 lanes whose lexicographic unsigned order == the column's
+    ascending sort order. Null handling is SEPARATE (null lane).
+
+    64-bit bitcasts don't compile on TPU and f64 is stored double-float
+    there, so all normalization goes through ops.bits (platform-aware)."""
     t = a.type
     v = a.values
     if isinstance(t, dt.DictionaryType):
@@ -99,32 +103,11 @@ def sortable_u64(a: Array) -> jax.Array:
         # masked by the indices' validity anyway)
         rank = _dictionary_rank(a.dictionary)
         idx = jnp.clip(v.astype(jnp.int32), 0, rank.shape[0] - 1)
-        return rank[idx].astype(jnp.uint64)
-    if isinstance(t, dt.BoolType):
-        return v.astype(jnp.uint64)
-    if t.is_floating:
-        if t.bits == 64:
-            bits = jax.lax.bitcast_convert_type(v, jnp.uint64)
-            # canonicalize NaN -> +qNaN so every NaN sorts identically
-            bits = jnp.where(jnp.isnan(v),
-                             jnp.uint64(0x7FF8000000000000), bits)
-            sign = bits >> jnp.uint64(63)
-            return jnp.where(sign == 1, ~bits,
-                             bits | jnp.uint64(1) << jnp.uint64(63))
-        # f16/f32 via f32 bits
-        f32 = v.astype(jnp.float32)
-        bits = jax.lax.bitcast_convert_type(f32, jnp.uint32)
-        bits = jnp.where(jnp.isnan(f32), jnp.uint32(0x7FC00000), bits)
-        sign = bits >> jnp.uint32(31)
-        enc = jnp.where(sign == 1, ~bits, bits | jnp.uint32(0x80000000))
-        return enc.astype(jnp.uint64)
-    if t.is_signed_integer or t.is_temporal or isinstance(t, dt.DecimalType):
-        bits = v.astype(jnp.int64)
-        return (bits.astype(jnp.uint64)) ^ (jnp.uint64(1) << jnp.uint64(63))
-    if t.is_unsigned_integer:
-        return v.astype(jnp.uint64)
-    raise NotImplementedError(f"sort key normalization for {t} "
-                              "(strings: dictionary-encode first)")
+        return [rank[idx].astype(jnp.uint32)]
+    if t.is_varlen:
+        raise NotImplementedError(f"sort key normalization for {t} "
+                                  "(strings: dictionary-encode first)")
+    return ascending_lanes32(v, t)
 
 
 def _dictionary_rank(dictionary: Array) -> jax.Array:
@@ -137,18 +120,13 @@ def _dictionary_rank(dictionary: Array) -> jax.Array:
         # is exact for prefixes; ties beyond 8 bytes use byte-length then
         # next 8 bytes (24-byte effective prefix).
         lanes = _string_prefix_lanes(dictionary, nwords=3)
-        n = lanes[0].shape[0]
-        iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).reshape((n,))
-        out = jax.lax.sort(list(lanes) + [iota], num_keys=len(lanes),
-                           is_stable=True)
-        perm = out[-1]
-        rank = jnp.zeros((n,), jnp.int32).at[perm].set(
-            jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).reshape((n,)))
-        return rank
-    keys = sortable_u64(dictionary)
-    n = keys.shape[0]
+    else:
+        lanes = sortable_lanes(dictionary)
+    n = lanes[0].shape[0]
     iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).reshape((n,))
-    perm = jax.lax.sort([keys, iota], num_keys=1, is_stable=True)[1]
+    out = jax.lax.sort(list(lanes) + [iota], num_keys=len(lanes),
+                       is_stable=True)
+    perm = out[-1]
     rank = jnp.zeros((n,), jnp.int32).at[perm].set(
         jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).reshape((n,)))
     return rank
@@ -177,18 +155,18 @@ def _string_prefix_lanes(a: Array, nwords: int = 3) -> List[jax.Array]:
 
 def _key_lanes(a: Array, order: str, null_placement: str,
                capacity: int) -> List[jax.Array]:
-    """[null_lane, value_lane] for one sort key."""
-    enc = sortable_u64(a)
+    """[null_lane, value_lanes...] for one sort key."""
+    lanes = sortable_lanes(a)
     if order == "descending":
-        enc = ~enc
+        lanes = [~l for l in lanes]
     if a.validity is not None:
         if null_placement == "at_end":
             null_lane = (~a.validity).astype(jnp.uint8)
         else:
             null_lane = a.validity.astype(jnp.uint8)
-        enc = jnp.where(a.validity, enc, 0)
-        return [null_lane, enc]
-    return [jnp.zeros((capacity,), dtype=jnp.uint8), enc]
+        lanes = [jnp.where(a.validity, l, 0) for l in lanes]
+        return [null_lane] + lanes
+    return [jnp.zeros((capacity,), dtype=jnp.uint8)] + lanes
 
 
 def _composite_sort_perm(columns: Sequence[Array],
@@ -304,15 +282,14 @@ def _rank(args, options):
         rank_sorted = iota + 1
     else:
         # group equal keys in sorted order
-        enc = sortable_u64(a)
-        if order == "descending":
-            enc = ~enc
-        sorted_enc = enc[perm]
+        lanes = sortable_lanes(a)
         # padding rows must form their own trailing group or the max-rank
         # scan would leak their garbage keys into the last real group
         sorted_pad = (~row_mask(cap, a.length))[perm]
-        boundary = (sorted_enc[1:] != sorted_enc[:-1]) | \
-            (sorted_pad[1:] != sorted_pad[:-1])
+        boundary = sorted_pad[1:] != sorted_pad[:-1]
+        for l in lanes:
+            sl = l[perm]
+            boundary = boundary | (sl[1:] != sl[:-1])
         if a.validity is not None:
             sorted_null = (~a.validity)[perm]
             boundary = boundary | (sorted_null[1:] != sorted_null[:-1])

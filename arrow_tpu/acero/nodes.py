@@ -309,6 +309,47 @@ class FetchNode(ExecNode):
         return
 
 
+@register_node_factory("hashjoin")
+class HashJoinNode(ExecNode):
+    """``hash_join_node.cc:700``: inputs[0]=probe (left), inputs[1]=build
+    (right). Build side accumulates + builds once; probe batches stream
+    through a jitted probe; right/full-outer trailing rows emit at end."""
+
+    def __init__(self, options: opts.HashJoinNodeOptions, inputs):
+        super().__init__(options, inputs)
+        from ..ops.join import HashJoin
+        self.join = HashJoin(inputs[0].output_schema(),
+                             inputs[1].output_schema(), options)
+        self._build = jax.jit(self.join.build)
+        self._probe = jax.jit(self.join.probe)
+        self._finish = jax.jit(self.join.finish)
+
+    def output_schema(self) -> Schema:
+        return self.join.out_schema
+
+    def batches(self) -> Iterator[Batch]:
+        build_batches = [b for b in self.inputs[1].batches()]
+        if not build_batches:
+            build_batches = [empty_batch(self.inputs[1].output_schema())]
+        big = concat_batches(build_batches) if len(build_batches) > 1 \
+            else build_batches[0]
+        bs = self._build(big)
+        i = 0
+        for b in self.inputs[0].batches():
+            out, bs = self._probe(bs, b)
+            if out is not None:
+                yield out.with_index(i)
+                i += 1
+        err = int(np.asarray(jax.device_get(bs.error)))
+        if err:
+            raise RuntimeError(
+                f"hashjoin overflow (error={err}): raise max_build_rows/"
+                "fanout_capacity in HashJoinNodeOptions")
+        tail = self._finish(bs)
+        if tail is not None:
+            yield tail.with_index(i)
+
+
 @register_node_factory("union")
 class UnionNode(ExecNode):
     """``union_node.cc:50``: concatenation of input streams."""

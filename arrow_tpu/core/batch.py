@@ -179,6 +179,47 @@ class Table:
         from .interop import table_from_pyarrow
         return table_from_pyarrow(pa_table, max_rows_per_batch, capacity)
 
+    # ---- pyarrow.Table-parity query methods (route through acero, like
+    # pyarrow's Table.group_by/join/sort_by do: python/pyarrow/acero.py) ---
+    def group_by(self, keys, aggregations, max_groups: int = 1 << 16
+                 ) -> "Table":
+        from ..acero import group_by as _gb
+        if isinstance(keys, str):
+            keys = [keys]
+        aggs = [(a[1], a[0]) if isinstance(a, tuple) and len(a) == 2
+                and not callable(a[0]) else a for a in aggregations]
+        return _gb(self, keys, aggs, max_groups=max_groups)
+
+    def sort_by(self, sorting) -> "Table":
+        from ..acero import sort_by as _sb
+        if isinstance(sorting, str):
+            sorting = [(sorting, "ascending")]
+        return _sb(self, sorting)
+
+    def filter(self, expression) -> "Table":
+        from ..acero import filter_table as _ft
+        return _ft(self, expression)
+
+    def join(self, right: "Table", keys, right_keys=None,
+             join_type: str = "left outer",
+             left_suffix: str = "", right_suffix: str = "",
+             **kw) -> "Table":
+        from ..acero import (Declaration, HashJoinNodeOptions,
+                             TableSourceNodeOptions)
+        if isinstance(keys, str):
+            keys = [keys]
+        right_keys = right_keys or keys
+        if isinstance(right_keys, str):
+            right_keys = [right_keys]
+        decl = Declaration("hashjoin", HashJoinNodeOptions(
+            join_type, keys, right_keys,
+            output_suffix_for_left=left_suffix,
+            output_suffix_for_right=right_suffix, **kw), [
+            Declaration("table_source", TableSourceNodeOptions(self)),
+            Declaration("table_source", TableSourceNodeOptions(right)),
+        ])
+        return decl.to_table()
+
     def __repr__(self) -> str:
         return (f"Table(rows={self.num_rows}, batches={len(self.batches)}, "
                 f"cols={list(self.schema.names)})")

@@ -152,16 +152,21 @@ class Grouper:
 
     # -------------------------------------------------------------------
     def consume(self, state: GrouperState, keys: Sequence[Array],
-                length=None) -> Tuple[GrouperState, jax.Array]:
+                length=None, active=None
+                ) -> Tuple[GrouperState, jax.Array]:
         """Insert key rows; return (new_state, group_ids int32 (capacity,)).
 
-        Padding / filtered-out rows get group_id -1.
+        Padding / filtered-out / inactive rows get group_id -1. ``active``
+        lets callers exclude rows (e.g. the join build excludes null keys —
+        join keys never match on null, unlike group_by).
         """
         cap = keys[0].capacity
         if length is None:
             length = keys[0].length
         lanes = group_key_lanes(keys, self.key_nullable)  # (cap, L)
         in_range = row_mask(cap, length)
+        if active is not None:
+            in_range = in_range & active
         return self._consume_lanes(state, lanes, in_range)
 
     def _consume_lanes(self, state: GrouperState, lanes: jax.Array,
@@ -237,6 +242,50 @@ class Grouper:
             jnp.where(jnp.all(resolved), 0, 2))
         new_state = GrouperState(lanes_t, table_gid, num_groups, error)
         return new_state, group_ids
+
+    # -------------------------------------------------------------------
+    def lookup(self, state: GrouperState, keys: Sequence[Array],
+               length=None, active: Optional[jax.Array] = None
+               ) -> jax.Array:
+        """Find-only probe (no inserts): group id per row, -1 on miss.
+
+        The role of SwissTable::find (``key_map_internal.h:63``): hash ->
+        walk the probe chain comparing lanes; an empty slot along the chain
+        proves absence (linear-probing invariant — slots never empty out).
+        `active=False` rows (padding, null join keys) return -1.
+        """
+        cap = keys[0].capacity
+        if length is None:
+            length = keys[0].length
+        lanes = group_key_lanes(keys, self.key_nullable)
+        act = row_mask(cap, length)
+        if active is not None:
+            act = act & active
+        S = self.table_size
+        mask_u = jnp.uint32(S - 1)
+        h = _hash_lanes(lanes)
+        slot0 = (h & mask_u).astype(jnp.int32)
+        gid0 = jnp.full((cap,), -1, dtype=jnp.int32)
+
+        def cond(carry):
+            _, done, _, rounds = carry
+            return (~jnp.all(done)) & (rounds <= S)
+
+        def body(carry):
+            slot, done, gid, rounds = carry
+            occupied = state.table_gid[slot] >= 0
+            key_eq = jnp.all(state.table_lanes[slot] == lanes, axis=1)
+            hit = ~done & occupied & key_eq
+            miss = ~done & ~occupied
+            gid = jnp.where(hit, state.table_gid[slot], gid)
+            done = done | hit | miss
+            slot = jnp.where(done, slot,
+                             (slot + 1).astype(jnp.int32) & (S - 1))
+            return slot, done, gid, rounds + 1
+
+        _, _, gid, _ = jax.lax.while_loop(
+            cond, body, (slot0, ~act, gid0, jnp.int32(0)))
+        return gid
 
     # -------------------------------------------------------------------
     def uniques_scatter(self, keys: Sequence[Array], group_ids: jax.Array,

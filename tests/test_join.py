@@ -1,0 +1,167 @@
+"""Hash join vs the pyarrow.acero oracle.
+
+Reference test model: randomized schemas/keys/null-ratios compared
+order-insensitively (hash_join_node_test.cc:252-390, 3167)."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.acero as pac
+import pytest
+
+import arrow_tpu as at
+from arrow_tpu.acero import (Declaration, HashJoinNodeOptions,
+                             TableSourceNodeOptions)
+
+from oracle import random_numeric_array
+
+JOIN_TYPES = ["inner", "left outer", "right outer", "full outer",
+              "left semi", "right semi", "left anti", "right anti"]
+
+
+def run_join(left, right, join_type, left_keys, right_keys,
+             max_build_rows=1 << 12, batch_rows=None, **opt_kw):
+    decl = Declaration("hashjoin", HashJoinNodeOptions(
+        join_type, left_keys, right_keys, max_build_rows=max_build_rows,
+        **opt_kw), [
+        Declaration("table_source", TableSourceNodeOptions(
+            left, max_batch_rows=batch_rows or (1 << 15))),
+        Declaration("table_source", TableSourceNodeOptions(right)),
+    ])
+    return decl.to_pyarrow()
+
+
+def oracle_join(left, right, join_type, left_keys, right_keys):
+    decl = pac.Declaration("hashjoin", pac.HashJoinNodeOptions(
+        join_type, left_keys, right_keys), [
+        pac.Declaration("table_source", pac.TableSourceNodeOptions(left)),
+        pac.Declaration("table_source", pac.TableSourceNodeOptions(right)),
+    ])
+    return decl.to_table()
+
+
+def assert_join_equal(got, expected, msg=""):
+    """Order-insensitive comparison (join output order is unspecified)."""
+    got = pa.table(got) if not isinstance(got, pa.Table) else got
+    assert got.schema.names == expected.schema.names, \
+        (got.schema, expected.schema)
+    assert got.num_rows == expected.num_rows, \
+        f"{msg}: rows {got.num_rows} != {expected.num_rows}"
+    # join outputs may repeat column names (both key columns) — make
+    # unique positional names before sort_by
+    uniq = [f"c{i}" for i in range(got.num_columns)]
+    got = got.rename_columns(uniq)
+    expected = expected.rename_columns(uniq)
+    sort_keys = [(n, "ascending") for n in uniq]
+    g = got.sort_by(sort_keys).to_pydict()
+    e = expected.sort_by(sort_keys).to_pydict()
+    assert g == e, f"{msg}:\ngot {g}\nwant {e}"
+
+
+def make_tables(rng, nl=500, nr=200, kmax=50, null_prob=0.1):
+    left = pa.table({
+        "k": random_numeric_array(rng, nl, pa.int64(), null_prob=null_prob,
+                                  small=True),
+        "lv": pa.array(np.arange(nl)),
+    })
+    right = pa.table({
+        "k": random_numeric_array(rng, nr, pa.int64(), null_prob=null_prob,
+                                  small=True),
+        "rv": pa.array(np.arange(nr) * 10),
+    })
+    return left, right
+
+
+@pytest.mark.parametrize("join_type", JOIN_TYPES)
+def test_join_types_oracle(rng, join_type):
+    left, right = make_tables(rng)
+    got = run_join(left, right, join_type, ["k"], ["k"],
+                   output_suffix_for_left="_l", output_suffix_for_right="_r",
+                   fanout_capacity=1 << 15)
+    expected = oracle_join(left, right, join_type, ["k"], ["k"])
+    # acero oracle uses no suffixes for semi/anti (single side); align names
+    got = got.rename_columns(expected.schema.names)
+    assert_join_equal(got, expected, msg=join_type)
+
+
+def test_join_duplicate_build_keys(rng):
+    left = pa.table({"k": [1, 2, 3, 2], "lv": [10, 20, 30, 40]})
+    right = pa.table({"k": [2, 2, 2, 5], "rv": [1, 2, 3, 4]})
+    got = run_join(left, right, "inner", ["k"], ["k"],
+                   output_suffix_for_left="_l", output_suffix_for_right="_r",
+                   fanout_capacity=64)
+    expected = oracle_join(left, right, "inner", ["k"], ["k"])
+    got = got.rename_columns(expected.schema.names)
+    assert_join_equal(got, expected, msg="dup keys")
+    assert got.num_rows == 6  # two probe rows x three build rows
+
+
+def test_join_null_keys_never_match():
+    left = pa.table({"k": pa.array([1, None, 3]), "lv": [1, 2, 3]})
+    right = pa.table({"k": pa.array([None, 3]), "rv": [10, 30]})
+    got = run_join(left, right, "inner", ["k"], ["k"],
+                   output_suffix_for_left="_l", output_suffix_for_right="_r")
+    expected = oracle_join(left, right, "inner", ["k"], ["k"])
+    got = got.rename_columns(expected.schema.names)
+    assert_join_equal(got, expected, msg="null keys")
+    assert got.num_rows == 1
+
+
+def test_join_multi_key(rng):
+    nl, nr = 400, 300
+    left = pa.table({
+        "a": pa.array(rng.integers(0, 8, nl)),
+        "b": pa.array(rng.integers(0, 8, nl).astype(np.int32)),
+        "lv": pa.array(np.arange(nl)),
+    })
+    right = pa.table({
+        "a": pa.array(rng.integers(0, 8, nr)),
+        "b": pa.array(rng.integers(0, 8, nr).astype(np.int32)),
+        "rv": pa.array(np.arange(nr)),
+    })
+    got = run_join(left, right, "inner", ["a", "b"], ["a", "b"],
+                   output_suffix_for_left="_l", output_suffix_for_right="_r",
+                   fanout_capacity=1 << 15)
+    expected = oracle_join(left, right, "inner", ["a", "b"], ["a", "b"])
+    got = got.rename_columns(expected.schema.names)
+    assert_join_equal(got, expected, msg="multi key")
+
+
+def test_join_streamed_probe_batches(rng):
+    left, right = make_tables(rng, nl=2000, nr=300)
+    got = run_join(left, right, "left outer", ["k"], ["k"],
+                   batch_rows=256, fanout_capacity=1 << 14,
+                   output_suffix_for_left="_l",
+                   output_suffix_for_right="_r")
+    expected = oracle_join(left, right, "left outer", ["k"], ["k"])
+    got = got.rename_columns(expected.schema.names)
+    assert_join_equal(got, expected, msg="streamed")
+
+
+def test_join_output_projection(rng):
+    left, right = make_tables(rng, nl=100, nr=50)
+    got = run_join(left, right, "inner", ["k"], ["k"],
+                   left_output=["lv"], right_output=["rv"],
+                   fanout_capacity=1 << 13)
+    expected = oracle_join(left, right, "inner", ["k"], ["k"])
+    expected = expected.select(["lv", "rv"])
+    srt = [("lv", "ascending"), ("rv", "ascending")]
+    assert pa.table(got).sort_by(srt).to_pydict() == \
+        expected.sort_by(srt).to_pydict()
+
+
+def test_join_fanout_overflow_raises(rng):
+    left = pa.table({"k": [1] * 100, "lv": list(range(100))})
+    right = pa.table({"k": [1] * 100, "rv": list(range(100))})
+    with pytest.raises(RuntimeError, match="overflow"):
+        run_join(left, right, "inner", ["k"], ["k"], fanout_capacity=64)
+
+
+def test_join_empty_build(rng):
+    left = pa.table({"k": [1, 2], "lv": [1, 2]})
+    right = pa.table({"k": pa.array([], type=pa.int64()),
+                      "rv": pa.array([], type=pa.int64())})
+    got = run_join(left, right, "left outer", ["k"], ["k"],
+                   output_suffix_for_left="_l", output_suffix_for_right="_r")
+    expected = oracle_join(left, right, "left outer", ["k"], ["k"])
+    got = got.rename_columns(expected.schema.names)
+    assert_join_equal(got, expected, msg="empty build")

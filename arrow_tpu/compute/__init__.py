@@ -25,8 +25,11 @@ from ..ops import scalar_cast  # noqa: F401,E402
 from ..ops import selection  # noqa: F401,E402
 from ..ops import sorting  # noqa: F401,E402
 from ..ops import aggregates  # noqa: F401,E402
+from ..ops import vector_hash  # noqa: F401,E402
+from ..ops import set_lookup  # noqa: F401,E402
 
 _LAZY = {
+    "SetLookupOptions": "arrow_tpu.ops.set_lookup",
     "CastOptions": "arrow_tpu.ops.scalar_cast",
     "FilterOptions": "arrow_tpu.ops.selection",
     "TakeOptions": "arrow_tpu.ops.selection",

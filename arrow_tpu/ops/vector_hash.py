@@ -1,0 +1,205 @@
+"""Vector hash kernels: unique / value_counts / dictionary_encode.
+
+Reference: ``cpp/src/arrow/compute/kernels/vector_hash.cc`` (UniqueAction
+:65, ValueCountsAction :101, DictEncodeAction :173 over ``MemoTable`` from
+``util/hashing.h``) — per-row memo-table inserts on the CPU.
+
+TPU-native redesign: the memo table does not translate (serial per-row
+inserts); instead distinct-detection is **sort-based** and fully
+vectorized, with no capacity cap on the number of distinct values:
+
+  1. rows are normalized to uint32 key lanes (raw-bit equality — same
+     lane encoding the Grouper uses; null gets a validity lane),
+  2. one multi-key stable sort over (lanes, row_id) groups equal keys into
+     runs with the earliest row first,
+  3. run heads mark distinct values; ranking run-head rows by original row
+     order reproduces Arrow's order-of-first-appearance numbering,
+  4. codes scatter back through the sort permutation.
+
+Cost: O(n log n) on the sort unit vs the memo table's O(n) — but the sort
+is a single fused XLA op at memory bandwidth while serial inserts cannot
+vectorize at all; this is the same trade the sort-based filter in
+``ops/selection.py`` makes.
+
+Varlen (string/binary) inputs take the same path via the 128-bit
+full-content fingerprint + length lane
+(``ops/hashing.string_fingerprint_exact``); dictionary-encoded strings key
+on their indices (exact).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import datatype as dt
+from ..core.array import Array, row_mask
+from ..core.batch import Batch
+from ..core.schema import Field, Schema
+from ..compute.registry import Kind, NullHandling, register_function
+from .bits import value_lanes32
+from .hashing import string_fingerprint_exact
+from .grouper import group_key_lanes
+from .selection import take_array
+
+__all__ = ["unique_array", "value_counts_array", "dictionary_encode_array",
+           "sort_distinct"]
+
+_I32MAX = jnp.int32(2147483647)
+
+
+def _key_lanes(a: Array, include_validity: bool) -> jax.Array:
+    """(capacity, L) uint32 lane matrix for equality grouping."""
+    if a.type.is_varlen:
+        # 128-bit exact-content fingerprint + length lane (see hashing.py)
+        fp1 = string_fingerprint_exact(a)
+        fp2 = string_fingerprint_exact(a, mult=0xC2B2AE3D27D4EB4F)
+        lens = (a.offsets[1:] - a.offsets[:-1]).astype(jnp.uint32)
+        lanes = [fp1.astype(jnp.uint32),
+                 (fp1 >> jnp.uint64(32)).astype(jnp.uint32),
+                 fp2.astype(jnp.uint32),
+                 (fp2 >> jnp.uint64(32)).astype(jnp.uint32),
+                 lens]
+        if include_validity and a.validity is not None:
+            ok = a.validity
+            lanes = [ok.astype(jnp.uint32)] + [
+                jnp.where(ok, l, 0) for l in lanes]
+        return jnp.stack(lanes, axis=1)
+    if include_validity:
+        return group_key_lanes([a])
+    # exclude nulls from keying (caller masks them out via `active`)
+    return jnp.stack(value_lanes32(a.values, a.type), axis=1)
+
+
+def sort_distinct(lanes: jax.Array, active: jax.Array
+                  ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Vectorized distinct over fixed-width keys.
+
+    Returns ``(codes, unique_rows, num_unique)``:
+      codes       (cap,) int32 — first-appearance group id per row, -1 for
+                  inactive rows
+      unique_rows (cap,) int32 — for gid g < num_unique, the original row
+                  index of g's first occurrence; INT32_MAX padding above
+      num_unique  int32 scalar
+    """
+    cap, L = lanes.shape
+    rows = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0).reshape((cap,))
+    inactive = (~active).astype(jnp.uint32)
+    # lexsort: last key is the primary — (inactive, lane0..laneL-1, row)
+    keys = (rows,) + tuple(lanes[:, j] for j in range(L - 1, -1, -1)) \
+        + (inactive,)
+    perm = jnp.lexsort(keys).astype(jnp.int32)
+    s_lanes = lanes[perm]
+    s_active = active[perm]
+    prev_diff = jnp.any(s_lanes[1:] != s_lanes[:-1], axis=1)
+    prev_inact = ~s_active[:-1]
+    head = s_active & jnp.concatenate(
+        [jnp.ones((1,), dtype=jnp.bool_), prev_diff | prev_inact])
+    seg = jnp.cumsum(head.astype(jnp.int32)) - 1           # run id, sorted
+    num_unique = jnp.where(cap > 0, seg[-1] + 1, 0).astype(jnp.int32)
+    num_unique = jnp.where(jnp.any(active), num_unique, jnp.int32(0))
+    # first row (min row id) of each run — runs are row-sorted, so the head
+    # position holds it
+    rep = jnp.full((cap,), _I32MAX, dtype=jnp.int32).at[
+        jnp.where(head, seg, cap)].set(perm[jnp.arange(cap)], mode="drop",
+                                       unique_indices=True)
+    # first-appearance rank of each run: sort reps by original row id
+    order = jnp.argsort(rep).astype(jnp.int32)   # gid -> seg
+    gid_of_seg = jnp.zeros((cap,), dtype=jnp.int32).at[order].set(
+        jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0).reshape((cap,)),
+        unique_indices=True)
+    unique_rows = rep[order]
+    codes_sorted = gid_of_seg[seg]
+    codes = jnp.zeros((cap,), dtype=jnp.int32).at[perm].set(
+        codes_sorted, unique_indices=True)
+    codes = jnp.where(active, codes, jnp.int32(-1))
+    return codes, unique_rows, num_unique
+
+
+def _distinct(a: Array, include_nulls: bool
+              ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    active = a.row_mask() if include_nulls else a.present_mask()
+    lanes = _key_lanes(a, include_validity=include_nulls)
+    return sort_distinct(lanes, active)
+
+
+def unique_array(a: Array) -> Array:
+    """Distinct values in order of first appearance (null included once).
+
+    Parity: ``pa.compute.unique`` (``vector_hash.cc:65`` UniqueAction).
+    """
+    codes, unique_rows, n = _distinct(a, include_nulls=True)
+    idx = Array(dt.int32, jnp.where(unique_rows == _I32MAX, 0, unique_rows),
+                length=n)
+    return take_array(a, idx)
+
+
+def value_counts_array(a: Array) -> Batch:
+    """Distinct values + counts, order of first appearance.
+
+    Parity: ``pa.compute.value_counts`` (``vector_hash.cc:101``). Arrow
+    returns a StructArray<values, counts>; this engine returns a 2-column
+    Batch (structs are exposed as batches here).
+    """
+    codes, unique_rows, n = _distinct(a, include_nulls=True)
+    cap = codes.shape[0]
+    counts = jnp.zeros((cap,), dtype=jnp.int64).at[
+        jnp.where(codes >= 0, codes, cap)].add(1, mode="drop")
+    idx = Array(dt.int32, jnp.where(unique_rows == _I32MAX, 0, unique_rows),
+                length=n)
+    values = take_array(a, idx)
+    counts_arr = Array(dt.int64, counts, None, length=n)
+    schema = Schema((Field("values", a.type, True),
+                     Field("counts", dt.int64, False)))
+    return Batch(schema, [values, counts_arr], n)
+
+
+def dictionary_encode_array(a: Array, index_type: dt.DataType = dt.int32
+                            ) -> Array:
+    """Dictionary-encode: nulls get a null index (Arrow's default
+    NullEncodingBehavior::MASK), the dictionary holds non-null distinct
+    values in first-appearance order.
+
+    Parity: ``pa.compute.dictionary_encode`` (``vector_hash.cc:173``).
+    """
+    if isinstance(a.type, dt.DictionaryType):
+        return a
+    codes, unique_rows, n = _distinct(a, include_nulls=False)
+    idx = Array(dt.int32, jnp.where(unique_rows == _I32MAX, 0, unique_rows),
+                length=n)
+    dictionary = take_array(a, idx).with_validity(None)
+    validity = a.present_mask()
+    out_t = dt.dictionary(index_type, a.type)
+    out_codes = jnp.maximum(codes, 0).astype(
+        jnp.dtype(index_type.storage_np))
+    return Array(out_t, out_codes, validity,
+                 dictionary=dictionary, length=a.length)
+
+
+# ---- registration ------------------------------------------------------------
+
+@register_function("unique", Kind.VECTOR, 1,
+                   null_handling=NullHandling.COMPUTED)
+def _unique(args, options):
+    return unique_array(args[0])
+
+
+@register_function("value_counts", Kind.VECTOR, 1,
+                   null_handling=NullHandling.COMPUTED)
+def _value_counts(args, options):
+    return value_counts_array(args[0])
+
+
+@register_function("dictionary_encode", Kind.VECTOR, 1,
+                   null_handling=NullHandling.COMPUTED)
+def _dictionary_encode(args, options):
+    return dictionary_encode_array(args[0])
+
+
+@register_function("dictionary_decode", Kind.VECTOR, 1,
+                   null_handling=NullHandling.COMPUTED)
+def _dictionary_decode(args, options):
+    from .scalar_cast import dictionary_decode
+    return dictionary_decode(args[0])

@@ -27,9 +27,16 @@ from ..ops import sorting  # noqa: F401,E402
 from ..ops import aggregates  # noqa: F401,E402
 from ..ops import vector_hash  # noqa: F401,E402
 from ..ops import set_lookup  # noqa: F401,E402
+from ..ops import aggregates_order  # noqa: F401,E402
+from ..ops import vector_misc  # noqa: F401,E402
 
 _LAZY = {
     "SetLookupOptions": "arrow_tpu.ops.set_lookup",
+    "ModeOptions": "arrow_tpu.ops.aggregates_order",
+    "QuantileOptions": "arrow_tpu.ops.aggregates_order",
+    "TDigestOptions": "arrow_tpu.ops.aggregates_order",
+    "IndexOptions": "arrow_tpu.ops.aggregates_order",
+    "SkewOptions": "arrow_tpu.ops.aggregates_order",
     "CastOptions": "arrow_tpu.ops.scalar_cast",
     "FilterOptions": "arrow_tpu.ops.selection",
     "TakeOptions": "arrow_tpu.ops.selection",

@@ -34,24 +34,9 @@ __all__ = [
 ]
 
 
-class ScalarAggregateOptions:
-    def __init__(self, skip_nulls: bool = True, min_count: int = 1):
-        self.skip_nulls = skip_nulls
-        self.min_count = min_count
-
-
-class CountOptions:
-    def __init__(self, mode: str = "only_valid"):
-        assert mode in ("only_valid", "only_null", "all")
-        self.mode = mode
-
-
-class VarianceOptions:
-    def __init__(self, ddof: int = 0, skip_nulls: bool = True,
-                 min_count: int = 0):
-        self.ddof = ddof
-        self.skip_nulls = skip_nulls
-        self.min_count = min_count
+from .agg_options import (  # noqa: F401  (re-export, public API location)
+    CountOptions, ScalarAggregateOptions, VarianceOptions,
+)
 
 
 def _sum_output_type(t: dt.DataType) -> dt.DataType:
@@ -473,12 +458,227 @@ class GroupedOne(GroupedLast):
     name = "one"
 
 
+class GroupedCountDistinct(GroupedAggregator):
+    """hash_count_distinct (``hash_aggregate.cc:1394``).
+
+    TPU-native: a second Grouper over (group_id, value) pairs — the pair
+    table remembers which values each group has seen, so the distinct count
+    per group is one occupied-slot scan at finalize. Cross-shard Merge
+    replays the other table's occupied slots with remapped group-id lanes.
+    """
+
+    name = "count_distinct"
+    out_type = dt.int64
+
+    def __init__(self, in_type, G, options=None):
+        super().__init__(in_type, G, options)
+        from .grouper import Grouper
+        self.mode = options.mode if isinstance(options, CountOptions) \
+            else "only_valid"
+        nullable_val = self.mode == "all"
+        # pair capacity: every group may hold several distinct values
+        self.max_pairs = getattr(options, "max_pairs", None) or max(4 * G,
+                                                                    1 << 12)
+        self.pair_grouper = Grouper([dt.int32, in_type],
+                                    [False, nullable_val],
+                                    max_groups=self.max_pairs)
+
+    def init(self):
+        return self.pair_grouper.init_state()
+
+    def consume(self, state, values, group_ids):
+        cap = values.capacity
+        active = group_ids >= 0
+        if self.mode == "only_valid" and values.validity is not None:
+            active = active & values.validity
+        gid_col = Array(dt.int32, group_ids, None, length=cap)
+        val_col = values if self.mode == "all" else values.with_validity(None)
+        new_state, _ = self.pair_grouper.consume(
+            state, [gid_col, val_col], length=cap, active=active)
+        return new_state
+
+    def _table_gid_lane(self, state):
+        return state.table_lanes[:, 0].astype(jnp.int32)
+
+    def merge(self, state, other, mapping):
+        occupied = other.table_gid >= 0
+        gid = other.table_lanes[:, 0].astype(jnp.int32)
+        new_gid = mapping[jnp.clip(gid, 0, mapping.shape[0] - 1)]
+        lanes = other.table_lanes.at[:, 0].set(new_gid.astype(jnp.uint32))
+        new_state, _ = self.pair_grouper._consume_lanes(
+            state, lanes, occupied)
+        return new_state
+
+    def finalize(self, state, num_groups) -> Array:
+        occupied = state.table_gid >= 0
+        gid = self._table_gid_lane(state)
+        counts = jnp.zeros((self.G,), dtype=jnp.int64).at[
+            jnp.where(occupied, gid, self.G)].add(1, mode="drop")
+        return Array(dt.int64, counts, None, length=num_groups)
+
+
+class _GroupedMoments(GroupedAggregator):
+    """Shared state for hash_skew/hash_kurtosis (``GroupedStatisticImpl``,
+    ``hash_aggregate_numeric.cc:458``): per-group raw power sums in f64."""
+
+    out_type = dt.float64
+    nmom = 4
+
+    def init(self):
+        return tuple(jnp.zeros((self.G,), dtype=jnp.float64)
+                     for _ in range(self.nmom)) + (
+            jnp.zeros((self.G,), dtype=jnp.int64),)
+
+    def consume(self, state, values, group_ids):
+        ok = _contrib_mask(values, group_ids)
+        pos = _positions(ok, group_ids, self.G)
+        x = jnp.where(ok, values.values.astype(jnp.float64), 0.0)
+        sums = list(state[:-1])
+        p = x
+        for k in range(self.nmom):
+            sums[k] = sums[k].at[pos].add(p, mode="drop")
+            p = p * x
+        cnt = state[-1].at[pos].add(ok.astype(jnp.int64), mode="drop")
+        return tuple(sums) + (cnt,)
+
+    def merge(self, state, other, mapping):
+        out = [s.at[mapping].add(o, mode="drop")
+               for s, o in zip(state[:-1], other[:-1])]
+        return tuple(out) + (state[-1].at[mapping].add(
+            other[-1], mode="drop"),)
+
+    def _central(self, state):
+        s1, s2, s3, s4, cnt = state
+        n = cnt.astype(jnp.float64)
+        safe_n = jnp.maximum(n, 1.0)
+        mean = s1 / safe_n
+        m2 = s2 / safe_n - mean ** 2
+        m3 = s3 / safe_n - 3 * mean * s2 / safe_n + 2 * mean ** 3
+        m4 = (s4 / safe_n - 4 * mean * s3 / safe_n
+              + 6 * mean ** 2 * s2 / safe_n - 3 * mean ** 4)
+        return n, m2, m3, m4
+
+
+class GroupedSkew(_GroupedMoments):
+    name = "skew"
+
+    def finalize(self, state, num_groups) -> Array:
+        n, m2, m3, _ = self._central(state)
+        r = jnp.where(m2 > 0, m3 / jnp.sqrt(jnp.maximum(m2, 1e-300)) ** 3,
+                      jnp.nan)
+        return Array(dt.float64, r, state[-1] > 0, length=num_groups)
+
+
+class GroupedKurtosis(_GroupedMoments):
+    name = "kurtosis"
+
+    def finalize(self, state, num_groups) -> Array:
+        n, m2, _, m4 = self._central(state)
+        r = jnp.where(m2 > 0, m4 / jnp.maximum(m2 * m2, 1e-300) - 3.0,
+                      jnp.nan)
+        return Array(dt.float64, r, state[-1] > 0, length=num_groups)
+
+
+class GroupedTDigest(GroupedAggregator):
+    """hash_tdigest / hash_approximate_median (``hash_aggregate_numeric.cc``
+    GroupedTDigestImpl :903).
+
+    TPU-native: buffers (group_id, value) pairs in fixed-capacity device
+    buffers and computes EXACT per-group quantiles at finalize with one
+    sort + searchsorted segment interpolation — a t-digest with
+    delta -> inf (strictly more accurate; the digest's purpose is bounded
+    memory, which the capacity discipline provides explicitly). Consume
+    appends whole capacity blocks; `buffer_rows` must cover the total rows
+    routed to this aggregator (deferred-error flag on overflow).
+
+    Output divergence: Arrow emits fixed_size_list<double>[#q]; this engine
+    emits one float64 column for scalar q (the common case).
+    """
+
+    name = "tdigest"
+    out_type = dt.float64
+    default_rows = 1 << 16
+
+    def __init__(self, in_type, G, options=None):
+        super().__init__(in_type, G, options)
+        from .aggregates_order import TDigestOptions
+        self.qs = list(getattr(options, "q", None) or [0.5])
+        if np.isscalar(self.qs):
+            self.qs = [self.qs]
+        self.rows = getattr(options, "buffer_rows", None) or \
+            self.default_rows
+
+    def init(self):
+        return (jnp.full((self.rows,), -1, dtype=jnp.int32),
+                jnp.zeros((self.rows,), dtype=jnp.float64),
+                jnp.int32(0), jnp.int32(0))
+
+    def _append(self, state, gids, vals):
+        bg, bv, cnt, err = state
+        n = gids.shape[0]
+        err = err | jnp.where(cnt + n > self.rows, 1, 0).astype(jnp.int32)
+        start = jnp.minimum(cnt, self.rows - n)
+        bg = jax.lax.dynamic_update_slice(bg, gids.astype(jnp.int32),
+                                          (start,))
+        bv = jax.lax.dynamic_update_slice(bv, vals.astype(jnp.float64),
+                                          (start,))
+        return bg, bv, cnt + n, err
+
+    def consume(self, state, values, group_ids):
+        ok = _contrib_mask(values, group_ids)
+        gids = jnp.where(ok, group_ids, -1)
+        vals = jnp.where(ok, values.values.astype(jnp.float64), 0.0)
+        return self._append(state, gids, vals)
+
+    def merge(self, state, other, mapping):
+        og, ov, ocnt, oerr = other
+        valid = og >= 0
+        remap = jnp.where(valid, mapping[jnp.clip(og, 0,
+                                                  mapping.shape[0] - 1)], -1)
+        bg, bv, cnt, err = self._append(state, remap, ov)
+        return bg, bv, cnt, err | oerr
+
+    def finalize(self, state, num_groups) -> Array:
+        bg, bv, cnt, err = state
+        active = bg >= 0
+        skey = jnp.where(active, bv, jnp.inf)
+        gkey = jnp.where(active, bg, jnp.int32(2147483647))
+        order = jnp.lexsort((skey, gkey))
+        sg = gkey[order]
+        sv = bv[order]
+        gidx = jax.lax.broadcasted_iota(jnp.int32, (self.G, 1), 0).reshape(
+            (self.G,))
+        starts = jnp.searchsorted(sg, gidx, side="left").astype(jnp.int32)
+        ends = jnp.searchsorted(sg, gidx, side="right").astype(jnp.int32)
+        n = (ends - starts).astype(jnp.float64)
+        outs = []
+        for q in self.qs:
+            rank = jnp.asarray(q, jnp.float64) * jnp.maximum(n - 1.0, 0.0)
+            lo = starts + jnp.floor(rank).astype(jnp.int32)
+            hi = starts + jnp.ceil(rank).astype(jnp.int32)
+            lo = jnp.clip(lo, 0, self.rows - 1)
+            hi = jnp.clip(hi, 0, self.rows - 1)
+            frac = rank - jnp.floor(rank)
+            outs.append(sv[lo] + frac * (sv[hi] - sv[lo]))
+        out = outs[0] if len(outs) == 1 else jnp.stack(outs, axis=1)
+        return Array(dt.float64, out, n > 0, length=num_groups)
+
+
+class GroupedApproximateMedian(GroupedTDigest):
+    name = "approximate_median"
+
+    def __init__(self, in_type, G, options=None):
+        super().__init__(in_type, G, options)
+        self.qs = [0.5]
+
+
 GROUPED_AGGREGATORS = {
     c.name: c for c in [
         GroupedCount, GroupedCountAll, GroupedSum, GroupedProduct,
         GroupedMean, GroupedMin, GroupedMax, GroupedAny, GroupedAll,
         GroupedVariance, GroupedStddev, GroupedFirst, GroupedLast,
-        GroupedOne,
+        GroupedOne, GroupedCountDistinct, GroupedSkew, GroupedKurtosis,
+        GroupedTDigest, GroupedApproximateMedian,
     ]
 }
 

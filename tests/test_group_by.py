@@ -263,3 +263,71 @@ def test_high_cardinality_keys(rng):
                   "v": pa.array(np.ones(n, dtype=np.int64))})
     assert_group_by_equal(t, ["k"], [AggregateSpec("sum", "v")],
                           max_groups=4096)
+
+
+# ---- round-2 additions: count_distinct / skew / kurtosis / tdigest ----------
+
+def test_group_by_count_distinct(rng):
+    n = 400
+    t = pa.table({
+        "k": pa.array(rng.integers(0, 7, n), type=pa.int64()),
+        "v": pa.array([None if rng.random() < 0.25 else int(x)
+                       for x in rng.integers(0, 9, n)], type=pa.int64()),
+    })
+    assert_group_by_equal(t, ["k"], [AggregateSpec("count_distinct", "v")])
+    assert_group_by_equal(
+        t, ["k"],
+        [AggregateSpec("count_distinct", "v", CountOptions(mode="all"))],
+        oracle_aggs=[("v", "count_distinct", pc.CountOptions(mode="all"))])
+
+
+def test_group_by_count_distinct_merge(rng):
+    n = 300
+    t = pa.table({
+        "k": pa.array(rng.integers(0, 5, n), type=pa.int64()),
+        "v": pa.array(rng.integers(0, 6, n), type=pa.int64()),
+    })
+    # two shards merged must equal single-shard
+    tt = at.Table.from_pyarrow(t, max_rows_per_batch=128)
+    ha = HashAggregate(tt.schema, ["k"],
+                       [AggregateSpec("count_distinct", "v")],
+                       max_groups=64)
+    states = []
+    for b in tt.batches:
+        s = ha.init_state()
+        states.append(ha.consume(s, b))
+    merged = states[0]
+    for s in states[1:]:
+        merged = ha.merge(merged, s)
+    got = pa.table(ha.finalize(merged).to_pyarrow()).sort_by([("k", "ascending")])
+    expected = t.group_by("k").aggregate([("v", "count_distinct")]).sort_by(
+        [("k", "ascending")])
+    assert got.equals(expected), (got.to_pydict(), expected.to_pydict())
+
+
+@pytest.mark.parametrize("fn", ["skew", "kurtosis"])
+def test_group_by_skew_kurtosis(rng, fn):
+    n = 500
+    t = pa.table({
+        "k": pa.array(rng.integers(0, 6, n), type=pa.int64()),
+        "v": pa.array(rng.standard_normal(n) * 10, type=pa.float64()),
+    })
+    assert_group_by_equal(t, ["k"], [AggregateSpec(fn, "v")], rtol=1e-9)
+
+
+def test_group_by_approximate_median(rng):
+    n = 400
+    t = pa.table({
+        "k": pa.array(rng.integers(0, 5, n), type=pa.int64()),
+        "v": pa.array(rng.standard_normal(n) * 10, type=pa.float64()),
+    })
+    got = run_group_by(t, ["k"], [AggregateSpec("approximate_median", "v")])
+    got = pa.table(got).sort_by([("k", "ascending")])
+    # exact median as truth (pyarrow's tdigest approximates)
+    df = t.to_pydict()
+    import collections
+    groups = collections.defaultdict(list)
+    for k, v in zip(df["k"], df["v"]):
+        groups[k].append(v)
+    for k, m in zip(got["k"].to_pylist(), got["v_approximate_median"].to_pylist()):
+        assert m == pytest.approx(float(np.median(groups[k])), rel=1e-12)

@@ -29,6 +29,8 @@ from ..ops import vector_hash  # noqa: F401,E402
 from ..ops import set_lookup  # noqa: F401,E402
 from ..ops import aggregates_order  # noqa: F401,E402
 from ..ops import vector_misc  # noqa: F401,E402
+from ..ops import strings  # noqa: F401,E402
+from ..ops import temporal  # noqa: F401,E402
 
 _LAZY = {
     "SetLookupOptions": "arrow_tpu.ops.set_lookup",
@@ -37,6 +39,14 @@ _LAZY = {
     "TDigestOptions": "arrow_tpu.ops.aggregates_order",
     "IndexOptions": "arrow_tpu.ops.aggregates_order",
     "SkewOptions": "arrow_tpu.ops.aggregates_order",
+    "CumulativeOptions": "arrow_tpu.ops.vector_misc",
+    "PairwiseOptions": "arrow_tpu.ops.vector_misc",
+    "MatchSubstringOptions": "arrow_tpu.ops.strings",
+    "SliceOptions": "arrow_tpu.ops.strings",
+    "TrimOptions": "arrow_tpu.ops.strings",
+    "PadOptions": "arrow_tpu.ops.strings",
+    "ReplaceSubstringOptions": "arrow_tpu.ops.strings",
+    "JoinOptions": "arrow_tpu.ops.strings",
     "CastOptions": "arrow_tpu.ops.scalar_cast",
     "FilterOptions": "arrow_tpu.ops.selection",
     "TakeOptions": "arrow_tpu.ops.selection",

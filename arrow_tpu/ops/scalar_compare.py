@@ -38,9 +38,21 @@ def _comparable_values(args):
     raise TypeError(f"cannot compare {types}")
 
 
+def _is_stringy(a):
+    t = a.type
+    if isinstance(t, dt.DictionaryType):
+        t = t.value_type
+    return t.is_varlen
+
+
 def _compare(name, op):
     @register_function(name, Kind.SCALAR, 2)
-    def _fn(args, options, _op=op):
+    def _fn(args, options, _op=op, _name=name):
+        if any(_is_stringy(a) for a in args):
+            # exact lexicographic byte comparison (ops/strings.py)
+            from .strings import compare_varlen
+            return output_like(compare_varlen(_name, args[0], args[1]),
+                               dt.bool_, args)
         va, vb = _comparable_values(args)
         return output_like(_op(va, vb), dt.bool_, args)
     return _fn

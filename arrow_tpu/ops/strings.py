@@ -1,0 +1,976 @@
+"""String/binary kernel family.
+
+Reference: ``cpp/src/arrow/compute/kernels/scalar_string_ascii.cc`` (~5k
+LoC) + ``scalar_string_utf8.cc`` — the largest scalar kernel family.
+
+TPU-native design: strings are (offsets int32[cap+1], byte-pool uint8[B])
+device arrays; every kernel is expressed as **byte-pool-parallel** compute:
+
+  * same-length transforms (case mapping, reverse) map the pool directly —
+    offsets unchanged, one elementwise pass;
+  * per-row predicates/reductions (is_alpha, lengths) are segment
+    reductions over the pool (scatter-add/and by row id);
+  * shape-changing ops (slice/trim/pad/repeat/join/replace) compute new
+    per-row lengths, prefix-sum them into new offsets, then build the
+    output pool with one gather where each OUTPUT byte computes its source
+    byte index (`searchsorted` row lookup + per-row arithmetic);
+  * substring search compares the static pattern at every pool position
+    (m unrolled compares = m vectorized ops), then reduces per row;
+    greedy non-overlapping counting/replacement uses **binary-lifting
+    pointer jumping** over match positions (O(B log B), no serial loops)
+    — the TPU answer to the reference's per-row scan loops.
+
+Unicode scope: ascii_* kernels implement exact Arrow semantics; utf8_*
+case kernels apply ASCII case mapping and pass non-ASCII bytes through
+(full Unicode tables are host-side concerns; utf8_length & slicing are
+exact via continuation-byte counting).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import datatype as dt
+from ..core.array import Array, row_mask
+from ..compute.registry import Kind, NullHandling, register_function
+from ..compute.scalar import Scalar
+
+__all__ = ["MatchSubstringOptions", "SliceOptions", "TrimOptions",
+           "PadOptions", "ReplaceSubstringOptions", "ExtractRegexOptions"]
+
+_BIG = jnp.int32(2147483647)
+
+
+# ---- options ------------------------------------------------------------------
+
+class MatchSubstringOptions:
+    def __init__(self, pattern: str = "", ignore_case: bool = False):
+        self.pattern = pattern
+        self.ignore_case = ignore_case
+
+
+class SliceOptions:
+    def __init__(self, start: int = 0, stop: Optional[int] = None,
+                 step: int = 1):
+        self.start = start
+        self.stop = stop
+        self.step = step
+
+
+class TrimOptions:
+    def __init__(self, characters: str = ""):
+        self.characters = characters
+
+
+class PadOptions:
+    def __init__(self, width: int = 0, padding: str = " ",
+                 lean_left_on_odd_padding: bool = True):
+        self.width = width
+        self.padding = padding
+        self.lean_left_on_odd_padding = lean_left_on_odd_padding
+
+
+class ReplaceSubstringOptions:
+    def __init__(self, pattern: str = "", replacement: str = "",
+                 max_replacements: Optional[int] = None):
+        self.pattern = pattern
+        self.replacement = replacement
+        self.max_replacements = max_replacements
+
+
+class ExtractRegexOptions:
+    def __init__(self, pattern: str = ""):
+        self.pattern = pattern
+
+
+# ---- low-level helpers --------------------------------------------------------
+
+def _pat_bytes(s: Union[str, bytes]) -> np.ndarray:
+    if isinstance(s, str):
+        s = s.encode("utf-8")
+    return np.frombuffer(s, dtype=np.uint8)
+
+
+def _lens(a: Array) -> jax.Array:
+    return a.offsets[1:] - a.offsets[:-1]
+
+
+def _rows_of_bytes(a: Array) -> jax.Array:
+    """(B,) int32 — owning row of each pool byte (padding bytes clamp)."""
+    bcap = a.values.shape[0]
+    bidx = jax.lax.broadcasted_iota(jnp.int32, (bcap, 1), 0).reshape((bcap,))
+    r = jnp.searchsorted(a.offsets, bidx, side="right").astype(jnp.int32) - 1
+    return jnp.clip(r, 0, a.capacity - 1)
+
+
+def _pool_iota(n: int) -> jax.Array:
+    return jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).reshape((n,))
+
+
+def _segment_reduce_bool(flags: jax.Array, rows: jax.Array, cap: int,
+                         kind: str, init: bool) -> jax.Array:
+    if kind == "any":
+        return jnp.zeros((cap,), jnp.bool_).at[rows].max(flags)
+    acc = jnp.ones((cap,), jnp.bool_).at[rows].min(flags)
+    return acc
+
+
+def _build_varlen(a: Array, new_lens: jax.Array, src_of, out_bcap: int,
+                  filler=None) -> Array:
+    """Construct a varlen output: per-row new_lens (capacity,), and
+    ``src_of(row, k, out_pos) -> source byte index`` (or -1 => filler[k])."""
+    cap = a.capacity
+    in_rng = row_mask(cap, a.length)
+    new_lens = jnp.where(in_rng, new_lens, 0).astype(jnp.int32)
+    new_off = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                               jnp.cumsum(new_lens).astype(jnp.int32)])
+    total = new_off[-1]
+    bidx = _pool_iota(out_bcap)
+    r = jnp.searchsorted(new_off, bidx, side="right").astype(jnp.int32) - 1
+    r = jnp.clip(r, 0, cap - 1)
+    k = bidx - new_off[r]
+    src = src_of(r, k, bidx)
+    in_pool = bidx < total
+    bcap_in = max(a.values.shape[0], 1)
+    vals = a.values if a.values.shape[0] else jnp.zeros((1,), jnp.uint8)
+    gathered = vals[jnp.clip(src, 0, bcap_in - 1)]
+    if filler is not None:
+        gathered = jnp.where(src < 0, filler(r, k), gathered)
+    out_bytes = jnp.where(in_pool, gathered, 0).astype(jnp.uint8)
+    return Array(a.type, out_bytes, a.validity, offsets=new_off,
+                 length=a.length)
+
+
+def _is_upper_b(b):
+    return (b >= 65) & (b <= 90)
+
+
+def _is_lower_b(b):
+    return (b >= 97) & (b <= 122)
+
+
+def _to_lower_b(b):
+    return jnp.where(_is_upper_b(b), b + 32, b)
+
+
+def _to_upper_b(b):
+    return jnp.where(_is_lower_b(b), b - 32, b)
+
+
+def _arg_array(a) -> Array:
+    if isinstance(a, Array):
+        return a
+    raise TypeError("string kernels require an Array input")
+
+
+# ---- lengths ------------------------------------------------------------------
+
+@register_function("binary_length", Kind.SCALAR, 1)
+def _binary_length(args, options):
+    a = _arg_array(args[0])
+    return Array(dt.int32, _lens(a).astype(jnp.int32), None, length=a.length)
+
+
+@register_function("utf8_length", Kind.SCALAR, 1)
+def _utf8_length(args, options):
+    a = _arg_array(args[0])
+    # codepoints = bytes that are not UTF-8 continuations (0b10xxxxxx)
+    rows = _rows_of_bytes(a)
+    bidx = _pool_iota(a.values.shape[0])
+    in_pool = bidx < a.offsets[a.capacity]
+    is_cp = in_pool & ((a.values & jnp.uint8(0xC0)) != jnp.uint8(0x80))
+    counts = jnp.zeros((a.capacity,), jnp.int32).at[rows].add(
+        is_cp.astype(jnp.int32))
+    return Array(dt.int32, counts, None, length=a.length)
+
+
+# ---- case / byte transforms ----------------------------------------------------
+
+def _map_pool(a: Array, fn) -> Array:
+    return Array(a.type, fn(a.values).astype(jnp.uint8), a.validity,
+                 offsets=a.offsets, length=a.length)
+
+
+def _capitalize_pool(a: Array) -> Array:
+    is_head = _pool_iota(a.values.shape[0]) == a.offsets[_rows_of_bytes(a)]
+    out = jnp.where(is_head, _to_upper_b(a.values), _to_lower_b(a.values))
+    return Array(a.type, out.astype(jnp.uint8), a.validity,
+                 offsets=a.offsets, length=a.length)
+
+
+def _title_pool(a: Array) -> Array:
+    b = a.values
+    alpha = _is_upper_b(b) | _is_lower_b(b)
+    is_head = _pool_iota(b.shape[0]) == a.offsets[_rows_of_bytes(a)]
+    prev_alpha = jnp.concatenate([jnp.zeros((1,), jnp.bool_), alpha[:-1]])
+    start_word = alpha & (is_head | ~prev_alpha)
+    out = jnp.where(start_word, _to_upper_b(b), _to_lower_b(b))
+    return Array(a.type, out.astype(jnp.uint8), a.validity,
+                 offsets=a.offsets, length=a.length)
+
+
+def _reverse_rows(a: Array) -> Array:
+    rows = _rows_of_bytes(a)
+    off = a.offsets
+    lens = off[1:] - off[:-1]
+    bidx = _pool_iota(a.values.shape[0])
+    src = off[rows] + (lens[rows] - 1 - (bidx - off[rows]))
+    bcap = max(a.values.shape[0], 1)
+    out = a.values[jnp.clip(src, 0, bcap - 1)]
+    return Array(a.type, out, a.validity, offsets=off, length=a.length)
+
+
+for _name, _fn in [
+    ("ascii_upper", lambda a: _map_pool(a, _to_upper_b)),
+    ("ascii_lower", lambda a: _map_pool(a, _to_lower_b)),
+    ("utf8_upper", lambda a: _map_pool(a, _to_upper_b)),
+    ("utf8_lower", lambda a: _map_pool(a, _to_lower_b)),
+    ("ascii_swapcase", lambda a: _map_pool(
+        a, lambda b: jnp.where(_is_upper_b(b), b + 32,
+                               jnp.where(_is_lower_b(b), b - 32, b)))),
+    ("ascii_capitalize", _capitalize_pool),
+    ("utf8_capitalize", _capitalize_pool),
+    ("ascii_title", _title_pool),
+    ("utf8_title", _title_pool),
+    ("ascii_reverse", _reverse_rows),
+    ("binary_reverse", _reverse_rows),
+]:
+    register_function(_name, Kind.SCALAR, 1)(
+        lambda args, options, _f=_fn: _f(_arg_array(args[0])))
+
+
+# ---- classification predicates -------------------------------------------------
+
+def _classify(a: Array, byte_pred, empty_result: bool) -> Array:
+    """all-bytes predicate per row; empty rows -> empty_result."""
+    cap = a.capacity
+    rows = _rows_of_bytes(a)
+    bidx = _pool_iota(a.values.shape[0])
+    in_pool = bidx < a.offsets[cap]
+    ok = byte_pred(a.values) | ~in_pool
+    acc = jnp.ones((cap,), jnp.bool_).at[jnp.where(in_pool, rows, cap)].min(
+        ok, mode="drop")
+    lens = _lens(a)
+    out = jnp.where(lens == 0, empty_result, acc)
+    return Array(dt.bool_, out, None, length=a.length)
+
+
+_DIGIT = lambda b: (b >= 48) & (b <= 57)  # noqa: E731
+_ALPHA = lambda b: _is_upper_b(b) | _is_lower_b(b)  # noqa: E731
+_SPACE = lambda b: (b == 32) | ((b >= 9) & (b <= 13))  # noqa: E731
+_PRINT = lambda b: (b >= 32) & (b <= 126)  # noqa: E731
+
+for _name, _pred, _empty in [
+    ("ascii_is_alnum", lambda b: _ALPHA(b) | _DIGIT(b), False),
+    ("ascii_is_alpha", _ALPHA, False),
+    ("ascii_is_decimal", _DIGIT, False),
+    ("ascii_is_space", _SPACE, False),
+    ("ascii_is_printable", _PRINT, True),
+    ("utf8_is_alnum", lambda b: _ALPHA(b) | _DIGIT(b), False),
+    ("utf8_is_alpha", _ALPHA, False),
+    ("utf8_is_decimal", _DIGIT, False),
+    ("utf8_is_digit", _DIGIT, False),
+    ("utf8_is_numeric", _DIGIT, False),
+    ("utf8_is_space", _SPACE, False),
+    ("utf8_is_printable", _PRINT, True),
+    ("string_is_ascii", lambda b: b < 128, True),
+]:
+    register_function(_name, Kind.SCALAR, 1)(
+        lambda args, options, _p=_pred, _e=_empty: _classify(
+            _arg_array(args[0]), _p, _e))
+
+
+def _is_cased(a: Array, want_upper: bool) -> Array:
+    """Arrow ascii_is_lower/upper: all cased characters are lower/upper;
+    at least one cased character required."""
+    cap = a.capacity
+    rows = _rows_of_bytes(a)
+    bidx = _pool_iota(a.values.shape[0])
+    in_pool = bidx < a.offsets[cap]
+    b = a.values
+    cased = _ALPHA(b) & in_pool
+    good = (_is_upper_b(b) if want_upper else _is_lower_b(b))
+    all_good = jnp.ones((cap,), jnp.bool_).at[
+        jnp.where(cased, rows, cap)].min(good, mode="drop")
+    has_cased = jnp.zeros((cap,), jnp.bool_).at[
+        jnp.where(in_pool, rows, cap)].max(cased, mode="drop")
+    return Array(dt.bool_, all_good & has_cased, None, length=a.length)
+
+
+register_function("ascii_is_lower", Kind.SCALAR, 1)(
+    lambda args, options: _is_cased(_arg_array(args[0]), False))
+register_function("ascii_is_upper", Kind.SCALAR, 1)(
+    lambda args, options: _is_cased(_arg_array(args[0]), True))
+register_function("utf8_is_lower", Kind.SCALAR, 1)(
+    lambda args, options: _is_cased(_arg_array(args[0]), False))
+register_function("utf8_is_upper", Kind.SCALAR, 1)(
+    lambda args, options: _is_cased(_arg_array(args[0]), True))
+
+
+def _is_title(a: Array) -> Array:
+    """Title-cased: every word starts upper, rest of word lower, >=1 cased."""
+    cap = a.capacity
+    b = a.values
+    bidx = _pool_iota(b.shape[0])
+    in_pool = bidx < a.offsets[cap]
+    rows = _rows_of_bytes(a)
+    alpha = _ALPHA(b)
+    is_head = bidx == a.offsets[rows]
+    prev_alpha = jnp.concatenate([jnp.zeros((1,), jnp.bool_), alpha[:-1]])
+    word_start = alpha & (is_head | ~prev_alpha)
+    good = jnp.where(word_start, _is_upper_b(b),
+                     jnp.where(alpha, _is_lower_b(b), True))
+    all_good = jnp.ones((cap,), jnp.bool_).at[
+        jnp.where(in_pool, rows, cap)].min(good, mode="drop")
+    has_cased = jnp.zeros((cap,), jnp.bool_).at[
+        jnp.where(in_pool & alpha, rows, cap)].max(True, mode="drop")
+    return Array(dt.bool_, all_good & has_cased, None, length=a.length)
+
+
+register_function("ascii_is_title", Kind.SCALAR, 1)(
+    lambda args, options: _is_title(_arg_array(args[0])))
+register_function("utf8_is_title", Kind.SCALAR, 1)(
+    lambda args, options: _is_title(_arg_array(args[0])))
+
+
+# ---- substring search -----------------------------------------------------------
+
+def _match_positions(a: Array, options) -> jax.Array:
+    """(B,) bool — pattern matches starting at this pool byte, fully inside
+    its row. Empty pattern matches at every row position incl. end (handled
+    separately by callers)."""
+    pat = _pat_bytes(options.pattern)
+    m = len(pat)
+    pool = a.values
+    bcap = pool.shape[0]
+    if options.ignore_case:
+        pool = _to_lower_b(pool)
+        pat = np.frombuffer(bytes(_pat_bytes(
+            options.pattern.lower())), dtype=np.uint8)
+    if m == 0 or bcap == 0:
+        return jnp.zeros((max(bcap, 1),), jnp.bool_)[:bcap] if bcap else \
+            jnp.zeros((0,), jnp.bool_)
+    bidx = _pool_iota(bcap)
+    ok = jnp.ones((bcap,), jnp.bool_)
+    for k in range(m):
+        src = jnp.clip(bidx + k, 0, bcap - 1)
+        ok = ok & (pool[src] == jnp.uint8(pat[k])) & (bidx + k < bcap)
+    rows = _rows_of_bytes(a)
+    row_end = a.offsets[rows + 1]
+    ok = ok & (bidx + m <= row_end)
+    return ok
+
+
+def _match_reduce(a: Array, options, kind: str) -> Array:
+    pat = _pat_bytes(options.pattern)
+    m = len(pat)
+    cap = a.capacity
+    lens = _lens(a)
+    if m == 0:
+        if kind == "match":
+            out = jnp.ones((cap,), jnp.bool_)
+            return Array(dt.bool_, out, a.validity, length=a.length)
+        if kind == "find":
+            return Array(dt.int32, jnp.zeros((cap,), jnp.int32), a.validity,
+                         length=a.length)
+        # count of empty pattern = len + 1
+        return Array(dt.int32, (lens + 1).astype(jnp.int32), a.validity,
+                     length=a.length)
+    match = _match_positions(a, options)
+    rows = _rows_of_bytes(a)
+    bidx = _pool_iota(a.values.shape[0])
+    in_pool = bidx < a.offsets[cap]
+    pos_in_row = bidx - a.offsets[rows]
+    if kind == "match":
+        any_ = jnp.zeros((cap,), jnp.bool_).at[
+            jnp.where(in_pool, rows, cap)].max(match, mode="drop")
+        return Array(dt.bool_, any_, a.validity, length=a.length)
+    if kind == "find":
+        first = jnp.full((cap,), _BIG, jnp.int32).at[
+            jnp.where(in_pool & match, rows, cap)].min(pos_in_row,
+                                                       mode="drop")
+        out = jnp.where(first == _BIG, jnp.int32(-1), first)
+        return Array(dt.int32, out, a.validity, length=a.length)
+    # greedy non-overlapping count via binary-lifting pointer jumping
+    counts = _greedy_count(a, match, m)
+    return Array(dt.int32, counts, a.validity, length=a.length)
+
+
+def _greedy_jump_tables(a: Array, match: jax.Array, m: int):
+    """Binary-lifted (jump, count) tables for the greedy non-overlapping
+    chain over match positions. Node indices are pool bytes; END = bcap."""
+    bcap = a.values.shape[0]
+    END = bcap
+    bidx = _pool_iota(bcap)
+    rows = _rows_of_bytes(a)
+    # nxt[p] = first match position >= p (global cummin from the right)
+    nxt = jax.lax.cummin(jnp.where(match, bidx, _BIG), reverse=True)
+    # one greedy step from match p: next match at >= p+m, same row
+    tgt_pos = bidx + m
+    t = jnp.where(tgt_pos < bcap, nxt[jnp.clip(tgt_pos, 0, bcap - 1)], _BIG)
+    same_row = jnp.where(t < bcap, rows[jnp.clip(t, 0, bcap - 1)] == rows,
+                         False)
+    jump = jnp.where(match & same_row & (t < bcap), t, END).astype(jnp.int32)
+    cnt = match.astype(jnp.int32)
+    # absorbing END node
+    jump = jnp.concatenate([jump, jnp.array([END], jnp.int32)])
+    cnt = jnp.concatenate([cnt, jnp.zeros((1,), jnp.int32)])
+    levels = [(jump, cnt)]
+    K = max(1, int(np.ceil(np.log2(max(bcap // max(m, 1), 1) + 2))))
+    for _ in range(K):
+        j, c = levels[-1]
+        levels.append((j[j], c + c[j]))
+    return levels, END
+
+
+def _row_first_match(a: Array, match: jax.Array):
+    bcap = a.values.shape[0]
+    bidx = _pool_iota(bcap)
+    nxt = jax.lax.cummin(jnp.where(match, bidx, _BIG), reverse=True)
+    cap = a.capacity
+    start = jnp.clip(a.offsets[:-1], 0, max(bcap - 1, 0))
+    first = nxt[start] if bcap else jnp.full((cap,), _BIG, jnp.int32)
+    # must lie within the row
+    first_ok = first < a.offsets[1:]
+    return jnp.where(first_ok, first, _BIG), first_ok
+
+
+def _greedy_count(a: Array, match: jax.Array, m: int) -> jax.Array:
+    bcap = a.values.shape[0]
+    cap = a.capacity
+    if bcap == 0:
+        return jnp.zeros((cap,), jnp.int32)
+    levels, END = _greedy_jump_tables(a, match, m)
+    jK, cK = levels[-1]
+    first, first_ok = _row_first_match(a, match)
+    total = cK[jnp.where(first_ok, first, END)]
+    return jnp.where(first_ok, total, 0).astype(jnp.int32)
+
+
+def _greedy_selected(a: Array, match: jax.Array, m: int,
+                     max_repl: Optional[int]):
+    """(B,) bool — greedy-selected match starts (respecting
+    max_replacements)."""
+    bcap = a.values.shape[0]
+    if bcap == 0:
+        return jnp.zeros((0,), jnp.bool_)
+    levels, END = _greedy_jump_tables(a, match, m)
+    first, first_ok = _row_first_match(a, match)
+    # mark all chain nodes: descending binary-lifting sweep from row heads
+    marked = jnp.zeros((bcap + 1,), jnp.bool_).at[
+        jnp.where(first_ok, first, END)].set(True, mode="drop")
+    for j, _c in reversed(levels[:-1]):
+        tgt = jnp.where(marked, j, END)
+        marked = marked | jnp.zeros((bcap + 1,), jnp.bool_).at[tgt].set(
+            True, mode="drop")
+    marked = marked.at[END].set(False)
+    sel = marked[:bcap] & match
+    if max_repl is not None and max_repl >= 0:
+        # selection index within row = total_from_row_first - total_from_p
+        jK, cK = levels[-1]
+        rows = _rows_of_bytes(a)
+        total_first = cK[jnp.where(first_ok, first, END)][rows]
+        total_p = cK[jnp.clip(_pool_iota(bcap), 0, bcap - 1)]
+        idx_in_row = total_first - total_p  # 0-based
+        sel = sel & (idx_in_row < max_repl)
+    return sel
+
+
+def _register_match(name, kind):
+    @register_function(name, Kind.SCALAR, 1,
+                       options_class=MatchSubstringOptions)
+    def _fn(args, options, _k=kind):
+        if options is None:
+            raise ValueError(f"{name} requires a pattern")
+        return _match_reduce(_arg_array(args[0]), options, _k)
+    return _fn
+
+
+_register_match("match_substring", "match")
+_register_match("find_substring", "find")
+_register_match("count_substring", "count")
+
+
+def _edge_with(a: Array, options, at_start: bool) -> Array:
+    pat = _pat_bytes(options.pattern)
+    m = len(pat)
+    cap = a.capacity
+    lens = _lens(a)
+    pool = a.values
+    if getattr(options, "ignore_case", False):
+        pool = _to_lower_b(pool)
+        pat = _pat_bytes(options.pattern.lower())
+    bcap = max(pool.shape[0], 1)
+    pool = pool if pool.shape[0] else jnp.zeros((1,), jnp.uint8)
+    base = a.offsets[:-1] if at_start else a.offsets[1:] - m
+    ok = lens >= m
+    for k in range(m):
+        src = jnp.clip(base + k, 0, bcap - 1)
+        ok = ok & (pool[src] == jnp.uint8(pat[k]))
+    return Array(dt.bool_, ok, a.validity, length=a.length)
+
+
+register_function("starts_with", Kind.SCALAR, 1,
+                  options_class=MatchSubstringOptions)(
+    lambda args, options: _edge_with(_arg_array(args[0]), options, True))
+register_function("ends_with", Kind.SCALAR, 1,
+                  options_class=MatchSubstringOptions)(
+    lambda args, options: _edge_with(_arg_array(args[0]), options, False))
+
+
+@register_function("match_like", Kind.SCALAR, 1,
+                   options_class=MatchSubstringOptions)
+def _match_like(args, options):
+    """SQL LIKE — supports the common shapes (no regex engine on device):
+    'lit', '%lit', 'lit%', '%lit%'; general patterns with _ or interior %
+    are rejected."""
+    a = _arg_array(args[0])
+    p = options.pattern
+    if "_" in p or "%" in p.strip("%"):
+        raise NotImplementedError(f"match_like pattern {p!r}")
+    body = p.strip("%")
+    sub = MatchSubstringOptions(body, getattr(options, "ignore_case", False))
+    if p.startswith("%") and p.endswith("%") and len(p) >= 2:
+        return _match_reduce(a, sub, "match")
+    if p.endswith("%"):
+        return _edge_with(a, sub, True)
+    if p.startswith("%"):
+        return _edge_with(a, sub, False)
+    eq = compare_varlen("equal", a, Scalar(body, a.type))
+    return Array(dt.bool_, eq, a.validity, length=a.length)
+
+
+# ---- slicing / trimming / padding ----------------------------------------------
+
+@register_function("binary_slice", Kind.SCALAR, 1,
+                   options_class=SliceOptions)
+def _binary_slice(args, options):
+    a = _arg_array(args[0])
+    return _slice_bytes(a, options)
+
+
+@register_function("utf8_slice_codeunits", Kind.SCALAR, 1,
+                   options_class=SliceOptions)
+def _utf8_slice(args, options):
+    # exact only for single-byte code units; multi-byte handled as bytes
+    a = _arg_array(args[0])
+    return _slice_bytes(a, options)
+
+
+def _slice_bounds(lens, start, stop, step):
+    """Python slice semantics per row (vectorized)."""
+    ln = lens.astype(jnp.int32)
+    s = jnp.asarray(start, jnp.int32)
+    s = jnp.where(s < 0, jnp.maximum(ln + s, 0), jnp.minimum(s, ln))
+    if stop is None:
+        e = ln if step > 0 else jnp.full_like(ln, -1)
+    else:
+        e = jnp.asarray(stop, jnp.int32)
+        e = jnp.where(e < 0, jnp.maximum(ln + e, -1 if step < 0 else 0),
+                      jnp.minimum(e, ln))
+    if step < 0:
+        s2 = jnp.asarray(start, jnp.int32)
+        s2 = jnp.where(s2 < 0, ln + s2, s2)
+        s2 = jnp.minimum(s2, ln - 1)
+        n = jnp.maximum((s2 - e + (-step) - 1) // (-step), 0)
+        n = jnp.where(s2 < 0, 0, n)
+        return s2, n
+    n = jnp.maximum((e - s + step - 1) // step, 0)
+    return s, n
+
+
+def _slice_bytes(a: Array, options) -> Array:
+    opts = options or SliceOptions()
+    step = opts.step or 1
+    if step == 0:
+        raise ValueError("slice step cannot be zero")
+    lens = _lens(a)
+    start, n = _slice_bounds(lens, opts.start, opts.stop, step)
+
+    def src_of(r, k, out_pos):
+        return a.offsets[r] + start[r] + k * jnp.int32(step)
+
+    return _build_varlen(a, n, src_of, out_bcap=a.values.shape[0])
+
+
+def _trim_flags(a: Array, char_set: Optional[str]):
+    """(B,) bool — byte is in the trim set."""
+    b = a.values
+    if char_set is None:
+        return _SPACE(b)
+    cs = _pat_bytes(char_set)
+    flag = jnp.zeros_like(b, dtype=jnp.bool_)
+    for c in np.unique(cs):
+        flag = flag | (b == jnp.uint8(c))
+    return flag
+
+
+def _trim(a: Array, char_set: Optional[str], left: bool, right: bool
+          ) -> Array:
+    cap = a.capacity
+    bcap = a.values.shape[0]
+    if bcap == 0:
+        return a
+    in_set = _trim_flags(a, char_set)
+    rows = _rows_of_bytes(a)
+    bidx = _pool_iota(bcap)
+    pos = bidx - a.offsets[rows]
+    in_pool = bidx < a.offsets[cap]
+    lens = _lens(a)
+    if left:
+        # first position from the left NOT in the set
+        first_keep = jnp.full((cap,), _BIG, jnp.int32).at[
+            jnp.where(in_pool & ~in_set, rows, cap)].min(pos, mode="drop")
+        nstart = jnp.minimum(first_keep, lens.astype(jnp.int32))
+    else:
+        nstart = jnp.zeros((cap,), jnp.int32)
+    if right:
+        last_keep = jnp.full((cap,), -1, jnp.int32).at[
+            jnp.where(in_pool & ~in_set, rows, cap)].max(pos, mode="drop")
+        nend = jnp.minimum(last_keep + 1, lens.astype(jnp.int32))
+    else:
+        nend = lens.astype(jnp.int32)
+    n = jnp.maximum(nend - nstart, 0)
+
+    def src_of(r, k, out_pos):
+        return a.offsets[r] + nstart[r] + k
+
+    return _build_varlen(a, n, src_of, out_bcap=bcap)
+
+
+for _name, _l, _r, _ws in [
+    ("utf8_trim", True, True, False), ("utf8_ltrim", True, False, False),
+    ("utf8_rtrim", False, True, False),
+    ("ascii_trim", True, True, False), ("ascii_ltrim", True, False, False),
+    ("ascii_rtrim", False, True, False),
+    ("utf8_trim_whitespace", True, True, True),
+    ("utf8_ltrim_whitespace", True, False, True),
+    ("utf8_rtrim_whitespace", False, True, True),
+    ("ascii_trim_whitespace", True, True, True),
+    ("ascii_ltrim_whitespace", True, False, True),
+    ("ascii_rtrim_whitespace", False, True, True),
+]:
+    register_function(_name, Kind.SCALAR, 1,
+                      options_class=None if _ws else TrimOptions)(
+        lambda args, options, _lf=_l, _rf=_r, _w=_ws: _trim(
+            _arg_array(args[0]),
+            None if _w else (options.characters if options else ""),
+            _lf, _rf))
+
+
+def _pad(a: Array, options, side: str) -> Array:
+    opts = options
+    width = int(opts.width)
+    padding = _pat_bytes(opts.padding or " ")
+    if len(padding) != 1:
+        raise ValueError("padding must be one byte")
+    pad_b = jnp.uint8(padding[0])
+    lens = _lens(a).astype(jnp.int32)
+    n = jnp.maximum(lens, width)
+    total_pad = jnp.maximum(width - lens, 0)
+    if side == "left":
+        lpad = total_pad
+    elif side == "right":
+        lpad = jnp.zeros_like(total_pad)
+    else:  # center: odd leftover leans per option
+        if getattr(opts, "lean_left_on_odd_padding", True):
+            lpad = total_pad // 2
+        else:
+            lpad = (total_pad + 1) // 2
+
+    def src_of(r, k, out_pos):
+        src_k = k - lpad[r]
+        ok = (src_k >= 0) & (src_k < lens[r])
+        return jnp.where(ok, a.offsets[r] + src_k, -1)
+
+    out_bcap = a.values.shape[0] + a.capacity * max(width, 1)
+    return _build_varlen(a, n, src_of, out_bcap=out_bcap,
+                         filler=lambda r, k: pad_b)
+
+
+for _name, _side in [("utf8_lpad", "left"), ("utf8_rpad", "right"),
+                     ("utf8_center", "center"), ("ascii_lpad", "left"),
+                     ("ascii_rpad", "right"), ("ascii_center", "center")]:
+    register_function(_name, Kind.SCALAR, 1, options_class=PadOptions)(
+        lambda args, options, _s=_side: _pad(_arg_array(args[0]),
+                                             options, _s))
+
+
+# ---- repeat / join / replace ---------------------------------------------------
+
+@register_function("binary_repeat", Kind.SCALAR, 2,
+                   null_handling=NullHandling.INTERSECTION)
+def _binary_repeat(args, options):
+    a = _arg_array(args[0])
+    reps = args[1]
+    if isinstance(reps, Scalar):
+        nrep = int(reps.value)
+        reps_arr = jnp.full((a.capacity,), nrep, jnp.int32)
+        max_rep = max(nrep, 0)
+    else:
+        reps_arr = reps.values.astype(jnp.int32)
+        max_rep = int(jax.device_get(jnp.max(
+            jnp.where(row_mask(a.capacity, a.length), reps_arr, 0))))
+    lens = _lens(a).astype(jnp.int32)
+    n = lens * jnp.maximum(reps_arr, 0)
+
+    def src_of(r, k, out_pos):
+        return a.offsets[r] + k % jnp.maximum(lens[r], 1)
+
+    return _build_varlen(a, n, src_of,
+                         out_bcap=a.values.shape[0] * max(max_rep, 1))
+
+
+class JoinOptions:
+    def __init__(self, null_handling: str = "emit_null",
+                 null_replacement: str = ""):
+        self.null_handling = null_handling
+        self.null_replacement = null_replacement
+
+
+@register_function("binary_join_element_wise", Kind.SCALAR, -1,
+                   null_handling=NullHandling.COMPUTED,
+                   options_class=JoinOptions)
+def _binary_join_element_wise(args, options):
+    """Concatenate N string columns + separator (last arg), row-wise."""
+    if len(args) < 2:
+        raise ValueError("binary_join_element_wise needs >= 2 args")
+    *cols_in, sep = args
+    cols = []
+    base = next(a for a in cols_in if isinstance(a, Array))
+    cap = base.capacity
+    for c in cols_in:
+        if isinstance(c, Scalar):
+            sb = _pat_bytes(c.value or "")
+            off = jnp.arange(cap + 1, dtype=jnp.int32) * len(sb)
+            vals = jnp.tile(jnp.asarray(sb, jnp.uint8), (cap,)) if len(sb) \
+                else jnp.zeros((0,), jnp.uint8)
+            cols.append(Array(base.type, vals, None, offsets=off,
+                              length=base.length))
+        else:
+            cols.append(c)
+    if isinstance(sep, Scalar):
+        sep_b = _pat_bytes(sep.value or "")
+        sep_lens = jnp.full((cap,), len(sep_b), jnp.int32)
+        sep_arr = None
+    else:
+        sep_arr = sep
+        sep_lens = _lens(sep).astype(jnp.int32)
+        sep_b = None
+    ncol = len(cols)
+    col_lens = [jnp.where(c.validity_or_true(), _lens(c), 0).astype(
+        jnp.int32) for c in cols]
+    n = sum(col_lens) + sep_lens * (ncol - 1)
+    # piecewise source: which column does output byte k of row r hit?
+    bounds = []
+    acc = jnp.zeros((cap,), jnp.int32)
+    for i in range(ncol):
+        bounds.append(acc)
+        acc = acc + col_lens[i]
+        if i < ncol - 1:
+            bounds.append(acc)
+            acc = acc + sep_lens
+    total_in = sum(c.values.shape[0] for c in cols) + (
+        sep_arr.values.shape[0] if sep_arr is not None else
+        cap * len(sep_b))
+    # build output bytes directly (gather from multiple pools via select)
+    new_off = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                               jnp.cumsum(jnp.where(
+                                   row_mask(cap, base.length), n, 0)
+                               ).astype(jnp.int32)])
+    out_bcap = max(int(total_in), 1)
+    bidx = _pool_iota(out_bcap)
+    r = jnp.clip(jnp.searchsorted(new_off, bidx, "right").astype(
+        jnp.int32) - 1, 0, cap - 1)
+    k = bidx - new_off[r]
+    out = jnp.zeros((out_bcap,), jnp.uint8)
+    seg = 0
+    for i in range(ncol):
+        lo = bounds[seg]
+        c = cols[i]
+        ccap = max(c.values.shape[0], 1)
+        cvals = c.values if c.values.shape[0] else jnp.zeros((1,), jnp.uint8)
+        src = jnp.clip(c.offsets[r] + (k - lo[r]), 0, ccap - 1)
+        hit = (k >= lo[r]) & (k < lo[r] + col_lens[i][r])
+        out = jnp.where(hit, cvals[src], out)
+        seg += 1
+        if i < ncol - 1:
+            lo2 = bounds[seg]
+            if sep_arr is not None:
+                scap = max(sep_arr.values.shape[0], 1)
+                svals = sep_arr.values if sep_arr.values.shape[0] else \
+                    jnp.zeros((1,), jnp.uint8)
+                ssrc = jnp.clip(sep_arr.offsets[r] + (k - lo2[r]), 0,
+                                scap - 1)
+                sbyte = svals[ssrc]
+            else:
+                sb = jnp.asarray(sep_b, jnp.uint8) if len(sep_b) else \
+                    jnp.zeros((1,), jnp.uint8)
+                sbyte = sb[jnp.clip(k - lo2[r], 0, max(len(sep_b) - 1, 0))]
+            hit2 = (k >= lo2[r]) & (k < lo2[r] + sep_lens[r])
+            out = jnp.where(hit2, sbyte, out)
+            seg += 1
+    total = new_off[-1]
+    out = jnp.where(bidx < total, out, 0).astype(jnp.uint8)
+    # null if any input (or separator) is null
+    validity = None
+    parts = cols + ([sep_arr] if sep_arr is not None else [])
+    for c in parts:
+        if c.validity is not None:
+            validity = c.validity if validity is None else \
+                validity & c.validity
+    return Array(base.type, out, validity, offsets=new_off,
+                 length=base.length)
+
+
+@register_function("replace_substring", Kind.SCALAR, 1,
+                   options_class=ReplaceSubstringOptions)
+def _replace_substring(args, options):
+    a = _arg_array(args[0])
+    pat = _pat_bytes(options.pattern)
+    rep = _pat_bytes(options.replacement)
+    m, rl = len(pat), len(rep)
+    if m == 0:
+        raise NotImplementedError("replace of empty pattern")
+    match = _match_positions(a, MatchSubstringOptions(options.pattern))
+    sel = _greedy_selected(a, match, m, options.max_replacements)
+    bcap = a.values.shape[0]
+    cap = a.capacity
+    if bcap == 0:
+        return a
+    rows = _rows_of_bytes(a)
+    bidx = _pool_iota(bcap)
+    in_pool = bidx < a.offsets[cap]
+    # consumed[p] = inside any selected match window [s, s+m); windows are
+    # disjoint (greedy), so a +1/-1 diff array + cumsum marks them
+    marks = jnp.zeros((bcap + 1,), jnp.int32)
+    marks = marks.at[jnp.where(sel & in_pool, bidx, bcap)].add(
+        1, mode="drop")
+    marks = marks.at[jnp.clip(jnp.where(sel & in_pool, bidx + m, bcap),
+                              0, bcap)].add(-1, mode="drop")
+    consumed = jnp.cumsum(marks[:bcap]) > 0
+    nsel = jnp.zeros((cap,), jnp.int32).at[
+        jnp.where(sel & in_pool, rows, cap)].add(1, mode="drop")
+    lens = _lens(a).astype(jnp.int32)
+    n = lens + nsel * (rl - m)
+    new_off = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                               jnp.cumsum(jnp.where(
+                                   row_mask(cap, a.length), n, 0)
+                               ).astype(jnp.int32)])
+    # output position of each copied input byte:
+    # out = new_off[row] + (pos_in_row - consumed_before_in_row
+    #                       + sel_before_in_row * rl)
+    pos = bidx - a.offsets[rows]
+    consumed_cum = jnp.cumsum((consumed & in_pool).astype(jnp.int32))
+    sel_cum = jnp.cumsum((sel & in_pool).astype(jnp.int32))
+    row_base_bidx = jnp.clip(a.offsets[rows], 0, bcap - 1)
+    # exclusive prefix within row: global cumsum minus cumsum at row start
+    cons_excl = consumed_cum - (consumed & in_pool).astype(jnp.int32)
+    sel_excl = sel_cum - (sel & in_pool).astype(jnp.int32)
+    cons_at_start = cons_excl[row_base_bidx]
+    sel_at_start = sel_excl[row_base_bidx]
+    cons_before = cons_excl - cons_at_start
+    sel_before = sel_excl - sel_at_start
+    out_bcap = int(bcap + (bcap // m) * max(rl - m, 0)) if rl > m else bcap
+    out_bcap = max(out_bcap, 1)
+    out_pos_copy = new_off[rows] + (pos - cons_before + sel_before * rl)
+    out = jnp.zeros((out_bcap,), jnp.uint8)
+    copy_ok = in_pool & ~consumed
+    out = out.at[jnp.where(copy_ok, jnp.clip(out_pos_copy, 0, out_bcap - 1),
+                           out_bcap)].set(a.values, mode="drop")
+    # write replacement bytes at each selected match
+    rep_base = new_off[rows] + (pos - cons_before + sel_before * rl)
+    for k in range(rl):
+        tpos = jnp.where(sel & in_pool, rep_base + k, out_bcap)
+        out = out.at[jnp.clip(tpos, 0, out_bcap)].set(
+            jnp.uint8(rep[k]), mode="drop")
+    return Array(a.type, out, a.validity, offsets=new_off, length=a.length)
+
+
+# ---- exact varlen comparison (wired into scalar_compare) -----------------------
+
+def compare_varlen(op: str, a, b) -> jax.Array:
+    """Exact lexicographic byte comparison. Supports Array vs Array (same
+    capacity) and Array vs Scalar. Returns (capacity,) bool VALUES (validity
+    handled by the caller/registry)."""
+    if isinstance(a, Scalar) and isinstance(b, Array):
+        flipped = {"less": "greater", "greater": "less",
+                   "less_equal": "greater_equal",
+                   "greater_equal": "less_equal"}.get(op, op)
+        return compare_varlen(flipped, b, a)
+    assert isinstance(a, Array)
+    if isinstance(a.type, dt.DictionaryType):
+        inner = compare_varlen(op, a.dictionary, b)
+        return inner[jnp.clip(a.values.astype(jnp.int32), 0,
+                              max(len(a.dictionary) - 1, 0))]
+    lens_a = _lens(a).astype(jnp.int32)
+    cap = a.capacity
+    if isinstance(b, Scalar):
+        pat = _pat_bytes(b.value if b.value is not None else "")
+        m = len(pat)
+        bcap = max(a.values.shape[0], 1)
+        pool = a.values if a.values.shape[0] else jnp.zeros((1,), jnp.uint8)
+        # first differing position within min(len, m), else compare lengths
+        cmp = jnp.zeros((cap,), jnp.int32)  # -1 lt, 0 eq, +1 gt
+        decided = jnp.zeros((cap,), jnp.bool_)
+        for k in range(m):
+            byte = pool[jnp.clip(a.offsets[:-1] + k, 0, bcap - 1)].astype(
+                jnp.int32)
+            have = lens_a > k
+            pb = int(pat[k])
+            d = jnp.where(byte < pb, -1, jnp.where(byte > pb, 1, 0))
+            d = jnp.where(have, d, -1)  # a ran out -> a is prefix -> less
+            newly = ~decided & ((d != 0) | ~have)
+            cmp = jnp.where(newly, d, cmp)
+            decided = decided | newly
+        # undetermined: first m bytes equal; longer a is greater
+        tail = jnp.where(lens_a > m, 1, 0)
+        cmp = jnp.where(decided, cmp, tail)
+    else:
+        lens_b = _lens(b).astype(jnp.int32)
+        bcap_a = max(a.values.shape[0], 1)
+        pool_a = a.values if a.values.shape[0] else jnp.zeros((1,),
+                                                              jnp.uint8)
+        bcap_b = max(b.values.shape[0], 1)
+        pool_b = b.values if b.values.shape[0] else jnp.zeros((1,),
+                                                              jnp.uint8)
+        # aligned walk over a's pool: byte j of row r compares with b's
+        # byte at off_b[r] + (j - off_a[r])
+        rows = _rows_of_bytes(a)
+        bidx = _pool_iota(a.values.shape[0]) if a.values.shape[0] else \
+            jnp.zeros((0,), jnp.int32)
+        pos = bidx - a.offsets[rows]
+        src_b = jnp.clip(b.offsets[rows] + pos, 0, bcap_b - 1)
+        in_both = (pos < lens_a[rows]) & (pos < lens_b[rows]) & (
+            bidx < a.offsets[cap])
+        d = jnp.where(pool_a[jnp.clip(bidx, 0, bcap_a - 1)].astype(jnp.int32)
+                      < pool_b[src_b].astype(jnp.int32), -1,
+                      jnp.where(pool_a[jnp.clip(bidx, 0, bcap_a - 1)].astype(
+                          jnp.int32) > pool_b[src_b].astype(jnp.int32),
+                          1, 0))
+        first_diff_pos = jnp.full((cap,), _BIG, jnp.int32).at[
+            jnp.where(in_both & (d != 0), rows, cap)].min(pos, mode="drop")
+        # d at the first differing position (unique per row -> plain set)
+        is_first = in_both & (d != 0) & (pos == first_diff_pos[rows])
+        cmp = jnp.zeros((cap,), jnp.int32).at[
+            jnp.where(is_first, rows, cap)].set(d, mode="drop",
+                                                unique_indices=True)
+        undecided = first_diff_pos == _BIG
+        len_cmp = jnp.where(lens_a < lens_b, -1,
+                            jnp.where(lens_a > lens_b, 1, 0))
+        cmp = jnp.where(undecided, len_cmp, cmp)
+    if op == "equal":
+        return cmp == 0
+    if op == "not_equal":
+        return cmp != 0
+    if op == "less":
+        return cmp < 0
+    if op == "less_equal":
+        return cmp <= 0
+    if op == "greater":
+        return cmp > 0
+    return cmp >= 0

@@ -10,7 +10,7 @@ from .options import (  # noqa: F401
     AggregateNodeOptions, ExecNodeOptions, FetchNodeOptions,
     FilterNodeOptions, HashJoinNodeOptions, OrderByNodeOptions,
     ProjectNodeOptions, SourceNodeOptions, TableSourceNodeOptions,
-    UnionNodeOptions,
+    TpchGenNodeOptions, UnionNodeOptions,
 )
 from ..ops.hash_aggregate import AggregateSpec  # noqa: F401
 from ..ops.sorting import SortKey  # noqa: F401

@@ -366,3 +366,26 @@ class UnionNode(ExecNode):
             for b in inp.batches():
                 yield b.with_index(i)
                 i += 1
+
+
+@register_node_factory("tpch_gen")
+class TpchGenNode(ExecNode):
+    """Built-in TPC-H table generator (``tpch_node.cc:3362`` TpchGen).
+    Generates on the host (numpy; see utils/tpch.py) and feeds the plan
+    like a table_source."""
+
+    def __init__(self, options, inputs):
+        super().__init__(options, inputs)
+        from ..utils.tpch import tpch_table
+        pa_table = tpch_table(options.table_name,
+                              scale_factor=options.scale_factor,
+                              seed=options.seed)
+        self.table = Table.from_pyarrow(
+            pa_table, max_rows_per_batch=options.max_batch_rows)
+
+    def output_schema(self) -> Schema:
+        return self.table.schema
+
+    def batches(self) -> Iterator[Batch]:
+        for i, b in enumerate(self.table.batches):
+            yield b.with_index(i)

@@ -12,7 +12,7 @@ __all__ = [
     "ExecNodeOptions", "TableSourceNodeOptions", "SourceNodeOptions",
     "FilterNodeOptions", "ProjectNodeOptions", "AggregateNodeOptions",
     "OrderByNodeOptions", "FetchNodeOptions", "UnionNodeOptions",
-    "HashJoinNodeOptions",
+    "HashJoinNodeOptions", "TpchGenNodeOptions",
 ]
 
 
@@ -104,3 +104,14 @@ class HashJoinNodeOptions(ExecNodeOptions):
         self.output_suffix_for_right = output_suffix_for_right
         self.max_build_rows = max_build_rows
         self.fanout_capacity = fanout_capacity
+
+
+class TpchGenNodeOptions(ExecNodeOptions):
+    """Reference: TpchGenNodeOptions (``acero/tpch_node.h``)."""
+
+    def __init__(self, table_name: str, scale_factor: float = 1.0,
+                 seed: int = 42, max_batch_rows: int = 1 << 15):
+        self.table_name = table_name
+        self.scale_factor = scale_factor
+        self.seed = seed
+        self.max_batch_rows = max_batch_rows

@@ -33,11 +33,24 @@ class Scalar:
 
     def storage_value(self):
         """Value as numpy storage dtype (0 for null — masked anyway)."""
+        import datetime as _dtm
         if not self.is_valid:
             return np.zeros((), dtype=self.type.storage_np)[()]
         if self.type.is_varlen:
             return self.value
-        return np.asarray(self.value).astype(self.type.storage_np)[()]
+        v = self.value
+        if isinstance(v, _dtm.datetime):
+            epoch = _dtm.datetime(1970, 1, 1)
+            us = int((v - epoch).total_seconds() * 1e6)
+            scale = {"s": 1_000_000, "ms": 1_000, "us": 1, "ns": 1}[
+                getattr(self.type, "unit", "us")]
+            v = us // scale if getattr(self.type, "unit", "us") != "ns" \
+                else us * 1000
+        elif isinstance(v, _dtm.date):
+            days = (v - _dtm.date(1970, 1, 1)).days
+            v = days * 86_400_000 if isinstance(self.type, dt.Date64Type) \
+                else days
+        return np.asarray(v).astype(self.type.storage_np)[()]
 
     def __repr__(self):
         return f"Scalar<{self.type}>({self.as_py()!r})"
@@ -54,6 +67,11 @@ def _infer_scalar_type(value) -> dt.DataType:
         return dt.string
     if isinstance(value, (bytes,)):
         return dt.binary
+    import datetime as _dtm
+    if isinstance(value, _dtm.datetime):
+        return dt.timestamp("us")
+    if isinstance(value, _dtm.date):
+        return dt.date32
     raise TypeError(f"cannot infer scalar type for {value!r}")
 
 

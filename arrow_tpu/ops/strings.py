@@ -906,7 +906,7 @@ def compare_varlen(op: str, a, b) -> jax.Array:
     if isinstance(a.type, dt.DictionaryType):
         inner = compare_varlen(op, a.dictionary, b)
         return inner[jnp.clip(a.values.astype(jnp.int32), 0,
-                              max(len(a.dictionary) - 1, 0))]
+                              max(a.dictionary.capacity - 1, 0))]
     lens_a = _lens(a).astype(jnp.int32)
     cap = a.capacity
     if isinstance(b, Scalar):

@@ -9,7 +9,8 @@ from .plan import Declaration, declaration_to_table  # noqa: F401
 from .options import (  # noqa: F401
     AggregateNodeOptions, ExecNodeOptions, FetchNodeOptions,
     FilterNodeOptions, HashJoinNodeOptions, OrderByNodeOptions,
-    ProjectNodeOptions, SourceNodeOptions, TableSourceNodeOptions,
+    AsofJoinNodeOptions, PivotLongerNodeOptions, ProjectNodeOptions,
+    SortedMergeNodeOptions, SourceNodeOptions, TableSourceNodeOptions,
     TpchGenNodeOptions, UnionNodeOptions,
 )
 from ..ops.hash_aggregate import AggregateSpec  # noqa: F401

@@ -389,3 +389,202 @@ class TpchGenNode(ExecNode):
     def batches(self) -> Iterator[Batch]:
         for i, b in enumerate(self.table.batches):
             yield b.with_index(i)
+
+
+@register_node_factory("sorted_merge")
+class SortedMergeNode(ExecNode):
+    """``sorted_merge_node.cc:256``: k-way merge of ordered inputs.
+
+    TPU-native: the CPU's streaming heap-merge is a serial per-row loop;
+    here the accumulated inputs concat and one device sort re-establishes
+    the order (the sort unit outruns a heap by orders of magnitude at
+    engine batch sizes). Semantically identical for materialized outputs.
+    """
+
+    def __init__(self, options: opts.SortedMergeNodeOptions, inputs):
+        super().__init__(options, inputs)
+
+        def run(big: Batch) -> Batch:
+            idx = sort_indices_batch(big, SortOptions(
+                self.options.sort_keys, self.options.null_placement))
+            idx32 = Array(dt.int32, idx.values.astype(jnp.int32), None,
+                          length=idx.length)
+            return take_batch(big, idx32)
+
+        self._run = jax.jit(run)
+
+    def output_schema(self) -> Schema:
+        return self.inputs[0].output_schema()
+
+    def batches(self) -> Iterator[Batch]:
+        acc = [b for inp in self.inputs for b in inp.batches()]
+        if not acc:
+            return
+        big = concat_batches(acc) if len(acc) > 1 else acc[0]
+        yield self._run(big).with_index(0)
+
+
+@register_node_factory("asofjoin")
+class AsofJoinNode(ExecNode):
+    """``asof_join_node.cc``: ordered temporal join.
+
+    TPU-native: instead of the reference's per-input queues + per-row
+    cursor walk, both sides sort TOGETHER by (by-group, on, side) and one
+    segmented last-right scan finds each left row's as-of match — the
+    whole join is a lexsort + associative_scan + gather.
+    """
+
+    def __init__(self, options: opts.AsofJoinNodeOptions, inputs):
+        super().__init__(options, inputs)
+        lschema = inputs[0].output_schema()
+        rschema = inputs[1].output_schema()
+        o = options
+        self.right_payload = [n for n in rschema.names
+                              if n != o.right_on and n not in o.right_by]
+        fields = list(lschema.fields)
+        for n in self.right_payload:
+            f = rschema.field(n)
+            fields.append(Field(f.name, f.type, True))
+        self._schema = Schema(tuple(fields))
+
+        from ..ops.grouper import Grouper
+        by_fields = [lschema.field(k) for k in o.left_by]
+        self._grouper = Grouper(
+            [f.type for f in by_fields],
+            [f.nullable or rschema.field(rk).nullable
+             for f, rk in zip(by_fields, o.right_by)],
+            max_groups=o.max_by_groups)
+
+        def run(left: Batch, right: Batch) -> Batch:
+            capL, capR = left.capacity, right.capacity
+            gstate = self._grouper.init_state()
+            gstate, gidR = self._grouper.consume(
+                gstate, [right.column(k) for k in o.right_by],
+                length=right.length)
+            gstate, gidL = self._grouper.consume(
+                gstate, [left.column(k) for k in o.left_by],
+                length=left.length)
+            onL = left.column(o.left_on).values.astype(jnp.int64)
+            onR = right.column(o.right_on).values.astype(jnp.int64)
+            if o.tolerance >= 0:   # future match -> mirror to past match
+                onL, onR = -onL, -onR
+            tol = jnp.int64(abs(o.tolerance))
+            n = capL + capR
+            gid = jnp.concatenate([gidR, gidL])
+            on = jnp.concatenate([onR, onL])
+            # side 0 = right, 1 = left; right sorts first at equal on so
+            # equality matches are visible to the left row
+            side = jnp.concatenate([jnp.zeros((capR,), jnp.int32),
+                                    jnp.ones((capL,), jnp.int32)])
+            ridx = jnp.concatenate([
+                jnp.arange(capR, dtype=jnp.int32),
+                jnp.full((capL,), -1, jnp.int32)])
+            inactive = (gid < 0).astype(jnp.int32)
+            order = jnp.lexsort((side, on, gid, inactive))
+            s_gid = gid[order]
+            s_ridx = ridx[order]
+            head = jnp.concatenate([
+                jnp.ones((1,), jnp.bool_), s_gid[1:] != s_gid[:-1]])
+
+            def comb(a, b):
+                af, av = a
+                bf, bv = b
+                return af | bf, jnp.where(bf, bv,
+                                          jnp.where(bv >= 0, bv, av))
+
+            _, last_right = jax.lax.associative_scan(
+                comb, (head, s_ridx))
+            # scatter each left row's candidate back to original position
+            src = order - capR  # left original row for side-1 positions
+            is_left = s_ridx < 0
+            cand = jnp.full((capL,), -1, jnp.int32).at[
+                jnp.where(is_left & (src >= 0), src, capL)].set(
+                last_right, mode="drop", unique_indices=True)
+            candc = jnp.clip(cand, 0, max(capR - 1, 0))
+            matched = (cand >= 0) & (gidL >= 0) & \
+                (onL - onR[candc] <= tol) & row_mask_(capL, left.length)
+            arrays = [left.column(i) for i in range(left.num_columns)]
+            out = list(arrays)
+            from ..ops.selection import take_array
+            idx_arr = Array(dt.int32, candc, matched, length=left.length)
+            for name in self.right_payload:
+                out.append(take_array(right.column(name), idx_arr))
+            return Batch(self._schema, out, left.length)
+
+        self._run = jax.jit(run)
+
+    def output_schema(self) -> Schema:
+        return self._schema
+
+    def batches(self) -> Iterator[Batch]:
+        lefts = [b for b in self.inputs[0].batches()]
+        rights = [b for b in self.inputs[1].batches()]
+        if not lefts:
+            return
+        left = concat_batches(lefts) if len(lefts) > 1 else lefts[0]
+        right = concat_batches(rights) if len(rights) > 1 else rights[0]
+        yield self._run(left, right).with_index(0)
+
+
+def row_mask_(cap, length):
+    from ..core.array import row_mask
+    return row_mask(cap, length)
+
+
+@register_node_factory("pivot_longer")
+class PivotLongerNode(ExecNode):
+    """``pivot_longer_node.cc:74``: unpivot via row templates — the batch
+    is emitted once per template with feature literals + referenced
+    measurement columns (null where the template has no field)."""
+
+    def __init__(self, options: opts.PivotLongerNodeOptions, inputs):
+        super().__init__(options, inputs)
+        in_schema = inputs[0].output_schema()
+        o = options
+        # measurement output type: common type of referenced fields
+        meas_types = []
+        for j in range(len(o.measurement_field_names)):
+            refs = [t[1][j] for t in o.row_templates if t[1][j] is not None]
+            if not refs:
+                raise ValueError("measurement column never referenced")
+            meas_types.append(in_schema.field(refs[0]).type)
+        fields = [Field(n, dt.string, False)
+                  for n in o.feature_field_names]
+        fields += [Field(n, t, True)
+                   for n, t in zip(o.measurement_field_names, meas_types)]
+        self._schema = Schema(tuple(fields))
+        self._meas_types = meas_types
+
+    def output_schema(self) -> Schema:
+        return self._schema
+
+    def _template_batch(self, b: Batch, tmpl) -> Batch:
+        import numpy as np_
+        feature_values, measurements = tmpl
+        cap = b.capacity
+        arrays = []
+        for v in feature_values:
+            sb = v.encode()
+            off = jnp.arange(cap + 1, dtype=jnp.int32) * len(sb)
+            vals = jnp.asarray(
+                np_.tile(np_.frombuffer(sb, np_.uint8), cap)) if sb else \
+                jnp.zeros((0,), jnp.uint8)
+            arrays.append(Array(dt.string, vals, None, offsets=off,
+                                length=b.length))
+        for j, ref in enumerate(measurements):
+            t = self._meas_types[j]
+            if ref is None:
+                vals = jnp.zeros((cap,), dtype=t.storage_np)
+                arrays.append(Array(t, vals,
+                                    jnp.zeros((cap,), jnp.bool_),
+                                    length=b.length))
+            else:
+                arrays.append(b.column(ref))
+        return Batch(self._schema, arrays, b.length)
+
+    def batches(self) -> Iterator[Batch]:
+        i = 0
+        for b in self.inputs[0].batches():
+            for tmpl in self.options.row_templates:
+                yield self._template_batch(b, tmpl).with_index(i)
+                i += 1

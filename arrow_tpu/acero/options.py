@@ -13,6 +13,8 @@ __all__ = [
     "FilterNodeOptions", "ProjectNodeOptions", "AggregateNodeOptions",
     "OrderByNodeOptions", "FetchNodeOptions", "UnionNodeOptions",
     "HashJoinNodeOptions", "TpchGenNodeOptions",
+    "SortedMergeNodeOptions", "AsofJoinNodeOptions",
+    "PivotLongerNodeOptions",
 ]
 
 
@@ -115,3 +117,47 @@ class TpchGenNodeOptions(ExecNodeOptions):
         self.scale_factor = scale_factor
         self.seed = seed
         self.max_batch_rows = max_batch_rows
+
+
+class SortedMergeNodeOptions(ExecNodeOptions):
+    """Reference: ``sorted_merge_node.cc:256`` — merge N inputs that are
+    each ordered by sort_keys into one ordered stream."""
+
+    def __init__(self, sort_keys: Sequence, null_placement: str = "at_end"):
+        self.sort_keys = [k if isinstance(k, SortKey) else SortKey(*k)
+                          for k in sort_keys]
+        self.null_placement = null_placement
+
+
+class AsofJoinNodeOptions(ExecNodeOptions):
+    """Reference: ``asof_join_node.cc`` AsofJoinNodeOptions.
+
+    tolerance < 0: match the nearest right.on <= left.on with
+    left.on - right.on <= |tolerance|; tolerance >= 0: the nearest
+    right.on >= left.on with right.on - left.on <= tolerance (pyarrow
+    semantics, verified against the oracle)."""
+
+    def __init__(self, left_on: str, left_by: Sequence[str],
+                 right_on: str, right_by: Sequence[str], tolerance: int,
+                 max_by_groups: int = 1 << 16):
+        self.left_on = left_on
+        self.left_by = list(left_by)
+        self.right_on = right_on
+        self.right_by = list(right_by)
+        self.tolerance = tolerance
+        self.max_by_groups = max_by_groups
+
+
+class PivotLongerNodeOptions(ExecNodeOptions):
+    """Reference: ``pivot_longer_node.cc:74``. Each row template emits one
+    output row per input row: feature columns are string literals naming
+    the template, measurement columns reference an input field (or None
+    => null)."""
+
+    def __init__(self, feature_field_names: Sequence[str],
+                 measurement_field_names: Sequence[str],
+                 row_templates: Sequence):
+        self.feature_field_names = list(feature_field_names)
+        self.measurement_field_names = list(measurement_field_names)
+        # row_templates: [(feature_values: [str], measurements: [str|None])]
+        self.row_templates = list(row_templates)

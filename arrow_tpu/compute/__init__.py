@@ -15,22 +15,10 @@ from .registry import (  # noqa: F401
 )
 from .scalar import Scalar, scalar  # noqa: F401
 
-# Import kernel modules for their registration side effects. When an ops
-# module is itself mid-import (it imported us to reach the registry),
-# importing it here just binds the partial module — fine, registration
-# happens as it finishes.
-from ..ops import scalar_arithmetic  # noqa: F401,E402
-from ..ops import scalar_compare  # noqa: F401,E402
-from ..ops import scalar_cast  # noqa: F401,E402
-from ..ops import selection  # noqa: F401,E402
-from ..ops import sorting  # noqa: F401,E402
-from ..ops import aggregates  # noqa: F401,E402
-from ..ops import vector_hash  # noqa: F401,E402
-from ..ops import set_lookup  # noqa: F401,E402
-from ..ops import aggregates_order  # noqa: F401,E402
-from ..ops import vector_misc  # noqa: F401,E402
-from ..ops import strings  # noqa: F401,E402
-from ..ops import temporal  # noqa: F401,E402
+# Kernel modules register lazily on first registry access (see
+# registry.ensure_kernels_loaded) so importing one ops module directly
+# never re-enters a partially initialized sibling.
+from .registry import ensure_kernels_loaded  # noqa: E402
 
 _LAZY = {
     "SetLookupOptions": "arrow_tpu.ops.set_lookup",

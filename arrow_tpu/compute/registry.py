@@ -90,6 +90,29 @@ def _apply_intersection_validity(out: Array, args: Sequence[Datum]) -> Array:
     return out.with_validity(validity)
 
 
+_KERNEL_MODULES = [
+    "scalar_arithmetic", "scalar_compare", "scalar_cast", "selection",
+    "sorting", "aggregates", "vector_hash", "set_lookup",
+    "aggregates_order", "vector_misc", "strings", "temporal",
+]
+_kernels_loaded = False
+
+
+def ensure_kernels_loaded():
+    """Import kernel modules for their registration side effects.
+
+    Deferred + idempotent so that importing any single ops module directly
+    (e.g. ``arrow_tpu.ops.selection``) never re-enters a partially
+    initialized sibling through the package __init__ chain."""
+    global _kernels_loaded
+    if _kernels_loaded:
+        return
+    _kernels_loaded = True
+    import importlib
+    for m in _KERNEL_MODULES:
+        importlib.import_module(f"arrow_tpu.ops.{m}")
+
+
 class FunctionRegistry:
     def __init__(self):
         self._functions: Dict[str, Function] = {}
@@ -100,6 +123,7 @@ class FunctionRegistry:
         self._functions[fn.name] = fn
 
     def get(self, name: str) -> Function:
+        ensure_kernels_loaded()
         try:
             return self._functions[name]
         except KeyError:
@@ -107,9 +131,11 @@ class FunctionRegistry:
                 from None
 
     def __contains__(self, name: str) -> bool:
+        ensure_kernels_loaded()
         return name in self._functions
 
     def list_functions(self) -> List[str]:
+        ensure_kernels_loaded()
         return sorted(self._functions)
 
 

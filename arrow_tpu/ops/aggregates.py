@@ -62,6 +62,26 @@ def _positions(mask: jax.Array, group_ids: jax.Array, G: int) -> jax.Array:
     return jnp.where(mask, group_ids, G)
 
 
+# ---- segment-consume helpers (the TPU fast path; see ops/segment.py) --------
+
+def _sorted_inputs(values: Optional[Array], ctx):
+    """(values-in-sorted-order | None, contribution flags in sorted order).
+    skip_nulls semantics: a row contributes iff active AND valid."""
+    ok = ctx.s_active
+    v_sorted = None
+    if values is not None:
+        v_sorted = values.values[ctx.perm]
+        if values.validity is not None:
+            ok = ok & values.validity[ctx.perm]
+    return v_sorted, ok
+
+
+def _gpos(ctx, G: int) -> jax.Array:
+    """(seg,) scatter targets: persistent gid per segment, G for pads —
+    unique indices by construction (one write per distinct group)."""
+    return jnp.where(ctx.gid_global >= 0, ctx.gid_global, G)
+
+
 class GroupedAggregator:
     """Base class. Subclasses define init/consume/merge/finalize."""
 
@@ -81,6 +101,13 @@ class GroupedAggregator:
     def merge(self, state, other, mapping: jax.Array):
         """Fold `other`'s group g into this state's group mapping[g]."""
         raise NotImplementedError
+
+    def consume_grouped(self, state, values: Optional[Array], ctx):
+        """Segment-reduction consume over a sort-grouped batch
+        (ops/segment.SegmentContext). Default falls back to the row-scatter
+        consume; hot aggregators override with cumsum/scan reductions whose
+        only scatter writes one element per distinct group."""
+        return self.consume(state, values, ctx.row_gids)
 
     def finalize(self, state, num_groups) -> Array:
         raise NotImplementedError
@@ -114,6 +141,25 @@ class GroupedCount(GroupedAggregator):
     def merge(self, state, other, mapping):
         return state.at[mapping].add(other, mode="drop")
 
+    def consume_grouped(self, state, values, ctx):
+        from .segment import seg_sum
+        mode = self.options.mode if isinstance(self.options, CountOptions) \
+            else "only_valid"
+        if values is None or values.validity is None:
+            ok = ctx.s_active if mode != "only_null" else \
+                jnp.zeros_like(ctx.s_active)
+        else:
+            vs = values.validity[ctx.perm]
+            if mode == "only_valid":
+                ok = ctx.s_active & vs
+            elif mode == "only_null":
+                ok = ctx.s_active & ~vs
+            else:
+                ok = ctx.s_active
+        partial = seg_sum(ctx, ok.astype(jnp.int64))
+        return state.at[_gpos(ctx, self.G)].add(partial, mode="drop",
+                                                unique_indices=True)
+
     def finalize(self, state, num_groups) -> Array:
         return Array(dt.int64, state, None, length=num_groups)
 
@@ -128,6 +174,12 @@ class GroupedCountAll(GroupedCount):
         pos = _positions(ok, group_ids, self.G)
         return state.at[pos].add(jnp.ones_like(pos, dtype=jnp.int64),
                                  mode="drop")
+
+    def consume_grouped(self, state, values, ctx):
+        from .segment import seg_sum
+        partial = seg_sum(ctx, ctx.s_active.astype(jnp.int64))
+        return state.at[_gpos(ctx, self.G)].add(partial, mode="drop",
+                                                unique_indices=True)
 
 
 class GroupedSum(GroupedAggregator):
@@ -162,6 +214,17 @@ class GroupedSum(GroupedAggregator):
         return (acc.at[mapping].add(oacc, mode="drop"),
                 cnt.at[mapping].add(ocnt, mode="drop"))
 
+    def consume_grouped(self, state, values, ctx):
+        from .segment import seg_sum
+        acc, cnt = state
+        v_sorted, ok = _sorted_inputs(values, ctx)
+        x = jnp.where(ok, v_sorted.astype(self._acc_dtype), 0)
+        gp = _gpos(ctx, self.G)
+        return (acc.at[gp].add(seg_sum(ctx, x), mode="drop",
+                               unique_indices=True),
+                cnt.at[gp].add(seg_sum(ctx, ok.astype(jnp.int64)),
+                               mode="drop", unique_indices=True))
+
     def finalize(self, state, num_groups) -> Array:
         acc, cnt = state
         # all-null / empty group -> null (Arrow: sum of no rows is null)
@@ -190,6 +253,18 @@ class GroupedProduct(GroupedSum):
         oacc, ocnt = other
         return (acc.at[mapping].multiply(oacc, mode="drop"),
                 cnt.at[mapping].add(ocnt, mode="drop"))
+
+    def consume_grouped(self, state, values, ctx):
+        from .segment import seg_prod, seg_sum
+        acc, cnt = state
+        v_sorted, ok = _sorted_inputs(values, ctx)
+        x = jnp.where(ok, v_sorted.astype(self._acc_dtype),
+                      jnp.ones((), self._acc_dtype))
+        gp = _gpos(ctx, self.G)
+        return (acc.at[gp].multiply(seg_prod(ctx, x), mode="drop",
+                                    unique_indices=True),
+                cnt.at[gp].add(seg_sum(ctx, ok.astype(jnp.int64)),
+                               mode="drop", unique_indices=True))
 
 
 class GroupedMean(GroupedSum):
@@ -256,6 +331,22 @@ class _GroupedExtremum(GroupedAggregator):
             acc = acc.at[mapping].max(oacc, mode="drop")
         return acc, cnt.at[mapping].add(ocnt, mode="drop")
 
+    def consume_grouped(self, state, values, ctx):
+        from .segment import seg_reduce_max, seg_reduce_min, seg_sum
+        acc, cnt = state
+        v_sorted, ok = _sorted_inputs(values, ctx)
+        ident = self._identity(acc.dtype)
+        x = jnp.where(ok, v_sorted.astype(acc.dtype), ident)
+        partial = seg_reduce_min(ctx, x) if self.is_min else \
+            seg_reduce_max(ctx, x)
+        gp = _gpos(ctx, self.G)
+        if self.is_min:
+            acc = acc.at[gp].min(partial, mode="drop", unique_indices=True)
+        else:
+            acc = acc.at[gp].max(partial, mode="drop", unique_indices=True)
+        return acc, cnt.at[gp].add(seg_sum(ctx, ok.astype(jnp.int64)),
+                                   mode="drop", unique_indices=True)
+
     def finalize(self, state, num_groups) -> Array:
         acc, cnt = state
         validity = cnt > 0
@@ -299,6 +390,16 @@ class GroupedAny(GroupedAggregator):
         return (acc.at[mapping].max(oacc, mode="drop"),
                 cnt.at[mapping].add(ocnt, mode="drop"))
 
+    def consume_grouped(self, state, values, ctx):
+        from .segment import seg_any, seg_sum
+        acc, cnt = state
+        v_sorted, ok = _sorted_inputs(values, ctx)
+        gp = _gpos(ctx, self.G)
+        partial = seg_any(ctx, v_sorted.astype(jnp.bool_) & ok)
+        return (acc.at[gp].max(partial, mode="drop", unique_indices=True),
+                cnt.at[gp].add(seg_sum(ctx, ok.astype(jnp.int64)),
+                               mode="drop", unique_indices=True))
+
     def finalize(self, state, num_groups) -> Array:
         acc, cnt = state
         return Array(dt.bool_, acc, cnt > 0, length=num_groups)
@@ -325,6 +426,16 @@ class GroupedAll(GroupedAggregator):
         oacc, ocnt = other
         return (acc.at[mapping].min(oacc, mode="drop"),
                 cnt.at[mapping].add(ocnt, mode="drop"))
+
+    def consume_grouped(self, state, values, ctx):
+        from .segment import seg_all, seg_sum
+        acc, cnt = state
+        v_sorted, ok = _sorted_inputs(values, ctx)
+        gp = _gpos(ctx, self.G)
+        partial = seg_all(ctx, v_sorted.astype(jnp.bool_) | ~ok)
+        return (acc.at[gp].min(partial, mode="drop", unique_indices=True),
+                cnt.at[gp].add(seg_sum(ctx, ok.astype(jnp.int64)),
+                               mode="drop", unique_indices=True))
 
     def finalize(self, state, num_groups) -> Array:
         acc, cnt = state
@@ -361,6 +472,19 @@ class GroupedVariance(GroupedAggregator):
         return (s.at[mapping].add(os_, mode="drop"),
                 ss.at[mapping].add(oss, mode="drop"),
                 cnt.at[mapping].add(ocnt, mode="drop"))
+
+    def consume_grouped(self, state, values, ctx):
+        from .segment import seg_sum
+        s, ss, cnt = state
+        v_sorted, ok = _sorted_inputs(values, ctx)
+        x = jnp.where(ok, v_sorted.astype(jnp.float64), 0.0)
+        gp = _gpos(ctx, self.G)
+        return (s.at[gp].add(seg_sum(ctx, x), mode="drop",
+                             unique_indices=True),
+                ss.at[gp].add(seg_sum(ctx, x * x), mode="drop",
+                              unique_indices=True),
+                cnt.at[gp].add(seg_sum(ctx, ok.astype(jnp.int64)),
+                               mode="drop", unique_indices=True))
 
     def finalize(self, state, num_groups) -> Array:
         s, ss, cnt = state
@@ -423,6 +547,34 @@ class GroupedFirst(GroupedAggregator):
         wpos = _positions(winner, group_ids, self.G)
         v = values.values.astype(val.dtype)
         val2 = val.at[wpos].set(v, mode="drop")
+        return best2, val2, base + jnp.int64(cap)
+
+    def consume_grouped(self, state, values, ctx):
+        from .segment import seg_first_pos, seg_last_pos
+        best, val, base = state
+        cap = values.capacity
+        v_sorted, ok = _sorted_inputs(values, ctx)
+        if self.is_first:
+            p = seg_first_pos(ctx, ok)          # sorted pos or cap
+            has = p < cap
+        else:
+            p = seg_last_pos(ctx, ok)           # sorted pos or -1
+            has = p >= 0
+        pc = jnp.clip(p, 0, cap - 1)
+        rows = ctx.perm[pc].astype(jnp.int64)
+        sentinel = jnp.iinfo(jnp.int64).max if self.is_first else \
+            jnp.int64(-1)
+        cand = jnp.where(has, base + rows, sentinel)
+        gp = jnp.where(has & (ctx.gid_global >= 0), ctx.gid_global, self.G)
+        if self.is_first:
+            best2 = best.at[gp].min(cand, mode="drop", unique_indices=True)
+        else:
+            best2 = best.at[gp].max(cand, mode="drop", unique_indices=True)
+        take = has & (ctx.gid_global >= 0) & (
+            best2[jnp.clip(ctx.gid_global, 0, self.G - 1)] == cand)
+        wsel = jnp.where(take, ctx.gid_global, self.G)
+        v = v_sorted[pc].astype(val.dtype)
+        val2 = val.at[wsel].set(v, mode="drop", unique_indices=True)
         return best2, val2, base + jnp.int64(cap)
 
     def merge(self, state, other, mapping):
@@ -546,6 +698,21 @@ class _GroupedMoments(GroupedAggregator):
                for s, o in zip(state[:-1], other[:-1])]
         return tuple(out) + (state[-1].at[mapping].add(
             other[-1], mode="drop"),)
+
+    def consume_grouped(self, state, values, ctx):
+        from .segment import seg_sum
+        v_sorted, ok = _sorted_inputs(values, ctx)
+        x = jnp.where(ok, v_sorted.astype(jnp.float64), 0.0)
+        gp = _gpos(ctx, self.G)
+        sums = list(state[:-1])
+        p = x
+        for k in range(self.nmom):
+            sums[k] = sums[k].at[gp].add(seg_sum(ctx, p), mode="drop",
+                                         unique_indices=True)
+            p = p * x
+        cnt = state[-1].at[gp].add(seg_sum(ctx, ok.astype(jnp.int64)),
+                                   mode="drop", unique_indices=True)
+        return tuple(sums) + (cnt,)
 
     def _central(self, state):
         s1, s2, s3, s4, cnt = state

@@ -1,0 +1,109 @@
+"""Sort-based distinct detection over fixed-width key lanes.
+
+The TPU replacement for the reference's per-row memo-table inserts
+(``util/hashing.h`` MemoTable) AND for scatter-heavy hash-table probing:
+one ``lexsort`` groups equal keys into contiguous runs, after which
+distinct-ids, first-appearance numbering and segment boundaries all fall
+out of vectorized prefix ops. TPU scatters serialize on colliding
+indices, so the grouper/aggregation hot paths route everything through
+this module and only ever scatter with UNIQUE indices.
+
+Used by: unique/value_counts/dictionary_encode (ops/vector_hash),
+is_in/index_in (ops/set_lookup), the Grouper's consume fast path
+(ops/grouper), and segment-reduction grouped aggregation
+(ops/hash_aggregate).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["SortGroup", "sort_group", "sort_distinct"]
+
+_I32MAX = jnp.int32(2147483647)
+
+
+class SortGroup(NamedTuple):
+    """Result of grouping rows by equal key lanes via one sort.
+
+    All arrays have length cap (= lanes.shape[0]) unless noted.
+      perm         sorted-position -> original row (inactive rows last)
+      s_active     active flag per sorted position
+      head         True at the first sorted position of each distinct run
+      seg          run id per sorted position (0-based, garbage where
+                   inactive)
+      codes        per ORIGINAL row: first-appearance group id, -1 inactive
+      gid_of_seg   run id -> first-appearance group id
+      seg_of_gid   first-appearance group id -> run id
+      unique_rows  gid -> original row of first occurrence (INT32_MAX pad)
+      head_pos     gid -> sorted position of its run head (cap pad)
+      head_pos_seg seg -> sorted position of its run head (cap pad)
+      n_active     int32 scalar — count of active rows (= first inactive
+                   sorted position)
+      num_unique   int32 scalar
+    """
+
+    perm: jax.Array
+    s_active: jax.Array
+    head: jax.Array
+    seg: jax.Array
+    codes: jax.Array
+    gid_of_seg: jax.Array
+    seg_of_gid: jax.Array
+    unique_rows: jax.Array
+    head_pos: jax.Array
+    head_pos_seg: jax.Array
+    n_active: jax.Array
+    num_unique: jax.Array
+
+
+def sort_group(lanes: jax.Array, active: jax.Array) -> SortGroup:
+    cap, L = lanes.shape
+    rows = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0).reshape((cap,))
+    inactive = (~active).astype(jnp.uint32)
+    # lexsort: last key is the primary — (inactive, lane0..laneL-1, row)
+    keys = (rows,) + tuple(lanes[:, j] for j in range(L - 1, -1, -1)) \
+        + (inactive,)
+    perm = jnp.lexsort(keys).astype(jnp.int32)
+    s_lanes = lanes[perm]
+    s_active = active[perm]
+    prev_diff = jnp.any(s_lanes[1:] != s_lanes[:-1], axis=1)
+    prev_inact = ~s_active[:-1]
+    head = s_active & jnp.concatenate(
+        [jnp.ones((1,), dtype=jnp.bool_), prev_diff | prev_inact])
+    seg = jnp.cumsum(head.astype(jnp.int32)) - 1
+    num_unique = jnp.where(jnp.any(active), seg[-1] + 1, 0).astype(
+        jnp.int32) if cap > 0 else jnp.int32(0)
+    spos = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0).reshape((cap,))
+    # first (min-row) occurrence of each run sits at its head position
+    rep = jnp.full((cap,), _I32MAX, dtype=jnp.int32).at[
+        jnp.where(head, seg, cap)].set(perm, mode="drop",
+                                       unique_indices=True)
+    # first-appearance rank: runs ordered by their first original row
+    order = jnp.argsort(rep).astype(jnp.int32)        # gid -> seg
+    gid_of_seg = jnp.zeros((cap,), dtype=jnp.int32).at[order].set(
+        spos, unique_indices=True)
+    unique_rows = rep[order]
+    codes_sorted = gid_of_seg[seg]
+    codes = jnp.zeros((cap,), dtype=jnp.int32).at[perm].set(
+        codes_sorted, unique_indices=True)
+    codes = jnp.where(active, codes, jnp.int32(-1))
+    head_pos_of_seg = jnp.full((cap,), cap, dtype=jnp.int32).at[
+        jnp.where(head, seg, cap)].set(spos, mode="drop",
+                                       unique_indices=True)
+    head_pos = head_pos_of_seg[order]
+    n_active = jnp.sum(active).astype(jnp.int32)
+    return SortGroup(perm, s_active, head, seg, codes, gid_of_seg, order,
+                     unique_rows, head_pos, head_pos_of_seg, n_active,
+                     num_unique)
+
+
+def sort_distinct(lanes: jax.Array, active: jax.Array
+                  ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """(codes, unique_rows, num_unique) — the compact interface used by
+    unique/dictionary_encode/is_in."""
+    g = sort_group(lanes, active)
+    return g.codes, g.unique_rows, g.num_unique

@@ -169,9 +169,60 @@ class Grouper:
             in_range = in_range & active
         return self._consume_lanes(state, lanes, in_range)
 
+    def consume_with_group(self, state: GrouperState,
+                           keys: Sequence[Array], length=None, active=None):
+        """Like consume, but also returns (rep_gids, SortGroup) so callers
+        can run segment-reduction aggregation over the sorted batch
+        (ops/segment) instead of row scatters."""
+        cap = keys[0].capacity
+        if length is None:
+            length = keys[0].length
+        lanes = group_key_lanes(keys, self.key_nullable)
+        in_range = row_mask(cap, length)
+        if active is not None:
+            in_range = in_range & active
+        return self.consume_lanes_grouped(state, lanes, in_range)
+
     def _consume_lanes(self, state: GrouperState, lanes: jax.Array,
                        active: jax.Array
                        ) -> Tuple[GrouperState, jax.Array]:
+        """Sort-based consume: batch-local distinct via one lexsort
+        (ops/distinct), then the claim tournament runs over the UNIQUE
+        key representatives only — TPU scatters serialize on colliding
+        indices, so shrinking the tournament to <= table_size rows (and
+        making its collisions hash-only) is the difference between
+        memory-bandwidth grouping and serialized scatter loops."""
+        state, rep_gids, g = self.consume_lanes_grouped(state, lanes,
+                                                        active)
+        R = rep_gids.shape[0]
+        row_gids = jnp.where(
+            g.codes >= 0, rep_gids[jnp.clip(g.codes, 0, R - 1)],
+            jnp.int32(-1))
+        return state, row_gids
+
+    def consume_lanes_grouped(self, state: GrouperState, lanes: jax.Array,
+                              active: jax.Array):
+        """(new_state, rep_gids (R,), SortGroup) — rep_gids maps the
+        batch-local first-appearance ids to persistent group ids."""
+        from .distinct import sort_group
+        cap, L = lanes.shape
+        g = sort_group(lanes, active)
+        R = min(cap, self.table_size)
+        rep_rows = jnp.clip(g.unique_rows[:R], 0, cap - 1)
+        ridx = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0).reshape((R,))
+        rep_active = ridx < jnp.minimum(g.num_unique, R)
+        rep_lanes = lanes[rep_rows]
+        new_state, rep_gids = self._consume_lanes_table(state, rep_lanes,
+                                                        rep_active)
+        overflow = jnp.where(g.num_unique > R, 4, 0).astype(jnp.int32)
+        new_state = GrouperState(new_state.table_lanes, new_state.table_gid,
+                                 new_state.num_groups,
+                                 new_state.error | overflow)
+        return new_state, rep_gids, g
+
+    def _consume_lanes_table(self, state: GrouperState, lanes: jax.Array,
+                             active: jax.Array
+                             ) -> Tuple[GrouperState, jax.Array]:
         cap, L = lanes.shape
         S = self.table_size
         mask_u = jnp.uint32(S - 1)
@@ -288,6 +339,41 @@ class Grouper:
         return gid
 
     # -------------------------------------------------------------------
+    def uniques_scatter_reps(self, keys: Sequence[Array], g, rep_gids,
+                             uniques: Optional[Sequence[Array]] = None
+                             ) -> List[Array]:
+        """uniques_scatter specialized to first-appearance representatives:
+        one write per distinct key (unique indices), not per row."""
+        cap = keys[0].capacity
+        R = rep_gids.shape[0]
+        rep_rows = jnp.clip(g.unique_rows[:R], 0, cap - 1)
+        ridx = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0).reshape((R,))
+        rep_active = ridx < jnp.minimum(g.num_unique, R)
+        G = self.max_groups
+        pos = jnp.where(rep_active & (rep_gids >= 0), rep_gids, G)
+        out = []
+        for i, k in enumerate(keys):
+            t = k.type
+            if t.is_varlen:
+                raise NotImplementedError("string uniques via dictionary")
+            if uniques is None:
+                vals = jnp.zeros((G,) + k.values.shape[1:],
+                                 dtype=k.values.dtype)
+                valid = jnp.zeros((G,), dtype=jnp.bool_)
+            else:
+                vals = uniques[i].values
+                valid = uniques[i].validity if uniques[i].validity \
+                    is not None else jnp.ones((G,), dtype=jnp.bool_)
+            vals = vals.at[pos].set(k.values[rep_rows], mode="drop",
+                                    unique_indices=True)
+            kv = k.validity if k.validity is not None else \
+                jnp.ones((cap,), dtype=jnp.bool_)
+            valid = valid.at[pos].set(kv[rep_rows], mode="drop",
+                                      unique_indices=True)
+            out.append(Array(t, vals, valid,
+                             dictionary=k.dictionary, length=None))
+        return out
+
     def uniques_scatter(self, keys: Sequence[Array], group_ids: jax.Array,
                         uniques: Optional[Sequence[Array]] = None
                         ) -> List[Array]:

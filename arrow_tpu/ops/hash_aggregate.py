@@ -91,16 +91,22 @@ class HashAggregate:
         return (grouper_state, agg_states, uniques)
 
     def consume(self, state, batch: Batch):
+        """One fused pass: sort-group the batch by key (one lexsort), run
+        the grouper table over the unique reps, then segment-reduce every
+        aggregate (ops/segment) — the only row-granularity op is the sort;
+        all scatters write one element per distinct group."""
+        from .segment import make_segment_context
         grouper_state, agg_states, uniques = state
         key_cols = [batch.column(k) for k in self.keys]
-        grouper_state, gids = self.grouper.consume(
+        grouper_state, rep_gids, g = self.grouper.consume_with_group(
             grouper_state, key_cols, length=batch.length)
-        uniques = tuple(self.grouper.uniques_scatter(
-            key_cols, gids, uniques))
+        ctx = make_segment_context(g, rep_gids)
+        uniques = tuple(self.grouper.uniques_scatter_reps(
+            key_cols, g, rep_gids, uniques))
         new_agg_states = []
         for spec, agg, st in zip(self.aggs, self._aggregators, agg_states):
             values = batch.column(spec.target) if spec.target else None
-            new_agg_states.append(agg.consume(st, values, gids))
+            new_agg_states.append(agg.consume_grouped(st, values, ctx))
         return (grouper_state, tuple(new_agg_states), uniques)
 
     def merge(self, state, other_state):

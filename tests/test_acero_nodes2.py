@@ -1,0 +1,116 @@
+"""sorted_merge / asofjoin / pivot_longer nodes vs oracles
+(asofjoin: pyarrow.acero itself)."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.acero as pac
+import pytest
+
+import arrow_tpu as at
+from arrow_tpu.acero import (AsofJoinNodeOptions, Declaration,
+                             PivotLongerNodeOptions, SortedMergeNodeOptions,
+                             TableSourceNodeOptions)
+
+
+def test_sorted_merge(rng):
+    parts = []
+    for i in range(3):
+        n = int(rng.integers(50, 200))
+        k = np.sort(rng.integers(0, 1000, n))
+        parts.append(pa.table({"k": pa.array(k),
+                               "v": pa.array(rng.standard_normal(n))}))
+    decl = Declaration("sorted_merge", SortedMergeNodeOptions(
+        [("k", "ascending")]),
+        inputs=[Declaration("table_source", TableSourceNodeOptions(p))
+                for p in parts])
+    got = decl.to_pyarrow()
+    expected = pa.concat_tables(parts).sort_by([("k", "ascending")])
+    assert got["k"].to_pylist() == expected["k"].to_pylist()
+    assert sorted(got["v"].to_pylist()) == sorted(expected["v"].to_pylist())
+
+
+@pytest.mark.parametrize("tolerance", [-3, -1000000, 0, 2])
+def test_asofjoin_oracle(rng, tolerance):
+    nl, nr = 300, 200
+    l = pa.table({
+        "on": pa.array(np.sort(rng.integers(0, 500, nl))),
+        "by": pa.array(rng.integers(0, 5, nl)),
+        "lv": pa.array(rng.standard_normal(nl)),
+    })
+    r = pa.table({
+        "on": pa.array(np.sort(rng.integers(0, 500, nr))),
+        "by": pa.array(rng.integers(0, 5, nr)),
+        "rv": pa.array(rng.standard_normal(nr)),
+    })
+    kw = dict(left_on="on", left_by=["by"], right_on="on", right_by=["by"],
+              tolerance=tolerance)
+    exp = pac.Declaration("asofjoin", pac.AsofJoinNodeOptions(**kw),
+                          inputs=[
+        pac.Declaration("table_source", pac.TableSourceNodeOptions(l)),
+        pac.Declaration("table_source", pac.TableSourceNodeOptions(r)),
+    ]).to_table()
+    got = Declaration("asofjoin", AsofJoinNodeOptions(**kw), inputs=[
+        Declaration("table_source", TableSourceNodeOptions(l)),
+        Declaration("table_source", TableSourceNodeOptions(r)),
+    ]).to_pyarrow()
+    assert got.column_names == exp.column_names
+    # ambiguity caveat: when several right rows share the matching "on"
+    # value both engines may pick any of them; compare the rv VALUES by
+    # the (on,by) key of the matched right row instead of identity
+    assert got["on"].to_pylist() == exp["on"].to_pylist()
+    ge, ee = got["rv"].to_pylist(), exp["rv"].to_pylist()
+    assert [x is None for x in ge] == [x is None for x in ee], (ge, ee)
+    # matched right (on) must be equal even when rv differs among ties:
+    rmap = {}
+    for on, by, rv in zip(r["on"].to_pylist(), r["by"].to_pylist(),
+                          r["rv"].to_pylist()):
+        rmap[rv] = (on, by)
+    for g, e in zip(ge, ee):
+        if g is not None:
+            assert rmap[g][0] == rmap[e][0], (rmap[g], rmap[e])
+
+
+def test_asofjoin_exact_example():
+    l = pa.table({"on": [1, 2, 3, 6, 9], "by": [1, 1, 2, 2, 1],
+                  "lv": [10, 20, 30, 40, 50]})
+    r = pa.table({"on": [0, 2, 4, 8], "by": [1, 2, 1, 2],
+                  "rv": [100, 200, 300, 400]})
+    for tol, want in [(-3, [100, 100, 200, None, None]),
+                      (2, [None, 300, None, 400, None])]:
+        got = Declaration("asofjoin", AsofJoinNodeOptions(
+            left_on="on", left_by=["by"], right_on="on", right_by=["by"],
+            tolerance=tol), inputs=[
+            Declaration("table_source", TableSourceNodeOptions(l)),
+            Declaration("table_source", TableSourceNodeOptions(r)),
+        ]).to_pyarrow()
+        assert got["rv"].to_pylist() == want, (tol, got.to_pydict())
+
+
+def test_pivot_longer():
+    t = pa.table({"name": pa.array([10, 20], type=pa.int64()),
+                  "jan": pa.array([1.0, 2.0]),
+                  "feb": pa.array([3.0, 4.0])})
+    decl = Declaration.from_sequence([
+        Declaration("table_source", TableSourceNodeOptions(t)),
+        Declaration("pivot_longer", PivotLongerNodeOptions(
+            feature_field_names=["month"],
+            measurement_field_names=["value"],
+            row_templates=[(["jan"], ["jan"]), (["feb"], ["feb"])])),
+    ])
+    got = decl.to_pyarrow()
+    assert got["month"].to_pylist() == ["jan", "jan", "feb", "feb"]
+    assert got["value"].to_pylist() == [1.0, 2.0, 3.0, 4.0]
+
+
+def test_pivot_longer_null_template():
+    t = pa.table({"a": pa.array([1.5]), "b": pa.array([2.5])})
+    decl = Declaration.from_sequence([
+        Declaration("table_source", TableSourceNodeOptions(t)),
+        Declaration("pivot_longer", PivotLongerNodeOptions(
+            ["which"], ["x", "y"],
+            [(["ab"], ["a", "b"]), (["a-only"], ["a", None])])),
+    ])
+    got = decl.to_pyarrow()
+    assert got["which"].to_pylist() == ["ab", "a-only"]
+    assert got["x"].to_pylist() == [1.5, 1.5]
+    assert got["y"].to_pylist() == [2.5, None]

@@ -10,6 +10,7 @@ from .options import (  # noqa: F401
     AggregateNodeOptions, ExecNodeOptions, FetchNodeOptions,
     FilterNodeOptions, HashJoinNodeOptions, OrderByNodeOptions,
     AsofJoinNodeOptions, PivotLongerNodeOptions, ProjectNodeOptions,
+    ScanNodeOptions,
     SortedMergeNodeOptions, SourceNodeOptions, TableSourceNodeOptions,
     TpchGenNodeOptions, UnionNodeOptions,
 )

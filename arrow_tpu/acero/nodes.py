@@ -588,3 +588,35 @@ class PivotLongerNode(ExecNode):
             for tmpl in self.options.row_templates:
                 yield self._template_batch(b, tmpl).with_index(i)
                 i += 1
+
+
+@register_node_factory("scan")
+class ScanNode(ExecNode):
+    """``dataset/scan_node.cc:123``: dataset scan source. Pruning +
+    residual pushdown live in dataset.Scanner; this node adapts it to the
+    plan-batch protocol."""
+
+    def __init__(self, options, inputs):
+        super().__init__(options, inputs)
+        self._scanner = options.dataset.scanner(
+            columns=options.columns, filter=options.filter,
+            batch_rows=options.batch_rows)
+        self._schema = None
+
+    def output_schema(self) -> Schema:
+        if self._schema is None:
+            # schema comes from the first fragment (dataset evolution:
+            # uniform schemas assumed in round 1)
+            first = self._scanner._selected_fragments()
+            if not first:
+                raise ValueError("scan matched no fragments")
+            import pyarrow as pa
+            t = first[0].read_pyarrow()
+            b = Table.from_pyarrow(t.slice(0, 1)).batches[0]
+            cols = self.options.columns
+            self._schema = b.select(cols).schema if cols else b.schema
+        return self._schema
+
+    def batches(self) -> Iterator[Batch]:
+        for i, b in enumerate(self._scanner.to_batches()):
+            yield b.with_index(i)

@@ -14,7 +14,7 @@ __all__ = [
     "OrderByNodeOptions", "FetchNodeOptions", "UnionNodeOptions",
     "HashJoinNodeOptions", "TpchGenNodeOptions",
     "SortedMergeNodeOptions", "AsofJoinNodeOptions",
-    "PivotLongerNodeOptions",
+    "PivotLongerNodeOptions", "ScanNodeOptions",
 ]
 
 
@@ -161,3 +161,15 @@ class PivotLongerNodeOptions(ExecNodeOptions):
         self.measurement_field_names = list(measurement_field_names)
         # row_templates: [(feature_values: [str], measurements: [str|None])]
         self.row_templates = list(row_templates)
+
+
+class ScanNodeOptions(ExecNodeOptions):
+    """Reference: ``dataset/scan_node.cc:123`` — scan a Dataset as a plan
+    source with fragment pruning + residual filter pushdown."""
+
+    def __init__(self, dataset, columns=None, filter=None,
+                 batch_rows: int = 1 << 15):
+        self.dataset = dataset
+        self.columns = columns
+        self.filter = filter
+        self.batch_rows = batch_rows

@@ -66,19 +66,44 @@ class Declaration:
         return cls(self.options, inputs)
 
     # ---- materialization ----------------------------------------------------
-    def to_batches(self) -> Iterator[Batch]:
+    def to_batches(self, stop_token=None) -> Iterator[Batch]:
         node = self._build()
-        return node.batches()
+        if stop_token is None:
+            return node.batches()
 
-    def to_table(self) -> Table:
+        def gen():
+            for b in node.batches():
+                stop_token.raise_if_stopped()
+                yield b
+        return gen()
+
+    def to_table(self, stop_token=None) -> Table:
+        from ..utils.tracing import trace_span
         node = self._build()
         batches = []
         schema = node.output_schema()
-        for b in node.batches():
-            batches.append(b)
+        with trace_span(f"plan:{self.factory_name}"):
+            for b in node.batches():
+                if stop_token is not None:
+                    stop_token.raise_if_stopped()
+                batches.append(b)
         # drop empty batches (but keep schema)
         out = [b for b in batches if len(b) > 0]
-        return Table(schema, out)
+        from ..utils.tracing import metrics
+        t = Table(schema, out)
+        metrics.record(f"plan:{self.factory_name}", t.num_rows, 0.0)
+        return t
+
+    def to_string(self, indent: int = 0) -> str:
+        """Plan dump (ExecPlan::ToString analog)."""
+        pad = "  " * indent
+        opts = type(self.options).__name__ if self.options is not None \
+            else ""
+        lines = [f"{pad}{self.factory_name}" + (f" [{opts}]" if opts
+                                                else "")]
+        for i in self.inputs:
+            lines.append(i.to_string(indent + 1))
+        return "\n".join(lines)
 
     def to_pyarrow(self):
         return self.to_table().to_pyarrow()

@@ -27,15 +27,30 @@ import numpy as np
 SCALE = float(os.environ.get("ARROW_TPU_BENCH_SCALE", "1.0"))
 
 
-def _time_best(fn, *args, reps=2):
+def _setup_compile_cache():
+    """Remote TPU compiles through the axon tunnel take minutes; the
+    persistent compilation cache makes repeat bench runs start in
+    seconds."""
+    import jax
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def _time_best(fn, *args, reps=3):
+    """Median of `reps` timed calls, each with a distinct seed (the axon
+    relay memoizes identical executions; occasional anomalously-fast
+    results make min unreliable — median is robust both ways)."""
     import jax
     jax.block_until_ready(fn(np.int32(0), *args))  # compile + warm
-    best = float("inf")
+    times = []
     for s in range(1, reps + 1):
         t0 = time.perf_counter()
         jax.block_until_ready(fn(np.int32(s), *args))
-        best = min(best, time.perf_counter() - t0)
-    return best
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times))
 
 
 def _time_host(fn, reps=2):
@@ -168,9 +183,13 @@ def bench_sort(dev):
                                             pa.array(vocab)),
     })
 
+    # pyarrow cannot sort dictionary columns at all — its best available
+    # representation for this workload is the decoded string column
+    ts = t.set_column(1, "s", t["s"].cast(pa.string()))
+
     def pa_run():
-        pc.sort_indices(t, sort_keys=[("s", "ascending"),
-                                      ("i", "descending")])
+        pc.sort_indices(ts, sort_keys=[("s", "ascending"),
+                                       ("i", "descending")])
     pa_sec = _time_host(pa_run)
 
     batch = at.Batch.from_pyarrow(t.combine_chunks().to_batches()[0]) \
@@ -347,6 +366,7 @@ def bench_q3(dev):
 
 
 def main():
+    _setup_compile_cache()
     import jax
     dev = jax.devices()[0]
     results = {}

@@ -427,6 +427,25 @@ class ListType(DataType):
 
 
 @dataclass(frozen=True)
+class RunEndEncodedType(DataType):
+    """Run-end-encoded layout (Arrow RunEndEncoded). Engine mapping: the
+    Array's ``offsets[1:]`` hold the run ends (offsets[0]=0 — monotone like
+    varlen offsets), ``values`` the run values, ``validity`` per run."""
+
+    run_end_type: DataType
+    value_type: DataType
+
+    @property
+    def id(self) -> str:
+        return (f"run_end_encoded<run_ends: {self.run_end_type}, "
+                f"values: {self.value_type}>")
+
+    @property
+    def is_nested(self) -> bool:
+        return True
+
+
+@dataclass(frozen=True)
 class StructType(DataType):
     fields: tuple  # tuple[tuple[str, DataType], ...]
 
@@ -491,6 +510,11 @@ def dictionary(index_type: DataType, value_type: DataType,
 
 def list_(value_type: DataType) -> ListType:
     return ListType(value_type)
+
+
+def run_end_encoded(run_end_type: DataType,
+                    value_type: DataType) -> RunEndEncodedType:
+    return RunEndEncodedType(run_end_type, value_type)
 
 
 def struct(fields) -> StructType:

@@ -22,7 +22,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..core import datatype as dt
-from ..core.array import Array
+from ..core.array import Array, row_mask
 from ..core.batch import Batch, Table
 from ..core.schema import Schema
 from ..ops.hash_aggregate import AggregateSpec, HashAggregate
@@ -202,6 +202,205 @@ class DistContext:
             from ..acero.nodes import empty_batch
             batches = [empty_batch(ha.out_schema)]
         return Table(ha.out_schema, batches)
+
+    # -------------------------------------------------------------------
+    def join(self, left: Batch, right: Batch, options,
+             bucket_factor: int = 2,
+             fanout_per_shard: Optional[int] = None) -> Table:
+        """Distributed hash join: both sides hash-shuffle by their join
+        keys over the mesh (same seed -> co-partitioned), then each shard
+        builds + probes locally (the reference's partitioned-build design,
+        ``swiss_join_internal.h:524``, with ICI as the partitioner — and
+        no merge phase: results stay partitioned)."""
+        from ..ops.join import HashJoin
+        if options.join_type not in ("inner", "left outer", "left semi",
+                                     "left anti"):
+            raise NotImplementedError(
+                "distributed join emits on probe; right/full-outer finish "
+                "scans are future work")
+        left = self.shard_batch(left) if not self._is_sharded(left) \
+            else left
+        right = self.shard_batch(right) if not self._is_sharded(right) \
+            else right
+        hj = HashJoin(left.schema, right.schema, options)
+        n = self.n
+        axis = self.axis
+        lcap, rcap = left.capacity // n, right.capacity // n
+        fanout = fanout_per_shard or max(2 * lcap, 1 << 12)
+        lschema, rschema = left.schema, right.schema
+        ldicts = [left.column(i).dictionary
+                  for i in range(left.num_columns)]
+        rdicts = [right.column(i).dictionary
+                  for i in range(right.num_columns)]
+
+        def step(lleaves, rleaves, llen, rlen):
+            i = jax.lax.axis_index(axis)
+            lloc = _local_batch(lschema, ldicts, lleaves, jnp.clip(
+                llen.astype(jnp.int32) - i * lcap, 0, lcap))
+            rloc = _local_batch(rschema, rdicts, rleaves, jnp.clip(
+                rlen.astype(jnp.int32) - i * rcap, 0, rcap))
+            lsh, lerr = shuffle_batch(lloc, hj.left_keys, axis, n,
+                                      bucket_capacity=bucket_factor * lcap)
+            rsh, rerr = shuffle_batch(rloc, hj.right_keys, axis, n,
+                                      bucket_capacity=bucket_factor * rcap)
+            bs = hj.build(rsh)
+            out, bs = hj.probe(bs, lsh, fanout_capacity=fanout)
+            err = lerr | rerr | bs.error
+            leaves = _batch_leaves(out)
+            leaves = [l if l is not None else
+                      jnp.ones((out.capacity,), jnp.bool_) for l in leaves]
+            return (tuple(leaves),
+                    jnp.asarray(out.length, jnp.int32).reshape((1,)),
+                    jnp.asarray(err, jnp.int32).reshape((1,)))
+
+        lreal = [l if l is not None else jnp.zeros((self.n,), jnp.bool_)
+                 for l in _batch_leaves(left)]
+        lnone = [l is None for l in _batch_leaves(left)]
+        rreal = [l if l is not None else jnp.zeros((self.n,), jnp.bool_)
+                 for l in _batch_leaves(right)]
+        rnone = [l is None for l in _batch_leaves(right)]
+
+        def wrap(ll, rl, llen, rlen):
+            ll = [None if m else l for l, m in zip(ll, lnone)]
+            rl = [None if m else l for l, m in zip(rl, rnone)]
+            return step(ll, rl, llen, rlen)
+
+        nf = len(hj.out_schema)
+        fn = jax.jit(jax.shard_map(
+            wrap, mesh=self.mesh,
+            in_specs=(tuple(P(self.axis) for _ in lreal),
+                      tuple(P(self.axis) for _ in rreal), P(), P()),
+            out_specs=(tuple(P(self.axis) for _ in range(2 * nf)),
+                       P(self.axis), P(self.axis)),
+            check_vma=False))
+        out_leaves, lengths, errs = fn(
+            tuple(lreal), tuple(rreal),
+            jnp.asarray(len(left), jnp.int32),
+            jnp.asarray(len(right), jnp.int32))
+        # dictionary columns keep their (replicated) source dictionaries
+        by_name = {}
+        for i, f in enumerate(lschema.fields):
+            by_name.setdefault(f.name, ldicts[i])
+        for i, f in enumerate(rschema.fields):
+            by_name.setdefault(f.name, rdicts[i])
+        out_dicts = [by_name.get(f.name) for f in hj.out_schema.fields]
+        return self._collect_shards(hj.out_schema, out_leaves, lengths,
+                                    errs, "join", dicts=out_dicts)
+
+    # -------------------------------------------------------------------
+    def sort_by(self, b: Batch, sort_keys,
+                bucket_factor: int = 3,
+                samples_per_shard: int = 256) -> Table:
+        """Distributed sort: sample-based range partition over the mesh,
+        then one local sort per shard; shard s holds the s-th key range so
+        concatenating shard outputs in order IS the global order (the
+        TableSorter sort-then-merge design, ``vector_sort.cc:626``, with
+        the merge replaced by disjoint ranges)."""
+        from ..ops.bits import ascending_lanes32
+        from ..ops.sorting import SortKey, SortOptions, sort_indices_batch
+        from ..ops.selection import take_batch
+        keys = [k if isinstance(k, SortKey) else SortKey(*k)
+                for k in sort_keys]
+        b = self.shard_batch(b) if not self._is_sharded(b) else b
+        n = self.n
+        axis = self.axis
+        local_cap = b.capacity // n
+        schema = b.schema
+        dicts = [b.column(i).dictionary for i in range(b.num_columns)]
+        opts = SortOptions(keys)
+
+        def key64(local: Batch) -> jax.Array:
+            """Primary sort key -> order-preserving u64 (ties stay on one
+            shard; full multi-key order restored by the local sort)."""
+            a = local.column(keys[0].name)
+            lanes = ascending_lanes32(a.values, a.type)
+            hi = lanes[0].astype(jnp.uint64) << jnp.uint64(32)
+            lo = lanes[1].astype(jnp.uint64) if len(lanes) > 1 else \
+                jnp.uint64(0)
+            v = hi | lo
+            if keys[0].order == "descending":
+                v = ~v
+            return v
+
+        def step(leaves, glen):
+            i = jax.lax.axis_index(axis)
+            local_len = jnp.clip(glen.astype(jnp.int32) - i * local_cap,
+                                 0, local_cap)
+            local = _local_batch(schema, dicts, leaves, local_len)
+            kv = key64(local)
+            in_rng = row_mask(local.capacity, local.length)
+            kv = jnp.where(in_rng, kv, jnp.uint64(0xFFFFFFFFFFFFFFFF))
+            # sample + all_gather -> global range boundaries
+            stride = max(local.capacity // samples_per_shard, 1)
+            sample = jnp.sort(kv[::stride])
+            allsamp = jnp.sort(jax.lax.all_gather(
+                sample, axis).reshape((-1,)))
+            S = allsamp.shape[0]
+            bounds = allsamp[jnp.arange(1, n, dtype=jnp.int32) * (S // n)]
+            dest = jnp.searchsorted(bounds, kv, side="right").astype(
+                jnp.int32)
+            shuffled, err = shuffle_batch(
+                local, [], axis, n,
+                bucket_capacity=bucket_factor * local_cap, dest=dest)
+            perm = sort_indices_batch(shuffled, opts)
+            idx32 = Array(dt.int32, perm.values.astype(jnp.int32), None,
+                          length=perm.length)
+            out = take_batch(shuffled, idx32)
+            leaves_out = _batch_leaves(out)
+            leaves_out = [l if l is not None else
+                          jnp.ones((out.capacity,), jnp.bool_)
+                          for l in leaves_out]
+            return (tuple(leaves_out),
+                    jnp.asarray(out.length, jnp.int32).reshape((1,)),
+                    err.reshape((1,)))
+
+        real = [l if l is not None else jnp.zeros((self.n,), jnp.bool_)
+                for l in _batch_leaves(b)]
+        nones = [l is None for l in _batch_leaves(b)]
+
+        def wrap(leaves, glen):
+            leaves = [None if m else l for l, m in zip(leaves, nones)]
+            return step(leaves, glen)
+
+        nf = len(schema)
+        fn = jax.jit(jax.shard_map(
+            wrap, mesh=self.mesh,
+            in_specs=(tuple(P(self.axis) for _ in real), P()),
+            out_specs=(tuple(P(self.axis) for _ in range(2 * nf)),
+                       P(self.axis), P(self.axis)),
+            check_vma=False))
+        out_leaves, lengths, errs = fn(tuple(real),
+                                       jnp.asarray(len(b), jnp.int32))
+        return self._collect_shards(schema, out_leaves, lengths, errs,
+                                    "sort", dicts=dicts)
+
+    # -------------------------------------------------------------------
+    def _collect_shards(self, schema: Schema, out_leaves, lengths, errs,
+                        what: str, dicts=None) -> Table:
+        errs_host = np.asarray(jax.device_get(errs))
+        if errs_host.any():
+            raise RuntimeError(
+                f"distributed {what} overflow (per-shard errors="
+                f"{errs_host.tolist()}): raise bucket_factor/capacities "
+                "or repartition skewed keys")
+        lengths_host = np.asarray(jax.device_get(lengths))
+        out_leaves = jax.device_get(out_leaves)
+        n = self.n
+        per = out_leaves[0].shape[0] // n
+        out_dicts = dicts if dicts is not None and \
+            len(dicts) == len(schema) else [None] * len(schema)
+        batches = []
+        for s in range(n):
+            ln = int(lengths_host[s])
+            if ln == 0:
+                continue
+            leaves = [jnp.asarray(leaf[s * per:(s + 1) * per])
+                      for leaf in out_leaves]
+            batches.append(_local_batch(schema, out_dicts, leaves, ln))
+        if not batches:
+            from ..acero.nodes import empty_batch
+            batches = [empty_batch(schema)]
+        return Table(schema, batches)
 
     def _is_sharded(self, b: Batch) -> bool:
         try:

@@ -70,8 +70,10 @@ def _rebuild_batch(schema: Schema, dictionaries, leaves: List[jax.Array],
 def partition_for_exchange(b: Batch, key_names: Sequence[str],
                            num_partitions: int,
                            bucket_capacity: int,
-                           seed: int = 0x5108FF1E):
-    """Bucket rows by key-hash destination.
+                           seed: int = 0x5108FF1E,
+                           dest: Optional[jax.Array] = None):
+    """Bucket rows by destination (key-hash by default; pass `dest` for
+    range partitioning — the distributed sort router).
 
     Returns (send_buffers: list of (P, B) arrays matching _column_leaves
     order, counts: (P,) int32, error: int32 scalar).
@@ -82,10 +84,11 @@ def partition_for_exchange(b: Batch, key_names: Sequence[str],
     """
     P, B = num_partitions, bucket_capacity
     cap = b.capacity
-    keys = [b.column(k) for k in key_names]
-    h = hash32(keys, seed=seed)
     active = row_mask(cap, b.length)
-    dest = (h % jnp.uint32(P)).astype(jnp.int32)
+    if dest is None:
+        keys = [b.column(k) for k in key_names]
+        h = hash32(keys, seed=seed)
+        dest = (h % jnp.uint32(P)).astype(jnp.int32)
     dest = jnp.where(active, dest, P)  # padding -> overflow bucket P
 
     # stable sort rows by dest -> contiguous runs per destination
@@ -166,8 +169,11 @@ def flatten_received(schema: Schema, dictionaries, recv_buffers,
 def shuffle_batch(b: Batch, key_names: Sequence[str], axis_name: str,
                   num_partitions: int,
                   bucket_capacity: Optional[int] = None,
-                  seed: int = 0x5108FF1E) -> Tuple[Batch, jax.Array]:
-    """Full shuffle of a local batch by key hash across `axis_name`.
+                  seed: int = 0x5108FF1E,
+                  dest: Optional[jax.Array] = None
+                  ) -> Tuple[Batch, jax.Array]:
+    """Full shuffle of a local batch by key hash (or explicit `dest`)
+    across `axis_name`.
 
     Returns (local re-partitioned batch, error flag). Must be called
     inside shard_map with axis_name in scope; num_partitions must equal
@@ -175,7 +181,7 @@ def shuffle_batch(b: Batch, key_names: Sequence[str], axis_name: str,
     B = bucket_capacity or b.capacity
     dictionaries = [b.column(i).dictionary for i in range(b.num_columns)]
     send, counts, err = partition_for_exchange(
-        b, key_names, num_partitions, B, seed=seed)
+        b, key_names, num_partitions, B, seed=seed, dest=dest)
     recv, recv_counts = exchange(send, counts, axis_name)
     out = flatten_received(b.schema, dictionaries, recv, recv_counts)
     return out, err

@@ -365,28 +365,56 @@ def bench_q3(dev):
     return n / sec, n / pa_sec
 
 
-def main():
+CONFIG_NAMES = ["filter", "group_by_1k", "group_by_3m", "sort", "join",
+                "q3"]
+_PER_CONFIG_TIMEOUT = int(os.environ.get("ARROW_TPU_BENCH_TIMEOUT", "1500"))
+
+
+def run_one(name: str) -> dict:
     _setup_compile_cache()
     import jax
     dev = jax.devices()[0]
+    fn = {
+        "filter": lambda: bench_filter(dev),
+        "group_by_1k": lambda: bench_group_by(dev, 1000),
+        "group_by_3m": lambda: bench_group_by(dev, 3_000_000),
+        "sort": lambda: bench_sort(dev),
+        "join": lambda: bench_join(dev),
+        "q3": lambda: bench_q3(dev),
+    }[name]
+    ours, ref = fn()
+    return {"tpu_rows_s": round(ours), "pyarrow_rows_s": round(ref),
+            "speedup": round(ours / ref, 3), "chip": dev.platform}
+
+
+def main():
+    """Each config runs in its own subprocess with a timeout: a TPU
+    device fault or compile hang in one config cannot poison the rest
+    (device errors stick to the process that hit them)."""
+    import subprocess
+    import sys
     results = {}
-    configs = [
-        ("filter", lambda: bench_filter(dev)),
-        ("group_by_1k", lambda: bench_group_by(dev, 1000)),
-        ("group_by_3m", lambda: bench_group_by(dev, 3_000_000)),
-        ("sort", lambda: bench_sort(dev)),
-        ("join", lambda: bench_join(dev)),
-        ("q3_sf0.5", lambda: bench_q3(dev)),
-    ]
     speedups = []
-    for name, fn in configs:
+    chip = "tpu"
+    for name in CONFIG_NAMES:
         try:
-            ours, ref = fn()
-            results[name] = {"tpu_rows_s": round(ours),
-                             "pyarrow_rows_s": round(ref),
-                             "speedup": round(ours / ref, 3)}
-            speedups.append(ours / ref)
-        except Exception as e:  # keep the bench line printable
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--one", name],
+                capture_output=True, text=True,
+                timeout=_PER_CONFIG_TIMEOUT)
+            line = [l for l in r.stdout.strip().splitlines()
+                    if l.startswith("{")]
+            if r.returncode == 0 and line:
+                res = json.loads(line[-1])
+                chip = res.pop("chip", chip)
+                results[name] = res
+                speedups.append(res["speedup"])
+            else:
+                results[name] = {"error": (r.stderr or r.stdout)
+                                 .strip()[-200:]}
+        except subprocess.TimeoutExpired:
+            results[name] = {"error": f"timeout>{_PER_CONFIG_TIMEOUT}s"}
+        except Exception as e:
             results[name] = {"error": f"{type(e).__name__}: {e}"[:200]}
     geomean = float(np.exp(np.mean(np.log(speedups)))) if speedups else 0.0
     print(json.dumps({
@@ -396,9 +424,13 @@ def main():
         "unit": "x",
         "vs_baseline": round(geomean, 3),
         "configs": results,
-        "chip": dev.platform,
+        "chip": chip,
     }))
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+    if len(sys.argv) >= 3 and sys.argv[1] == "--one":
+        print(json.dumps(run_one(sys.argv[2])))
+    else:
+        main()

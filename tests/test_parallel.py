@@ -1,0 +1,86 @@
+"""Distributed operators over the 8-virtual-device CPU mesh
+(conftest forces xla_force_host_platform_device_count=8):
+shuffle-backed group_by, co-partitioned hash join, range-partitioned sort.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+import arrow_tpu as at
+from arrow_tpu.acero.options import HashJoinNodeOptions
+from arrow_tpu.parallel import DistContext
+
+
+@pytest.fixture(scope="module")
+def ctx():
+    return DistContext()
+
+
+def test_dist_group_by(ctx, rng):
+    n = 4096
+    t = pa.table({"k": pa.array(rng.integers(0, 37, n)),
+                  "v": pa.array(rng.standard_normal(n))})
+    b = at.Batch.from_pyarrow(t.to_batches()[0])
+    out = ctx.group_by(b, ["k"], [("sum", "v"), ("count_all",)],
+                       max_groups_per_shard=64)
+    got = out.to_pyarrow().sort_by([("k", "ascending")])
+    exp = t.group_by("k").aggregate([("v", "sum"), ([], "count_all")]) \
+        .sort_by([("k", "ascending")])
+    assert got["k"].to_pylist() == exp["k"].to_pylist()
+    np.testing.assert_allclose(got["v_sum"].to_pylist(),
+                               exp["v_sum"].to_pylist(), rtol=1e-9)
+    assert got["count_all"].to_pylist() == exp["count_all"].to_pylist()
+
+
+@pytest.mark.parametrize("join_type", ["inner", "left outer", "left semi",
+                                       "left anti"])
+def test_dist_join(ctx, rng, join_type):
+    nl, nr = 2048, 512
+    l = pa.table({"k": pa.array(rng.integers(0, 800, nl)),
+                  "lv": pa.array(rng.standard_normal(nl))})
+    r = pa.table({"k": pa.array(rng.permutation(800)[:nr]),
+                  "rv": pa.array(rng.standard_normal(nr))})
+    lb = at.Batch.from_pyarrow(l.to_batches()[0])
+    rb = at.Batch.from_pyarrow(r.to_batches()[0])
+    out = ctx.join(lb, rb, HashJoinNodeOptions(
+        join_type, ["k"], ["k"], right_output=["rv"],
+        max_build_rows=1024), fanout_per_shard=2048)
+    got = out.to_pyarrow()
+    exp = l.join(r, keys="k", join_type=join_type)
+    assert got.num_rows == exp.num_rows, (join_type, got.num_rows,
+                                          exp.num_rows)
+    gs = got.sort_by([("k", "ascending")] + (
+        [("lv", "ascending")] if "lv" in got.column_names else []))
+    es = exp.sort_by([("k", "ascending")] + (
+        [("lv", "ascending")] if "lv" in exp.column_names else []))
+    assert gs["k"].to_pylist() == es["k"].to_pylist()
+    if "rv" in gs.column_names:
+        grv = [round(x, 12) if x is not None else None
+               for x in gs["rv"].to_pylist()]
+        erv = [round(x, 12) if x is not None else None
+               for x in es["rv"].to_pylist()]
+        assert sorted(grv, key=lambda x: (x is None, x)) == \
+            sorted(erv, key=lambda x: (x is None, x))
+
+
+def test_dist_sort(ctx, rng):
+    n = 4096
+    t = pa.table({"a": pa.array(rng.integers(-1000, 1000, n)),
+                  "b": pa.array(rng.standard_normal(n))})
+    b = at.Batch.from_pyarrow(t.to_batches()[0])
+    out = ctx.sort_by(b, [("a", "ascending"), ("b", "descending")])
+    got = out.to_pyarrow()
+    exp = t.sort_by([("a", "ascending"), ("b", "descending")])
+    assert got["a"].to_pylist() == exp["a"].to_pylist()
+    np.testing.assert_allclose(got["b"].to_pylist(), exp["b"].to_pylist())
+
+
+def test_dist_sort_descending_primary(ctx, rng):
+    n = 2048
+    t = pa.table({"a": pa.array(rng.standard_normal(n))})
+    b = at.Batch.from_pyarrow(t.to_batches()[0])
+    got = ctx.sort_by(b, [("a", "descending")]).to_pyarrow()
+    exp = t.sort_by([("a", "descending")])
+    np.testing.assert_allclose(got["a"].to_pylist(), exp["a"].to_pylist())

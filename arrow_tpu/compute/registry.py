@@ -93,7 +93,7 @@ def _apply_intersection_validity(out: Array, args: Sequence[Datum]) -> Array:
 _KERNEL_MODULES = [
     "scalar_arithmetic", "scalar_compare", "scalar_cast", "selection",
     "sorting", "aggregates", "vector_hash", "set_lookup",
-    "aggregates_order", "vector_misc", "strings", "temporal", "ree",
+    "aggregates_order", "vector_misc", "strings", "temporal", "ree", "nested",
 ]
 _kernels_loaded = False
 

@@ -135,6 +135,28 @@ def array_from_pyarrow(pa_arr, capacity: Optional[int] = None,
         return Array(t, jnp.asarray(data), validity,
                      offsets=jnp.asarray(offsets), length=n)
 
+    if isinstance(t, dt.ListType):
+        # list<T>: offsets into CHILD ROWS; the child Array rides in the
+        # `dictionary` child slot (one child slot serves dictionary AND
+        # list layouts — they are mutually exclusive)
+        import pyarrow as pa_mod
+        if pa.types.is_large_list(pa_arr.type):
+            pa_arr = pa_arr.cast(pa_mod.list_(pa_arr.type.value_type))
+        raw_off = np.frombuffer(pa_arr.buffers()[1], dtype=np.int32)
+        off = raw_off[pa_arr.offset:pa_arr.offset + n + 1].astype(np.int32)
+        base = off[0] if len(off) else 0
+        off = off - base
+        child_pa = pa_arr.values
+        if base or (len(off) and int(off[-1]) < len(child_pa)):
+            child_pa = child_pa.slice(base, int(off[-1]))
+        child = array_from_pyarrow(child_pa)
+        offsets = np.zeros((cap + 1,), dtype=np.int32)
+        offsets[:n + 1] = off
+        offsets[n + 1:] = off[-1] if len(off) else 0
+        return Array(t, jnp.zeros((0,), jnp.uint8), validity,
+                     offsets=jnp.asarray(offsets), dictionary=child,
+                     length=n)
+
     if t.is_primitive:
         vals = _primitive_values(pa_arr, t, n)
         if isinstance(t, dt.FixedSizeBinaryType):
@@ -184,6 +206,17 @@ def array_to_pyarrow(arr: Array):
             [validity_buf, pa.py_buffer(off.tobytes()),
              pa.py_buffer(data.tobytes())],
             null_count=null_count if validity_buf else 0)
+
+    if isinstance(t, dt.ListType):
+        off = np.asarray(jax.device_get(arr.offsets))[:n + 1].astype(
+            np.int32)
+        nchild = int(off[-1]) if len(off) else 0
+        child = array_to_pyarrow(arr.dictionary.with_length(nchild))
+        lists = pa.ListArray.from_buffers(
+            pa_type, n, [validity_buf, pa.py_buffer(off.tobytes())],
+            null_count=null_count if validity_buf else 0,
+            children=[child])
+        return lists
 
     if isinstance(t, dt.BoolType):
         vals = np.asarray(jax.device_get(arr.values))[:n].astype(np.bool_)

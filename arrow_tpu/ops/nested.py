@@ -1,0 +1,184 @@
+"""Nested (list) kernels: list_value_length / list_flatten /
+list_parent_indices + the grouped `list` aggregator.
+
+Reference: ``cpp/src/arrow/compute/kernels/vector_nested.cc`` and
+``hash_aggregate.cc:1852`` (GroupedListImpl).
+
+Engine layout: list<T> Arrays carry row offsets in ``offsets`` and the
+element Array in the child slot (see core/interop.py); every kernel here
+is offsets arithmetic + one gather, the same row/pool pattern the string
+kernels use on bytes.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core import datatype as dt
+from ..core.array import Array, row_mask
+from ..compute.registry import Kind, NullHandling, register_function
+from .aggregates import GROUPED_AGGREGATORS, GroupedAggregator
+from .selection import take_array
+
+__all__ = []
+
+
+def _list_arg(a) -> Array:
+    if not isinstance(a, Array) or not isinstance(a.type, dt.ListType):
+        raise TypeError("expected a list array")
+    return a
+
+
+@register_function("list_value_length", Kind.SCALAR, 1,
+                   null_handling=NullHandling.INTERSECTION)
+def _list_value_length(args, options):
+    a = _list_arg(args[0])
+    lens = (a.offsets[1:] - a.offsets[:-1]).astype(jnp.int32)
+    return Array(dt.int32, lens, None, length=a.length)
+
+
+@register_function("list_parent_indices", Kind.VECTOR, 1,
+                   null_handling=NullHandling.COMPUTED)
+def _list_parent_indices(args, options):
+    a = _list_arg(args[0])
+    child = a.dictionary
+    ccap = max(child.capacity, 1)
+    cidx = jax.lax.broadcasted_iota(jnp.int32, (ccap, 1), 0).reshape(
+        (ccap,))
+    r = jnp.searchsorted(a.offsets, cidx, side="right").astype(
+        jnp.int64) - 1
+    r = jnp.clip(r, 0, a.capacity - 1)
+    nchild = a.offsets[jnp.asarray(a.length, jnp.int32)]
+    return Array(dt.int64, r, None, length=nchild)
+
+
+@register_function("list_flatten", Kind.VECTOR, 1,
+                   null_handling=NullHandling.COMPUTED)
+def _list_flatten(args, options):
+    """Concatenate list elements, skipping null lists."""
+    a = _list_arg(args[0])
+    child = a.dictionary
+    cap = a.capacity
+    ccap = max(child.capacity, 1)
+    ok = a.present_mask()
+    lens = jnp.where(ok, a.offsets[1:] - a.offsets[:-1], 0).astype(
+        jnp.int32)
+    new_off = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                               jnp.cumsum(lens).astype(jnp.int32)])
+    total = new_off[-1]
+    oidx = jax.lax.broadcasted_iota(jnp.int32, (ccap, 1), 0).reshape(
+        (ccap,))
+    r = jnp.clip(jnp.searchsorted(new_off, oidx, "right").astype(
+        jnp.int32) - 1, 0, cap - 1)
+    src = jnp.clip(a.offsets[r] + (oidx - new_off[r]), 0, ccap - 1)
+    idx = Array(dt.int32, src, None, length=total)
+    return take_array(child, idx)
+
+
+class GroupedList(GroupedAggregator):
+    """hash_list (``hash_aggregate.cc:1852``): collect each group's values
+    (input order) into a list. Buffers (gid, arrival, value[, valid]) and
+    materializes with one lexsort at finalize — output is a list<T> column
+    whose child rides the Array child slot."""
+
+    name = "list"
+    default_rows = 1 << 16
+
+    def __init__(self, in_type, G, options=None):
+        super().__init__(in_type, G, options)
+        self.rows = getattr(options, "buffer_rows", None) or \
+            self.default_rows
+
+    @property
+    def out_type(self):
+        return dt.list_(self.in_type)
+
+    def init(self):
+        d = jnp.dtype(self.in_type.storage_np)
+        if d == jnp.bool_:
+            d = jnp.uint8
+        return (jnp.full((self.rows,), -1, dtype=jnp.int32),   # gid
+                jnp.zeros((self.rows,), dtype=jnp.int64),      # arrival
+                jnp.zeros((self.rows,), dtype=d),              # value
+                jnp.ones((self.rows,), dtype=jnp.bool_),       # valid
+                jnp.int32(0), jnp.int64(0), jnp.int32(0))      # cnt/base/err
+
+    def consume(self, state, values, group_ids):
+        bg, ba, bv, bok, cnt, base, err = state
+        cap = values.capacity
+        in_grp = group_ids >= 0
+        gids = jnp.where(in_grp, group_ids, -1)
+        arrival = base + jax.lax.broadcasted_iota(
+            jnp.int64, (cap, 1), 0).reshape((cap,))
+        err = err | jnp.where(cnt + cap > self.rows, 1, 0).astype(jnp.int32)
+        start = jnp.minimum(cnt, self.rows - cap)
+        v = values.values
+        if v.dtype == jnp.bool_:
+            v = v.astype(jnp.uint8)
+        ok = values.validity if values.validity is not None else \
+            jnp.ones((cap,), jnp.bool_)
+        bg = jax.lax.dynamic_update_slice(bg, gids.astype(jnp.int32),
+                                          (start,))
+        ba = jax.lax.dynamic_update_slice(ba, arrival, (start,))
+        bv = jax.lax.dynamic_update_slice(bv, v.astype(bv.dtype), (start,))
+        bok = jax.lax.dynamic_update_slice(bok, ok, (start,))
+        return bg, ba, bv, bok, cnt + cap, base + jnp.int64(cap), err
+
+    def merge(self, state, other, mapping):
+        """Compact-concatenate both fixed-capacity buffers: sort the 2R
+        union by (inactive, arrival) and keep the first R rows."""
+        bg, ba, bv, bok, cnt, base, err = state
+        og, oa, ov, ook, ocnt, obase, oerr = other
+        valid = og >= 0
+        remap = jnp.where(valid, mapping[jnp.clip(
+            og, 0, mapping.shape[0] - 1)], -1)
+        allg = jnp.concatenate([bg, remap])
+        alla = jnp.concatenate([ba, oa + base])
+        allv = jnp.concatenate([bv, ov])
+        allok = jnp.concatenate([bok, ook])
+        inactive = (allg < 0).astype(jnp.int32)
+        order = jnp.lexsort((alla, inactive))[:self.rows]
+        err = err | oerr | jnp.where(cnt + ocnt > self.rows, 1, 0).astype(
+            jnp.int32)
+        return (allg[order], alla[order], allv[order], allok[order],
+                jnp.minimum(cnt + ocnt, self.rows), base + obase, err)
+
+    def finalize(self, state, num_groups) -> Array:
+        bg, ba, bv, bok, cnt, base, err = state
+        R = self.rows
+        active = bg >= 0
+        gkey = jnp.where(active, bg, jnp.int32(2147483647))
+        order = jnp.lexsort((ba, gkey))
+        sg = gkey[order]
+        sv = bv[order]
+        sok = bok[order]
+        gidx = jax.lax.broadcasted_iota(jnp.int32, (self.G, 1), 0).reshape(
+            (self.G,))
+        starts = jnp.searchsorted(sg, gidx, side="left").astype(jnp.int32)
+        ends = jnp.searchsorted(sg, gidx, side="right").astype(jnp.int32)
+        offsets = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                                   jnp.cumsum(ends - starts).astype(
+                                       jnp.int32)])
+        # child rows laid out contiguously by group: gather from sorted
+        ccap = R
+        cidx = jax.lax.broadcasted_iota(jnp.int32, (ccap, 1), 0).reshape(
+            (ccap,))
+        r = jnp.clip(jnp.searchsorted(offsets, cidx, "right").astype(
+            jnp.int32) - 1, 0, self.G - 1)
+        src = jnp.clip(starts[r] + (cidx - offsets[jnp.clip(r, 0,
+                                                            self.G - 1)]),
+                       0, R - 1)
+        cvals = sv[src]
+        cok = sok[src]
+        d = jnp.dtype(self.in_type.storage_np)
+        if d == jnp.bool_:
+            cvals = cvals.astype(jnp.bool_)
+        nchild = offsets[jnp.clip(jnp.asarray(num_groups, jnp.int32), 0,
+                                  self.G)]
+        child = Array(self.in_type, cvals, cok, length=nchild)
+        return Array(self.out_type, jnp.zeros((0,), jnp.uint8), None,
+                     offsets=offsets, dictionary=child, length=num_groups)
+
+
+GROUPED_AGGREGATORS["list"] = GroupedList

@@ -177,3 +177,23 @@ _unary_arith("ceil", lambda v: jnp.ceil(v) if jnp.issubdtype(
     v.dtype, jnp.floating) else v)
 _unary_arith("trunc", lambda v: jnp.trunc(v) if jnp.issubdtype(
     v.dtype, jnp.floating) else v)
+
+
+class RoundToMultipleOptions:
+    def __init__(self, multiple=1.0, round_mode: str = "half_to_even"):
+        self.multiple = multiple
+        self.round_mode = round_mode
+
+
+@register_function("round_to_multiple", Kind.SCALAR, 1,
+                   options_class=RoundToMultipleOptions)
+def _round_to_multiple(args, options):
+    (a,) = args
+    opts = options or RoundToMultipleOptions()
+    v = values_of(a)
+    m = jnp.asarray(opts.multiple, jnp.float64)
+    scaled = v.astype(jnp.float64) / m
+    r = _round_values(scaled.astype(jnp.float64), 0, opts.round_mode)
+    out = (r.astype(jnp.float64) * m)
+    out_t = a.type if a.type.is_floating else dt.float64
+    return output_like(out.astype(out_t.storage_np), out_t, args)

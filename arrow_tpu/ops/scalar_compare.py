@@ -287,3 +287,70 @@ def _fill_null(args, options):
     fill_ok = _valid_mask(fill, cap)
     validity = ok | fill_ok
     return Array(out_t, values, validity, length=length_of([a]))
+
+
+@register_function("case_when", Kind.SCALAR, -1,
+                   null_handling=NullHandling.COMPUTED)
+def _case_when(args, options):
+    """case_when(cond_struct, *cases[, else]) — first-true-wins. The
+    condition "struct" is a Batch of bool columns (structs surface as
+    batches in this engine); a null condition counts as not-matched
+    (``scalar_if_else.cc`` CaseWhen semantics)."""
+    from ..core.batch import Batch as _Batch
+    conds = args[0]
+    if not isinstance(conds, _Batch):
+        raise TypeError("case_when: first argument must be a batch/struct "
+                        "of bool conditions")
+    cases = args[1:]
+    ncond = conds.num_columns
+    has_else = len(cases) == ncond + 1
+    if not (len(cases) == ncond or has_else):
+        raise ValueError("case_when: need one case per condition "
+                         "(+ optional else)")
+    cap = conds.capacity
+    out_t = _common_type_of([c for c in cases if isinstance(c, Array)] or
+                            list(cases))
+    values = jnp.zeros((cap,), dtype=out_t.storage_np)
+    validity = jnp.zeros((cap,), dtype=jnp.bool_)
+    decided = jnp.zeros((cap,), dtype=jnp.bool_)
+    for i in range(ncond):
+        c = conds.column(i)
+        hit = ~decided & c.validity_or_true() & c.values.astype(jnp.bool_)
+        v = values_of(cases[i], out_t)
+        if v.ndim == 0:
+            v = jnp.full((cap,), v)
+        ok = _valid_mask(cases[i], cap)
+        values = jnp.where(hit, v, values)
+        validity = jnp.where(hit, ok, validity)
+        decided = decided | hit
+    if has_else:
+        v = values_of(cases[-1], out_t)
+        if v.ndim == 0:
+            v = jnp.full((cap,), v)
+        ok = _valid_mask(cases[-1], cap)
+        values = jnp.where(decided, values, v)
+        validity = jnp.where(decided, validity, ok)
+    return Array(out_t, values, validity, length=conds.length)
+
+
+@register_function("choose", Kind.SCALAR, -1,
+                   null_handling=NullHandling.COMPUTED)
+def _choose(args, options):
+    """choose(indices, *values): per-row select of the i-th value arg."""
+    idx = args[0]
+    choices = args[1:]
+    cap = idx.capacity
+    out_t = _common_type_of([c for c in choices if isinstance(c, Array)] or
+                            list(choices))
+    values = jnp.zeros((cap,), dtype=out_t.storage_np)
+    validity = jnp.zeros((cap,), dtype=jnp.bool_)
+    iv = idx.values.astype(jnp.int32)
+    for i, c in enumerate(choices):
+        hit = iv == i
+        v = values_of(c, out_t)
+        if v.ndim == 0:
+            v = jnp.full((cap,), v)
+        values = jnp.where(hit, v, values)
+        validity = jnp.where(hit, _valid_mask(c, cap), validity)
+    validity = validity & _valid_mask(idx, cap)
+    return Array(out_t, values, validity, length=idx.length)

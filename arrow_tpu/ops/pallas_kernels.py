@@ -1,0 +1,79 @@
+"""Pallas TPU kernels for engine hot spots.
+
+Design note (why Pallas is used *selectively* here): this engine's hot
+operators are sort/scan/gather-shaped, where XLA's stock lowerings are
+already near roofline; the places Pallas earns its keep are patterns XLA
+lowers poorly — **scatter-with-colliding-indices** being the canonical
+one (XLA serializes it). The partition histogram below replaces the
+shuffle's colliding scatter-add with a single sequential-grid pass that
+keeps a (1, P) accumulator in VMEM: one HBM read of the destination
+vector, zero scatters.
+
+All kernels run in interpreter mode off-TPU so the CPU test mesh
+exercises identical code paths.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["partition_histogram"]
+
+_LANES = 128
+_SUBLANES = 8
+_TILE = _LANES * _SUBLANES  # rows per grid step
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _hist_kernel(dest_ref, out_ref, *, P: int):
+    """Grid steps run sequentially on TPU; the (1, P) output block maps to
+    the same position every step, so it acts as a running accumulator."""
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _init():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    block = dest_ref[:]  # (1, SUBLANES, LANES) int32
+    # one VPU reduction per partition (P = mesh size, small by design);
+    # the accumulator row is lane-padded to 128 for clean VMEM tiling
+    counts = out_ref[:]
+    updates = []
+    for p in range(_LANES):
+        if p < P:
+            updates.append(jnp.sum((block == p).astype(jnp.int32)))
+        else:
+            updates.append(jnp.int32(0))
+    out_ref[:] = counts + jnp.stack(updates).reshape((1, _LANES))
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def partition_histogram(dest: jax.Array, P: int) -> jax.Array:
+    """Counts of dest==p for p in [0, P). `dest` is (n,) int32; values
+    outside [0, P) are ignored. One HBM pass, no scatters."""
+    n = dest.shape[0]
+    pad = (-n) % _TILE
+    if pad:
+        dest = jnp.concatenate([dest, jnp.full((pad,), -1, jnp.int32)])
+    blocks = dest.reshape((-1, _SUBLANES, _LANES))
+    nsteps = blocks.shape[0]
+    out = pl.pallas_call(
+        functools.partial(_hist_kernel, P=P),
+        grid=(nsteps,),
+        in_specs=[pl.BlockSpec((1, _SUBLANES, _LANES),
+                               lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, _LANES), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, _LANES), jnp.int32),
+        interpret=_interpret(),
+    )(blocks)
+    return out.reshape((_LANES,))[:P]

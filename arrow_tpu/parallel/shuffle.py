@@ -95,9 +95,12 @@ def partition_for_exchange(b: Batch, key_names: Sequence[str],
     iota = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0).reshape((cap,))
     sorted_dest, perm = jax.lax.sort([dest, iota], num_keys=1,
                                      is_stable=True)
-    # position within run: iota - start_of_run(dest)
-    counts = jnp.zeros((P + 1,), dtype=jnp.int32).at[dest].add(
-        1, mode="drop")
+    # per-destination counts: single-pass Pallas histogram (a colliding
+    # scatter-add here would serialize on TPU — ops/pallas_kernels.py)
+    from ..ops.pallas_kernels import partition_histogram
+    counts_p = partition_histogram(dest, P)
+    counts = jnp.concatenate(
+        [counts_p, (jnp.int32(cap) - jnp.sum(counts_p)).reshape((1,))])
     starts = jnp.concatenate([jnp.zeros((1,), jnp.int32),
                               jnp.cumsum(counts)[:-1].astype(jnp.int32)])
     pos_in_run = iota - starts[jnp.clip(sorted_dest, 0, P)]

@@ -79,6 +79,9 @@ class Expression:
         return call("cast", [self], options=CastOptions(target_type))
 
     def isin(self, values):
+        from ..ops.set_lookup import SetLookupOptions
+        if not isinstance(values, SetLookupOptions):
+            values = SetLookupOptions(value_set=values)
         return call("is_in", [self], options=values)
 
     # ---- introspection --------------------------------------------------------

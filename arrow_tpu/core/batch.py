@@ -220,6 +220,50 @@ class Table:
         ])
         return decl.to_table()
 
+    # ---- structural methods (pyarrow.Table parity) -------------------------
+    def select(self, names: Sequence[str]) -> "Table":
+        return Table(self.schema.select(names),
+                     [b.select(names) for b in self.batches])
+
+    def drop_columns(self, names) -> "Table":
+        if isinstance(names, str):
+            names = [names]
+        keep = [n for n in self.schema.names if n not in set(names)]
+        return self.select(keep)
+
+    def rename_columns(self, names: Sequence[str]) -> "Table":
+        if len(names) != len(self.schema):
+            raise ValueError("rename_columns: wrong name count")
+        fields = tuple(Field(n, f.type, f.nullable)
+                       for n, f in zip(names, self.schema.fields))
+        schema = Schema(fields)
+        return Table(schema, [Batch(schema, b.arrays, b.length, b.index)
+                              for b in self.batches])
+
+    def column(self, key):
+        """Host-side column accessor (concatenates chunks via pyarrow)."""
+        return self.to_pyarrow().column(
+            key if isinstance(key, str) else self.schema.names[key])
+
+    def __getitem__(self, key):
+        return self.column(key)
+
+    def slice(self, offset: int = 0, length: Optional[int] = None
+              ) -> "Table":
+        from ..acero import Declaration, FetchNodeOptions, \
+            TableSourceNodeOptions
+        count = self.num_rows - offset if length is None else length
+        return Declaration.from_sequence([
+            Declaration("table_source", TableSourceNodeOptions(self)),
+            Declaration("fetch", FetchNodeOptions(offset, count)),
+        ]).to_table()
+
+    def take(self, indices) -> "Table":
+        import pyarrow as pa
+        return Table.from_pyarrow(self.to_pyarrow().take(
+            indices if isinstance(indices, pa.Array) else
+            pa.array(indices)))
+
     def __repr__(self) -> str:
         return (f"Table(rows={self.num_rows}, batches={len(self.batches)}, "
                 f"cols={list(self.schema.names)})")

@@ -57,11 +57,19 @@ class AggregateNodeOptions(ExecNodeOptions):
     name) tuples; keys empty => scalar aggregation."""
 
     def __init__(self, aggregates: Sequence, keys: Sequence[str] = (),
+                 segment_keys: Sequence[str] = (),
                  max_groups: int = 1 << 16):
         self.aggregates = [
             a if isinstance(a, AggregateSpec) else AggregateSpec(*a)
             for a in aggregates]
-        self.keys = list(keys)
+        # segment keys (ordered-stream aggregation, RowSegmenter role,
+        # ``grouper.h:78``): the sort-grouped consume already bounds
+        # memory per distinct key, so segments simply lead the key list —
+        # output order (first appearance) equals stream-segment order on
+        # sorted input.
+        self.segment_keys = list(segment_keys)
+        self.keys = list(segment_keys) + [k for k in keys
+                                          if k not in set(segment_keys)]
         self.max_groups = max_groups
 
 

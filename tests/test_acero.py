@@ -173,3 +173,26 @@ def test_empty_source():
     got = decl.to_pyarrow()
     assert got.num_rows == 0
     assert got.schema.names == ["x"]
+
+
+def test_aggregate_segment_keys(rng):
+    # ordered stream segmented on a sorted key (RowSegmenter role)
+    n = 1200
+    seg = np.sort(rng.integers(0, 6, n))
+    t = pa.table({"s": pa.array(seg), "k": pa.array(rng.integers(0, 4, n)),
+                  "v": pa.array(rng.standard_normal(n))})
+    decl = Declaration.from_sequence([
+        Declaration("table_source", TableSourceNodeOptions(
+            t, max_batch_rows=256)),
+        Declaration("aggregate", AggregateNodeOptions(
+            [AggregateSpec("sum", "v"), AggregateSpec("count_all")],
+            keys=["k"], segment_keys=["s"], max_groups=64)),
+    ])
+    got = decl.to_pyarrow().sort_by([("s", "ascending"), ("k", "ascending")])
+    exp = t.group_by(["s", "k"]).aggregate(
+        [("v", "sum"), ([], "count_all")]).sort_by(
+        [("s", "ascending"), ("k", "ascending")])
+    assert got["s"].to_pylist() == exp["s"].to_pylist()
+    assert got["k"].to_pylist() == exp["k"].to_pylist()
+    np.testing.assert_allclose(got["v_sum"].to_pylist(),
+                               exp["v_sum"].to_pylist(), rtol=1e-12)

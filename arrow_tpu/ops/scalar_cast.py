@@ -63,6 +63,11 @@ def _cast(args, options):
             [a], CastOptions(dst.value_type))
         return dictionary_encode_array(enc, index_type=dst.index_type)
 
+    if src.is_integer and isinstance(dst, dt.StringType):
+        return _int_to_string(a)
+    if isinstance(src, (dt.StringType,)) and dst.is_integer:
+        return _string_to_int(a, dst)
+
     v = a.values
     if (src.is_numeric or isinstance(src, dt.BoolType) or src.is_temporal) \
             and (dst.is_numeric or isinstance(dst, dt.BoolType)
@@ -74,3 +79,83 @@ def _cast(args, options):
         return Array(dst, out, a.validity, length=a.length)
 
     raise NotImplementedError(f"cast {src} -> {dst}")
+
+
+def _int_to_string(a: Array) -> Array:
+    """int -> decimal string, fully on device: per-row digit count via
+    threshold compares, then each output byte computes its digit with a
+    power-of-ten table lookup (``scalar_cast_string.cc`` role)."""
+    import jax
+    from .strings import _build_varlen
+    v = a.values.astype(jnp.int64)
+    neg = v < 0
+    # |v| as uint64 (handles INT64_MIN without overflow)
+    mag = jnp.where(neg, (-(v + 1)).astype(jnp.uint64) + 1,
+                    v.astype(jnp.uint64))
+    pow10 = jnp.asarray([10 ** p for p in range(20)], dtype=jnp.uint64)
+    ndig = jnp.ones(v.shape, jnp.int32)
+    for p in range(1, 20):
+        ndig = ndig + (mag >= pow10[p]).astype(jnp.int32)
+    lens = ndig + neg.astype(jnp.int32)
+    src_off = a.offsets  # unused; placeholder for helper signature
+
+    cap = a.capacity
+    out_t = dt.string
+
+    def src_of(r, k, out_pos):
+        return jnp.full_like(r, -1)  # all bytes come from the filler
+
+    def filler(r, k):
+        is_sign = neg[r] & (k == 0)
+        dpos = k - neg[r].astype(jnp.int32)          # digit index
+        p = ndig[r] - 1 - dpos                        # power of ten
+        pc = jnp.clip(p, 0, 19)
+        digit = (mag[r] // pow10[pc]) % jnp.uint64(10)
+        byte = jnp.uint8(48) + digit.astype(jnp.uint8)
+        return jnp.where(is_sign, jnp.uint8(45), byte)
+
+    shell = Array(out_t, jnp.zeros((1,), jnp.uint8), a.validity,
+                  offsets=jnp.zeros((cap + 1,), jnp.int32), length=a.length)
+    out = _build_varlen(shell, lens, src_of, out_bcap=cap * 21,
+                        filler=filler)
+    return Array(out_t, out.values, a.validity, offsets=out.offsets,
+                 length=a.length)
+
+
+def _string_to_int(a: Array, dst: dt.DataType) -> Array:
+    """decimal string -> integer with per-row validity (parse failures
+    are nulls — the unchecked-cast analog of Arrow's safe=False)."""
+    import jax
+    from .strings import _lens, _pool_iota, _rows_of_bytes
+    cap = a.capacity
+    bcap = max(a.values.shape[0], 1)
+    pool = a.values if a.values.shape[0] else jnp.zeros((1,), jnp.uint8)
+    rows = _rows_of_bytes(a) if a.values.shape[0] else \
+        jnp.zeros((1,), jnp.int32)
+    bidx = _pool_iota(max(a.values.shape[0], 1))
+    lens = _lens(a).astype(jnp.int32)                      # (cap,)
+    row_start = a.offsets[:-1]                             # (cap,)
+    first_r = pool[jnp.clip(row_start, 0, bcap - 1)]       # (cap,)
+    has_sign_r = ((first_r == 45) | (first_r == 43)) & (lens > 0)
+    sign_r = jnp.where(first_r == 45, jnp.int64(-1), jnp.int64(1))
+    ndig = lens - has_sign_r.astype(jnp.int32)             # (cap,)
+    pos = bidx - a.offsets[rows]                           # per byte
+    dpos = pos - has_sign_r[rows].astype(jnp.int32)
+    in_pool = bidx < a.offsets[cap]
+    is_digit_pos = in_pool & (dpos >= 0)
+    byte = pool[jnp.clip(bidx, 0, bcap - 1)]
+    digit = (byte - jnp.uint8(48)).astype(jnp.int64)
+    valid_byte = (byte >= 48) & (byte <= 57)
+    p = jnp.clip(ndig[rows] - 1 - dpos, 0, 18)
+    pow10 = jnp.asarray([10 ** q for q in range(19)], dtype=jnp.int64)
+    contrib = jnp.where(is_digit_pos, digit * pow10[p], 0)
+    total = jnp.zeros((cap,), jnp.int64).at[
+        jnp.where(is_digit_pos, rows, cap)].add(contrib, mode="drop")
+    bad = jnp.zeros((cap,), jnp.bool_).at[
+        jnp.where(is_digit_pos, rows, cap)].max(~valid_byte, mode="drop")
+    parse_ok = (ndig > 0) & (ndig <= 19) & ~bad
+    out = (sign_r * total).astype(jnp_dtype(dst))
+    validity = parse_ok
+    if a.validity is not None:
+        validity = validity & a.validity
+    return Array(dst, out, validity, length=a.length)

@@ -42,7 +42,12 @@ def _setup_compile_cache():
 def _time_best(fn, *args, reps=3):
     """Median of `reps` timed calls, each with a distinct seed (the axon
     relay memoizes identical executions; occasional anomalously-fast
-    results make min unreliable — median is robust both ways)."""
+    results make min unreliable — median is robust both ways).
+
+    Sanity: sub-millisecond results for multi-million-row inputs mean the
+    relay short-circuited — such samples are discarded; if all samples
+    are implausible the config reports an error rather than a fantasy
+    number."""
     import jax
     jax.block_until_ready(fn(np.int32(0), *args))  # compile + warm
     times = []
@@ -50,7 +55,11 @@ def _time_best(fn, *args, reps=3):
         t0 = time.perf_counter()
         jax.block_until_ready(fn(np.int32(s), *args))
         times.append(time.perf_counter() - t0)
-    return float(np.median(times))
+    real = [t for t in times if t > 2e-3]
+    if not real:
+        raise RuntimeError(
+            f"timing implausible (relay memoization?): {times}")
+    return float(np.median(real))
 
 
 def _time_host(fn, reps=2):
@@ -396,12 +405,17 @@ def main():
     results = {}
     speedups = []
     chip = "tpu"
+    log_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           ".bench_logs")
+    os.makedirs(log_dir, exist_ok=True)
     for name in CONFIG_NAMES:
         try:
             r = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--one", name],
                 capture_output=True, text=True,
                 timeout=_PER_CONFIG_TIMEOUT)
+            with open(os.path.join(log_dir, f"{name}.log"), "w") as f:
+                f.write(r.stdout + "\n--- stderr ---\n" + r.stderr)
             line = [l for l in r.stdout.strip().splitlines()
                     if l.startswith("{")]
             if r.returncode == 0 and line:
@@ -410,8 +424,10 @@ def main():
                 results[name] = res
                 speedups.append(res["speedup"])
             else:
-                results[name] = {"error": (r.stderr or r.stdout)
-                                 .strip()[-200:]}
+                err = (r.stderr or r.stdout).strip().splitlines()
+                key = [l for l in err if "Error" in l or "error" in l]
+                results[name] = {"error": (key[-1] if key else
+                                           " ".join(err[-3:]))[:300]}
         except subprocess.TimeoutExpired:
             results[name] = {"error": f"timeout>{_PER_CONFIG_TIMEOUT}s"}
         except Exception as e:

@@ -168,3 +168,26 @@ def test_min_max_element_wise(rng):
     assert_array_equal(
         atc.call_function("max_element_wise", [at.array(a), at.array(b)]),
         pc.max_element_wise(a, b))
+
+
+def test_cast_int_to_string(rng):
+    from arrow_tpu.ops.scalar_cast import CastOptions
+    import arrow_tpu.core.datatype as dt
+    vals = list(rng.integers(-10**17, 10**17, 300)) + [
+        0, -1, -9223372036854775808, 9223372036854775807, None]
+    a = pa.array([None if v is None else int(v) for v in vals],
+                 type=pa.int64())
+    got = atc.call_function("cast", [at.array(a)],
+                            options=CastOptions(dt.string))
+    assert_array_equal(got, a.cast(pa.string()), msg="int->string")
+
+
+def test_cast_string_to_int(rng):
+    from arrow_tpu.ops.scalar_cast import CastOptions
+    import arrow_tpu.core.datatype as dt
+    s = pa.array(["123", "-456", "+7", "0", None, "bad", "",
+                  "9223372036854775807", "00042"])
+    got = atc.call_function("cast", [at.array(s)],
+                            options=CastOptions(dt.int64))
+    assert got.to_pylist() == [123, -456, 7, 0, None, None, None,
+                               9223372036854775807, 42]

@@ -132,7 +132,9 @@ def bench_group_by(dev, distinct):
     K = 4
     rng = np.random.default_rng(7)
     keys = rng.integers(0, distinct, n)
-    vals = rng.standard_normal(n)
+    # float32 values on BOTH sides: v5e has no f64 hardware (emulated f64
+    # scans also explode XLA compile time); f32 is the TPU-native dtype
+    vals = rng.standard_normal(n).astype(np.float32)
 
     t = pa.table({"k": pa.array(keys), "v": pa.array(vals)})
 
@@ -154,14 +156,15 @@ def bench_group_by(dev, distinct):
     @jax.jit
     def run(s, b):
         def body(i, acc):
-            v2 = b.column("v").values + (s + i).astype(jnp.float64) * 1e-12
-            b2 = b.set_column("v", at.Array(at.float64, v2, None, length=n))
+            v2 = b.column("v").values + (s + i).astype(jnp.float32) * 1e-6
+            b2 = b.set_column("v", at.Array(at.float32, v2, None, length=n))
             state = ha.init_state()
             state = ha.consume(state, b2)
             out = ha.finalize(state)
-            acc = acc + out.arrays[1].values[::4097].sum()
-            return acc + out.length.astype(jnp.float64)
-        return lax.fori_loop(0, K, body, jnp.float64(0))
+            acc = acc + out.arrays[1].values[::4097].sum().astype(
+                jnp.float32)
+            return acc + out.length.astype(jnp.float32)
+        return lax.fori_loop(0, K, body, jnp.float32(0))
 
     sec = _time_best(run, batch) / K
     return n / sec, n / pa_sec
@@ -235,9 +238,9 @@ def bench_join(dev):
     K = 2
     rng = np.random.default_rng(11)
     build_keys = rng.permutation(2 * nb)[:nb].astype(np.int64)
-    build_vals = rng.standard_normal(nb)
+    build_vals = rng.standard_normal(nb).astype(np.float32)
     probe_keys = rng.integers(0, 2 * nb, np_).astype(np.int64)  # ~50% hit
-    probe_vals = rng.standard_normal(np_)
+    probe_vals = rng.standard_normal(np_).astype(np.float32)
 
     tb = pa.table({"k": pa.array(build_keys), "bv": pa.array(build_vals)})
     tp = pa.table({"k": pa.array(probe_keys), "pv": pa.array(probe_vals)})
@@ -265,13 +268,13 @@ def bench_join(dev):
         bs = hj.build(r)
 
         def body(i, acc):
-            pv = l.column("pv").values + (s + i).astype(jnp.float64) * 1e-12
-            l2 = l.set_column("pv", at.Array(at.float64, pv, None,
+            pv = l.column("pv").values + (s + i).astype(jnp.float32) * 1e-6
+            l2 = l.set_column("pv", at.Array(at.float32, pv, None,
                                              length=np_))
             out, _ = hj.probe(bs, l2, fanout_capacity=fanout)
             acc = acc + out.column("bv").values[::65537].sum()
-            return acc + out.length.astype(jnp.float64)
-        return lax.fori_loop(0, K, body, jnp.float64(0))
+            return acc + out.length.astype(jnp.float32)
+        return lax.fori_loop(0, K, body, jnp.float32(0))
 
     sec = _time_best(run, left, right) / K
     return np_ / sec, np_ / pa_sec
@@ -293,9 +296,19 @@ def bench_q3(dev):
     from arrow_tpu.utils.tpch import tpch_table
 
     sf = 0.5 * SCALE
-    lineitem = tpch_table("lineitem", sf)
-    orders = tpch_table("orders", sf)
-    customer = tpch_table("customer", sf)
+
+    def _f32(t):
+        # v5e-native float32 for BOTH engines (no f64 hardware on chip)
+        cols = {}
+        for name in t.column_names:
+            c = t[name]
+            cols[name] = c.cast(pa.float32()) if pa.types.is_float64(
+                c.type) else c
+        return pa.table(cols)
+
+    lineitem = _f32(tpch_table("lineitem", sf))
+    orders = _f32(tpch_table("orders", sf))
+    customer = _f32(tpch_table("customer", sf))
     n = lineitem.num_rows
     date = dtm.date(1995, 3, 15)
 

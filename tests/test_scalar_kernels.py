@@ -191,3 +191,29 @@ def test_cast_string_to_int(rng):
                             options=CastOptions(dt.int64))
     assert got.to_pylist() == [123, -456, 7, 0, None, None, None,
                                9223372036854775807, 42]
+
+
+def test_cast_string_to_float(rng):
+    import math
+    from arrow_tpu.ops.scalar_cast import CastOptions
+    import arrow_tpu.core.datatype as dt
+    vals = ["1.5", "-2.25", "3", ".5", "1e3", "-1.5e-2", "2.5E4", None,
+            "inf", "-inf", "nan", "123456.789", "0.000001", "-0"]
+    s = pa.array(vals)
+    got = atc.call_function("cast", [at.array(s)],
+                            options=CastOptions(dt.float64)).to_pylist()
+    exp = s.cast(pa.float64()).to_pylist()
+    for g, e in zip(got, exp):
+        if e is None:
+            assert g is None
+        elif math.isnan(e):
+            assert math.isnan(g)
+        elif math.isinf(e):
+            assert g == e
+        else:
+            assert abs(g - e) <= 1e-12 * max(1.0, abs(e)), (g, e)
+    # parse failures are NULL here (the reference's safe cast raises —
+    # unchecked-cast divergence, documented)
+    bad = atc.call_function("cast", [at.array(pa.array(["x", ""]))],
+                            options=CastOptions(dt.float64))
+    assert bad.to_pylist() == [None, None]

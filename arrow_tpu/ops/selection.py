@@ -69,11 +69,32 @@ def _selection_mask(mask: Array, null_selection: str):
     return sel, emit_valid, out_len
 
 
+def _compaction_impl() -> str:
+    """'search' (default on TPU): cumsum + searchsorted — O(n log n)
+    gathers, no sort, no scatter; 'sort': 1-bit-key multi-payload stable
+    sort; 'scatter': O(n) scatter (CPU default — element scatters run
+    ~1000x below bandwidth on TPU). Override: ARROW_TPU_FILTER_IMPL."""
+    import os
+    impl = os.environ.get("ARROW_TPU_FILTER_IMPL")
+    if impl:
+        return impl
+    return "search" if jax.default_backend() == "tpu" else "scatter"
+
+
 def _use_sort_compaction() -> bool:
-    """Element scatters/gathers run ~1000x below bandwidth on TPU; a
-    1-bit-key multi-payload stable sort is ~13x faster there (measured).
-    On CPU the O(N) scatter path wins."""
-    return jax.default_backend() == "tpu"
+    return _compaction_impl() == "sort"
+
+
+def _search_take_indices(sel: jax.Array, emit_valid, out_len):
+    """Compaction by binary search: indices[j] = position of the (j+1)-th
+    set bit = searchsorted(cumsum(sel), j+1)."""
+    cap = sel.shape[0]
+    C = jnp.cumsum(sel.astype(jnp.int32))
+    j = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0).reshape((cap,))
+    idx = jnp.searchsorted(C, j + 1, side="left").astype(jnp.int32)
+    idx = jnp.clip(idx, 0, cap - 1)
+    validity = emit_valid[idx] if emit_valid is not None else None
+    return idx, validity
 
 
 def get_take_indices(mask: Array,
@@ -87,7 +108,11 @@ def get_take_indices(mask: Array,
     sel, emit_valid, out_len = _selection_mask(mask, null_selection)
     iota = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0).reshape((cap,))
 
-    if _use_sort_compaction():
+    impl = _compaction_impl()
+    if impl == "search":
+        indices, validity = _search_take_indices(sel, emit_valid, out_len)
+        return Array(dt.int32, indices, validity, length=out_len)
+    if impl == "sort":
         key = (~sel).astype(jnp.uint8)
         ops = [key, iota] + ([emit_valid] if emit_valid is not None else [])
         out = jax.lax.sort(ops, num_keys=1, is_stable=True)
@@ -252,7 +277,8 @@ def _filter_batch_sorted(b: Batch, mask: Array,
 def filter_batch(b: Batch, mask: Array,
                  options: Optional[FilterOptions] = None) -> Batch:
     opts = options or FilterOptions()
-    if _use_sort_compaction():
+    impl = _compaction_impl()
+    if impl == "sort":
         return _filter_batch_sorted(b, mask, opts.null_selection_behavior)
     indices = get_take_indices(mask, opts.null_selection_behavior)
     return take_batch(b, indices)

@@ -111,3 +111,36 @@ def test_take_indices_from_mask():
     m = at.array_from_json(at.bool_, "[true, false, true, true, false]")
     idx = atc.get_take_indices(m)
     assert idx.to_pylist() == [0, 2, 3]
+
+
+def test_filter_impl_search_matches(rng):
+    """The searchsorted compaction path (TPU default) must match the
+    scatter path bit-for-bit."""
+    import os
+    import arrow_tpu.ops.selection as sel
+    n = 3000
+    t = pa.table({
+        "i": random_numeric_array(rng, n, pa.int64(), null_prob=0.2),
+        "s": pa.array([None if rng.random() < 0.1 else f"r{i % 37}"
+                       for i in range(n)]),
+    })
+    m = pa.array([None if rng.random() < 0.1 else bool(x)
+                  for x in rng.integers(0, 2, n)])
+    b = at.Batch.from_pyarrow(t.combine_chunks().to_batches()[0])
+    mask = at.array(m)
+    old = os.environ.get("ARROW_TPU_FILTER_IMPL")
+    try:
+        for null_sel in ["drop", "emit_null"]:
+            outs = []
+            for impl in ["scatter", "search", "sort"]:
+                os.environ["ARROW_TPU_FILTER_IMPL"] = impl
+                out = sel.filter_batch(
+                    b, mask, sel.FilterOptions(null_sel)).to_pyarrow()
+                outs.append(out)
+            assert outs[0].equals(outs[1]), f"{null_sel}: search != scatter"
+            assert outs[0].equals(outs[2]), f"{null_sel}: sort != scatter"
+    finally:
+        if old is None:
+            os.environ.pop("ARROW_TPU_FILTER_IMPL", None)
+        else:
+            os.environ["ARROW_TPU_FILTER_IMPL"] = old

@@ -265,3 +265,90 @@ for _m in ("floor", "ceil", "round"):
                       options_class=RoundTemporalOptions)(
         lambda args, options, _mm=_m: _round_temporal(args[0], options,
                                                       _mm))
+
+
+class StrftimeOptions:
+    def __init__(self, format: str = "%Y-%m-%dT%H:%M:%S",
+                 locale: str = "C"):
+        self.format = format
+        self.locale = locale
+
+
+class StrptimeOptions:
+    def __init__(self, format: str = "%Y-%m-%dT%H:%M:%S", unit: str = "us",
+                 error_is_null: bool = False):
+        self.format = format
+        self.unit = unit
+        self.error_is_null = error_is_null
+
+
+@register_function("strftime", Kind.SCALAR, 1,
+                   null_handling=NullHandling.COMPUTED,
+                   options_class=StrftimeOptions)
+def _strftime(args, options):
+    """Timestamp -> formatted string. HOST-BOUNDARY kernel: text
+    formatting is not device work (the reference also just calls libc);
+    runs at materialization edges, not inside jit."""
+    import datetime as _dtm
+    import numpy as np_
+    (a,) = args
+    opts = options or StrftimeOptions()
+    t = a.type
+    days, tod = _days_and_tod_ns(a)
+    days_h = np_.asarray(jax.device_get(days))
+    tod_h = np_.asarray(jax.device_get(tod))
+    valid = np_.asarray(jax.device_get(a.validity)) \
+        if a.validity is not None else None
+    n = len(a)
+    outs = []
+    epoch = _dtm.datetime(1970, 1, 1)
+    for i in range(n):
+        if valid is not None and not valid[i]:
+            outs.append(None)
+            continue
+        ts = epoch + _dtm.timedelta(days=int(days_h[i]),
+                                    microseconds=int(tod_h[i]) // 1000)
+        outs.append(ts.strftime(opts.format))
+    from ..core.array import array as make_array
+    import pyarrow as pa
+    return make_array(pa.array(outs, type=pa.string()),
+                      capacity=a.capacity)
+
+
+@register_function("strptime", Kind.SCALAR, 1,
+                   null_handling=NullHandling.COMPUTED,
+                   options_class=StrptimeOptions)
+def _strptime(args, options):
+    """String -> timestamp. HOST-BOUNDARY kernel (see strftime)."""
+    import datetime as _dtm
+    (a,) = args
+    opts = options or StrptimeOptions()
+    vals = a.to_pylist()
+    epoch = _dtm.datetime(1970, 1, 1)
+    scale = {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}[opts.unit]
+    out = []
+    for v in vals:
+        if v is None:
+            out.append(None)
+            continue
+        try:
+            ts = _dtm.datetime.strptime(v, opts.format)
+            out.append(int((ts - epoch).total_seconds() * scale))
+        except ValueError:
+            if opts.error_is_null:
+                out.append(None)
+            else:
+                raise
+    import numpy as np_
+    from ..core.array import Array as _Arr
+    t = dt.timestamp(opts.unit)
+    buf = np_.zeros((a.capacity,), np_.int64)
+    validity = np_.zeros((a.capacity,), np_.bool_)
+    for i, v in enumerate(out):
+        if v is not None:
+            buf[i] = v
+            validity[i] = True
+    has_null = any(v is None for v in out)
+    return _Arr(t, jnp.asarray(buf),
+                jnp.asarray(validity) if has_null else None,
+                length=len(out))

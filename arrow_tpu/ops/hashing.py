@@ -164,15 +164,12 @@ def string_fingerprint_exact(a: Array, mult: int = 0x9E3779B185EBCA87
     r = jnp.clip(r, 0, cap - 1)
     is_head = bidx == off[jnp.clip(r, 0, cap - 1)]
     # segmented product scan: pow[p] = mult ** (p - row_start)
+    # (hand-rolled doubling — see ops/segment.segmented_scan for why not
+    # lax.associative_scan)
     m = jnp.uint64(mult)
     val = jnp.where(is_head, jnp.uint64(1), m)
-
-    def combine(left, right):
-        lf, lv = left
-        rf, rv = right
-        return lf | rf, jnp.where(rf, rv, lv * rv)
-
-    _, powers = jax.lax.associative_scan(combine, (is_head, val))
+    from .segment import segmented_scan
+    powers = segmented_scan(val, is_head, jnp.multiply)
     contrib = (data.astype(jnp.uint64) + jnp.uint64(1)) * powers
     in_pool = bidx < off[cap]
     contrib = jnp.where(in_pool, contrib, jnp.uint64(0))

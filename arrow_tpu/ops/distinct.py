@@ -16,7 +16,7 @@ is_in/index_in (ops/set_lookup), the Grouper's consume fast path
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -60,13 +60,20 @@ class SortGroup(NamedTuple):
     num_unique: jax.Array
 
 
-def sort_group(lanes: jax.Array, active: jax.Array) -> SortGroup:
+def sort_group(lanes: jax.Array, active: jax.Array,
+               rep_capacity: Optional[int] = None) -> SortGroup:
+    """`rep_capacity` bounds the per-distinct-key bookkeeping arrays
+    (rep/order/gid_of_seg/unique_rows/head_pos*): group-by paths pass
+    their table size so the first-appearance ranking argsort runs over R
+    rows, not cap (a full extra sort otherwise). Segments beyond R are
+    dropped (the caller's overflow flag covers that case); the default
+    keeps R = cap (unbounded distinct — unique/dictionary_encode)."""
     cap, L = lanes.shape
-    rows = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0).reshape((cap,))
+    R = min(rep_capacity, cap) if rep_capacity else cap
     inactive = (~active).astype(jnp.uint32)
-    # lexsort: last key is the primary — (inactive, lane0..laneL-1, row)
-    keys = (rows,) + tuple(lanes[:, j] for j in range(L - 1, -1, -1)) \
-        + (inactive,)
+    # lexsort: last key is the primary — (inactive, lane0..laneL-1);
+    # jnp.lexsort is stable, so equal keys keep row order (no row operand)
+    keys = tuple(lanes[:, j] for j in range(L - 1, -1, -1)) + (inactive,)
     perm = jnp.lexsort(keys).astype(jnp.int32)
     s_lanes = lanes[perm]
     s_active = active[perm]
@@ -78,22 +85,23 @@ def sort_group(lanes: jax.Array, active: jax.Array) -> SortGroup:
     num_unique = jnp.where(jnp.any(active), seg[-1] + 1, 0).astype(
         jnp.int32) if cap > 0 else jnp.int32(0)
     spos = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0).reshape((cap,))
+    ridx = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0).reshape((R,))
     # first (min-row) occurrence of each run sits at its head position
-    rep = jnp.full((cap,), _I32MAX, dtype=jnp.int32).at[
-        jnp.where(head, seg, cap)].set(perm, mode="drop",
-                                       unique_indices=True)
+    rep = jnp.full((R,), _I32MAX, dtype=jnp.int32).at[
+        jnp.where(head, seg, R)].set(perm, mode="drop",
+                                     unique_indices=True)
     # first-appearance rank: runs ordered by their first original row
     order = jnp.argsort(rep).astype(jnp.int32)        # gid -> seg
-    gid_of_seg = jnp.zeros((cap,), dtype=jnp.int32).at[order].set(
-        spos, unique_indices=True)
+    gid_of_seg = jnp.zeros((R,), dtype=jnp.int32).at[order].set(
+        ridx, unique_indices=True)
     unique_rows = rep[order]
-    codes_sorted = gid_of_seg[seg]
+    codes_sorted = gid_of_seg[jnp.clip(seg, 0, R - 1)]
     codes = jnp.zeros((cap,), dtype=jnp.int32).at[perm].set(
         codes_sorted, unique_indices=True)
     codes = jnp.where(active, codes, jnp.int32(-1))
-    head_pos_of_seg = jnp.full((cap,), cap, dtype=jnp.int32).at[
-        jnp.where(head, seg, cap)].set(spos, mode="drop",
-                                       unique_indices=True)
+    head_pos_of_seg = jnp.full((R,), cap, dtype=jnp.int32).at[
+        jnp.where(head, seg, R)].set(spos, mode="drop",
+                                     unique_indices=True)
     head_pos = head_pos_of_seg[order]
     n_active = jnp.sum(active).astype(jnp.int32)
     return SortGroup(perm, s_active, head, seg, codes, gid_of_seg, order,

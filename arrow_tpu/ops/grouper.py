@@ -206,8 +206,8 @@ class Grouper:
         batch-local first-appearance ids to persistent group ids."""
         from .distinct import sort_group
         cap, L = lanes.shape
-        g = sort_group(lanes, active)
         R = min(cap, self.table_size)
+        g = sort_group(lanes, active, rep_capacity=R)
         rep_rows = jnp.clip(g.unique_rows[:R], 0, cap - 1)
         ridx = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0).reshape((R,))
         rep_active = ridx < jnp.minimum(g.num_unique, R)

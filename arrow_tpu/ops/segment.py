@@ -61,10 +61,13 @@ class SegmentContext(NamedTuple):
 def make_segment_context(g: SortGroup, rep_gids: jax.Array
                          ) -> SegmentContext:
     """rep_gids: (R,) persistent gid per batch-local first-appearance id
-    (from the grouper's table pass over unique reps)."""
+    (from the grouper's table pass over unique reps). All seg-granular
+    arrays are R-sized (R = the grouper's rep capacity)."""
     cap = g.perm.shape[0]
     R = rep_gids.shape[0]
-    sidx = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0).reshape((cap,))
+    assert g.head_pos_seg.shape[0] == R, \
+        "sort_group rep_capacity must match the grouper table size"
+    sidx = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0).reshape((R,))
     starts = g.head_pos_seg
     nxt = jnp.concatenate([starts[1:], jnp.full((1,), cap, jnp.int32)])
     in_use = sidx < g.num_unique

@@ -66,13 +66,22 @@ def _positions(mask: jax.Array, group_ids: jax.Array, G: int) -> jax.Array:
 
 def _sorted_inputs(values: Optional[Array], ctx):
     """(values-in-sorted-order | None, contribution flags in sorted order).
-    skip_nulls semantics: a row contributes iff active AND valid."""
+    skip_nulls semantics: a row contributes iff active AND valid.
+    Columns that rode the grouping sort as payloads come from
+    ctx.sorted_cols (no gather); others gather through perm."""
     ok = ctx.s_active
     v_sorted = None
     if values is not None:
-        v_sorted = values.values[ctx.perm]
-        if values.validity is not None:
-            ok = ok & values.validity[ctx.perm]
+        cached = ctx.sorted_cols.get(id(values.values)) \
+            if ctx.sorted_cols else None
+        if cached is not None:
+            v_sorted, valid_sorted = cached
+            if valid_sorted is not None:
+                ok = ok & valid_sorted
+        else:
+            v_sorted = values.values[ctx.perm]
+            if values.validity is not None:
+                ok = ok & values.validity[ctx.perm]
     return v_sorted, ok
 
 

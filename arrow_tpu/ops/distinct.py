@@ -61,23 +61,36 @@ class SortGroup(NamedTuple):
 
 
 def sort_group(lanes: jax.Array, active: jax.Array,
-               rep_capacity: Optional[int] = None) -> SortGroup:
-    """`rep_capacity` bounds the per-distinct-key bookkeeping arrays
+               rep_capacity: Optional[int] = None,
+               payloads: Tuple[jax.Array, ...] = ()):
+    """Returns (SortGroup, sorted_payloads).
+
+    `rep_capacity` bounds the per-distinct-key bookkeeping arrays
     (rep/order/gid_of_seg/unique_rows/head_pos*): group-by paths pass
     their table size so the first-appearance ranking argsort runs over R
     rows, not cap (a full extra sort otherwise). Segments beyond R are
     dropped (the caller's overflow flag covers that case); the default
-    keeps R = cap (unbounded distinct — unique/dictionary_encode)."""
+    keeps R = cap (unbounded distinct — unique/dictionary_encode).
+
+    `payloads` ride the ONE variadic sort as extra operands — aggregate
+    input columns arrive already key-grouped with no post-sort random
+    gathers (TPU gathers at engine sizes cost a large fraction of the
+    sort itself)."""
     cap, L = lanes.shape
     R = min(rep_capacity, cap) if rep_capacity else cap
     inactive = (~active).astype(jnp.uint32)
-    # lexsort: last key is the primary — (inactive, lane0..laneL-1);
-    # jnp.lexsort is stable, so equal keys keep row order (no row operand)
-    keys = tuple(lanes[:, j] for j in range(L - 1, -1, -1)) + (inactive,)
-    perm = jnp.lexsort(keys).astype(jnp.int32)
-    s_lanes = lanes[perm]
-    s_active = active[perm]
-    prev_diff = jnp.any(s_lanes[1:] != s_lanes[:-1], axis=1)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0).reshape((cap,))
+    ops = [inactive] + [lanes[:, j] for j in range(L)] + [iota] + \
+        list(payloads)
+    out = jax.lax.sort(ops, num_keys=L + 1, is_stable=True)
+    s_inactive = out[0]
+    s_lane_cols = out[1:1 + L]
+    perm = out[1 + L]
+    s_payloads = tuple(out[2 + L:])
+    s_active = s_inactive == 0
+    prev_diff = s_lane_cols[0][1:] != s_lane_cols[0][:-1]
+    for c in s_lane_cols[1:]:
+        prev_diff = prev_diff | (c[1:] != c[:-1])
     prev_inact = ~s_active[:-1]
     head = s_active & jnp.concatenate(
         [jnp.ones((1,), dtype=jnp.bool_), prev_diff | prev_inact])
@@ -104,14 +117,15 @@ def sort_group(lanes: jax.Array, active: jax.Array,
                                      unique_indices=True)
     head_pos = head_pos_of_seg[order]
     n_active = jnp.sum(active).astype(jnp.int32)
-    return SortGroup(perm, s_active, head, seg, codes, gid_of_seg, order,
-                     unique_rows, head_pos, head_pos_of_seg, n_active,
-                     num_unique)
+    g = SortGroup(perm, s_active, head, seg, codes, gid_of_seg, order,
+                  unique_rows, head_pos, head_pos_of_seg, n_active,
+                  num_unique)
+    return g, s_payloads
 
 
 def sort_distinct(lanes: jax.Array, active: jax.Array
                   ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """(codes, unique_rows, num_unique) — the compact interface used by
     unique/dictionary_encode/is_in."""
-    g = sort_group(lanes, active)
+    g, _ = sort_group(lanes, active)
     return g.codes, g.unique_rows, g.num_unique

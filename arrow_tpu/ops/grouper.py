@@ -170,7 +170,8 @@ class Grouper:
         return self._consume_lanes(state, lanes, in_range)
 
     def consume_with_group(self, state: GrouperState,
-                           keys: Sequence[Array], length=None, active=None):
+                           keys: Sequence[Array], length=None, active=None,
+                           payloads=()):
         """Like consume, but also returns (rep_gids, SortGroup) so callers
         can run segment-reduction aggregation over the sorted batch
         (ops/segment) instead of row scatters."""
@@ -181,7 +182,8 @@ class Grouper:
         in_range = row_mask(cap, length)
         if active is not None:
             in_range = in_range & active
-        return self.consume_lanes_grouped(state, lanes, in_range)
+        return self.consume_lanes_grouped(state, lanes, in_range,
+                                          payloads=payloads)
 
     def _consume_lanes(self, state: GrouperState, lanes: jax.Array,
                        active: jax.Array
@@ -192,8 +194,8 @@ class Grouper:
         indices, so shrinking the tournament to <= table_size rows (and
         making its collisions hash-only) is the difference between
         memory-bandwidth grouping and serialized scatter loops."""
-        state, rep_gids, g = self.consume_lanes_grouped(state, lanes,
-                                                        active)
+        state, rep_gids, g, _ = self.consume_lanes_grouped(state, lanes,
+                                                           active)
         R = rep_gids.shape[0]
         row_gids = jnp.where(
             g.codes >= 0, rep_gids[jnp.clip(g.codes, 0, R - 1)],
@@ -201,13 +203,16 @@ class Grouper:
         return state, row_gids
 
     def consume_lanes_grouped(self, state: GrouperState, lanes: jax.Array,
-                              active: jax.Array):
-        """(new_state, rep_gids (R,), SortGroup) — rep_gids maps the
-        batch-local first-appearance ids to persistent group ids."""
+                              active: jax.Array, payloads=()):
+        """(new_state, rep_gids (R,), SortGroup, sorted_payloads) —
+        rep_gids maps the batch-local first-appearance ids to persistent
+        group ids; payloads ride the one variadic sort (see
+        distinct.sort_group)."""
         from .distinct import sort_group
         cap, L = lanes.shape
         R = min(cap, self.table_size)
-        g = sort_group(lanes, active, rep_capacity=R)
+        g, s_payloads = sort_group(lanes, active, rep_capacity=R,
+                                   payloads=payloads)
         rep_rows = jnp.clip(g.unique_rows[:R], 0, cap - 1)
         ridx = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0).reshape((R,))
         rep_active = ridx < jnp.minimum(g.num_unique, R)
@@ -218,7 +223,7 @@ class Grouper:
         new_state = GrouperState(new_state.table_lanes, new_state.table_gid,
                                  new_state.num_groups,
                                  new_state.error | overflow)
-        return new_state, rep_gids, g
+        return new_state, rep_gids, g, s_payloads
 
     def _consume_lanes_table(self, state: GrouperState, lanes: jax.Array,
                              active: jax.Array

@@ -98,9 +98,34 @@ class HashAggregate:
         from .segment import make_segment_context
         grouper_state, agg_states, uniques = state
         key_cols = [batch.column(k) for k in self.keys]
-        grouper_state, rep_gids, g = self.grouper.consume_with_group(
-            grouper_state, key_cols, length=batch.length)
-        ctx = make_segment_context(g, rep_gids)
+        # aggregate input columns ride the grouping sort as payloads —
+        # they arrive key-grouped without post-sort random gathers
+        payload_plan = []   # (buffer id, has_validity)
+        payloads = []
+        seen = set()
+        for spec in self.aggs:
+            if not spec.target:
+                continue
+            col = batch.column(spec.target)
+            key = id(col.values)
+            if key in seen or col.type.is_varlen:
+                continue
+            seen.add(key)
+            payload_plan.append((key, col.validity is not None))
+            payloads.append(col.values)
+            if col.validity is not None:
+                payloads.append(col.validity)
+        grouper_state, rep_gids, g, s_payloads = \
+            self.grouper.consume_with_group(
+                grouper_state, key_cols, length=batch.length,
+                payloads=tuple(payloads))
+        sorted_cols = {}
+        it = iter(s_payloads)
+        for key, has_valid in payload_plan:
+            v_sorted = next(it)
+            valid_sorted = next(it) if has_valid else None
+            sorted_cols[key] = (v_sorted, valid_sorted)
+        ctx = make_segment_context(g, rep_gids, sorted_cols)
         uniques = tuple(self.grouper.uniques_scatter_reps(
             key_cols, g, rep_gids, uniques))
         new_agg_states = []

@@ -45,6 +45,9 @@ class SegmentContext(NamedTuple):
       gid_global    (seg,) -> persistent group id (unique; -1 pads)
       row_gids      per ORIGINAL row: persistent group id (-1 inactive)
       num_segs      int32 scalar
+      sorted_cols   dict: id(values buffer) -> (values-in-sorted-order,
+                    validity-in-sorted-order | None) for columns that rode
+                    the sort as payloads (no post-sort gathers)
     """
 
     perm: jax.Array
@@ -56,10 +59,11 @@ class SegmentContext(NamedTuple):
     gid_global: jax.Array
     row_gids: jax.Array
     num_segs: jax.Array
+    sorted_cols: dict
 
 
-def make_segment_context(g: SortGroup, rep_gids: jax.Array
-                         ) -> SegmentContext:
+def make_segment_context(g: SortGroup, rep_gids: jax.Array,
+                         sorted_cols=None) -> SegmentContext:
     """rep_gids: (R,) persistent gid per batch-local first-appearance id
     (from the grouper's table pass over unique reps). All seg-granular
     arrays are R-sized (R = the grouper's rep capacity)."""
@@ -83,7 +87,8 @@ def make_segment_context(g: SortGroup, rep_gids: jax.Array
         g.codes >= 0,
         gid_global_of_local[jnp.clip(g.codes, 0, R - 1)], jnp.int32(-1))
     return SegmentContext(g.perm, g.s_active, g.head, g.seg, starts, ends,
-                          gid_global, row_gids, g.num_unique)
+                          gid_global, row_gids, g.num_unique,
+                          sorted_cols if sorted_cols is not None else {})
 
 
 def seg_sum(ctx: SegmentContext, x_sorted: jax.Array) -> jax.Array:

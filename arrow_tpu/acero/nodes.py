@@ -486,14 +486,12 @@ class AsofJoinNode(ExecNode):
             head = jnp.concatenate([
                 jnp.ones((1,), jnp.bool_), s_gid[1:] != s_gid[:-1]])
 
-            def comb(a, b):
-                af, av = a
-                bf, bv = b
-                return af | bf, jnp.where(bf, bv,
-                                          jnp.where(bv >= 0, bv, av))
+            from ..ops.segment import segmented_scan
 
-            _, last_right = jax.lax.associative_scan(
-                comb, (head, s_ridx))
+            def comb(av, bv):
+                return jnp.where(bv >= 0, bv, av)
+
+            last_right = segmented_scan(s_ridx, head, comb)
             # scatter each left row's candidate back to original position
             src = order - capR  # left original row for side-1 positions
             is_left = s_ridx < 0

@@ -230,8 +230,9 @@ class HashJoin:
             iota_c, mode="drop", unique_indices=True)
         B = jnp.full((T,), -1, dtype=jnp.int32).at[spos].max(
             offsets.astype(jnp.int32), mode="drop", unique_indices=True)
-        r_of_j = jax.lax.associative_scan(jnp.maximum, A)
-        start_of_j = jax.lax.associative_scan(jnp.maximum, B)
+        from .segment import running_scan
+        r_of_j = running_scan(A, jnp.maximum, -1)
+        start_of_j = running_scan(B, jnp.maximum, -1)
         jidx = jax.lax.broadcasted_iota(jnp.int32, (T, 1), 0).reshape((T,))
         valid_j = (jidx < total) & (r_of_j >= 0)
         r = jnp.clip(r_of_j, 0)

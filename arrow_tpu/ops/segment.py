@@ -105,6 +105,19 @@ def seg_sum(ctx: SegmentContext, x_sorted: jax.Array) -> jax.Array:
     return C[ctx.ends] - C[ctx.starts]
 
 
+def running_scan(v: jax.Array, combine, fill) -> jax.Array:
+    """Unsegmented inclusive scan (cummax/cummin/etc.) via the same
+    hand-rolled doubling as segmented_scan — ``lax.associative_scan``'s
+    lowering is a compile-time hazard at engine sizes."""
+    cap = v.shape[0]
+    d = 1
+    while d < cap:
+        vs = jnp.concatenate([jnp.full((d,), fill, v.dtype), v[:-d]])
+        v = combine(v, vs)
+        d *= 2
+    return v
+
+
 def segmented_scan(v: jax.Array, head: jax.Array, combine) -> jax.Array:
     """Inclusive segmented scan via hand-rolled Hillis-Steele doubling
     (log2(n) shifted elementwise passes) instead of

@@ -294,18 +294,18 @@ def _rank(args, options):
             sorted_null = (~a.validity)[perm]
             boundary = boundary | (sorted_null[1:] != sorted_null[:-1])
         new_grp = jnp.concatenate([jnp.ones((1,), jnp.bool_), boundary])
+        from .segment import running_scan
         if opts.tiebreaker == "dense":
             rank_sorted = jnp.cumsum(new_grp.astype(jnp.int64))
         elif opts.tiebreaker == "min":
             grp_start = jnp.where(new_grp, iota, 0)
-            rank_sorted = jax.lax.associative_scan(
-                jnp.maximum, grp_start) + 1
+            rank_sorted = running_scan(grp_start, jnp.maximum, 0) + 1
         else:  # max: position of last element of the tie group
             rev_is_last = jnp.concatenate([
                 new_grp[1:], jnp.ones((1,), jnp.bool_)])
             grp_end = jnp.where(rev_is_last, iota, cap + 1)
-            rank_sorted = jax.lax.associative_scan(
-                jnp.minimum, grp_end, reverse=True) + 1
+            rank_sorted = running_scan(grp_end[::-1], jnp.minimum,
+                                       cap + 1)[::-1] + 1
     ranks = jnp.zeros((cap,), dtype=jnp.uint64).at[perm].set(
         rank_sorted.astype(jnp.uint64))
     return Array(dt.uint64, ranks, None, length=a.length)

@@ -5,17 +5,18 @@ Reference: ``cpp/src/arrow/acero/swiss_join.cc`` + ``swiss_join_internal.h``
 materialize), match bit-vectors for outer joins, ``key_to_payload`` offsets
 for duplicate keys (``swiss_join_internal.h:483``).
 
-TPU-native redesign:
-  * Build: one Grouper.consume over the build side assigns a dense group
-    id per distinct key (null keys excluded — join keys never match null);
-    a stable sort by group id makes each key's payload rows CONTIGUOUS
-    (group_starts offsets) — the row-major key_to_payload layout without
-    per-row appends.
-  * Probe: Grouper.lookup vectorized find; per-row match counts come from
-    the group-size table. Fanout expansion (one probe row -> many output
-    rows) uses the scatter + prefix-max-scan trick (no searchsorted):
-    scatter each probe row id and its output offset at its first output
-    slot, forward-max-scan fills the gaps, ordinal = j - start.
+TPU-native redesign (second generation — fully sort-merge shaped):
+  * Build: ONE sort-group pass over the build side (ops/distinct) yields,
+    with no colliding scatters: dense first-appearance group ids per
+    distinct key, contiguous payload runs per key (the row-major
+    key_to_payload layout), per-group counts/starts from run boundaries,
+    and the unique key lanes in gid order.
+  * Probe: sort-merge find — the build's unique key lanes concat with the
+    probe keys and ONE variadic sort groups equal keys; a segmented
+    last-build scan hands every probe row its gid (the per-round
+    table-gather loop of a hash probe ran ~7x slower on v5e). Fanout
+    expansion uses the scatter + prefix-max-scan trick (unique-index
+    scatters + doubling scans only).
   * Outer joins: a matched-bitmap per build row is scatter-OR'd during
     probes; unmatched build rows are emitted at finish via filter.
 
@@ -51,10 +52,10 @@ class BuildState:
     """Device-side build result (pytree)."""
 
     __slots__ = ("grouper_state", "batch", "counts", "starts", "perm",
-                 "matched", "num_rows", "error")
+                 "matched", "num_rows", "error", "key_lanes", "bgids")
 
     def __init__(self, grouper_state, batch, counts, starts, perm, matched,
-                 num_rows, error):
+                 num_rows, error, key_lanes=None, bgids=None):
         self.grouper_state = grouper_state
         self.batch = batch
         self.counts = counts
@@ -63,10 +64,13 @@ class BuildState:
         self.matched = matched
         self.num_rows = num_rows
         self.error = error
+        self.key_lanes = key_lanes   # (G, L) unique build key lanes, gid order
+        self.bgids = bgids           # (cap,) build row -> gid (-1 null key)
 
     def tree_flatten(self):
         return ((self.grouper_state, self.batch, self.counts, self.starts,
-                 self.perm, self.matched, self.num_rows, self.error), None)
+                 self.perm, self.matched, self.num_rows, self.error,
+                 self.key_lanes, self.bgids), None)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -127,28 +131,94 @@ class HashJoin:
     # ------------------------------------------------------------------
     def build(self, right: Batch) -> BuildState:
         """Insert the (accumulated) build side. One call; use
-        ops.concat.concat_batches upstream for multi-batch builds."""
+        ops.concat.concat_batches upstream for multi-batch builds.
+
+        One sort-group pass yields everything (no colliding scatters):
+        payload runs (perm), per-gid starts/counts (run boundaries), and
+        the unique key lanes in gid order for the sort-merge probe."""
+        from .grouper import group_key_lanes
         cap = right.capacity
         keys = [right.column(k) for k in self.right_keys]
         ok = _all_valid(keys, cap)
         gstate = self.grouper.init_state()
-        gstate, gids = self.grouper.consume(gstate, keys,
-                                            length=right.length, active=ok)
+        lanes = group_key_lanes(keys, self.grouper.key_nullable)
+        active = row_mask(cap, right.length) & ok
+        gstate, rep_gids, g, _ = self.grouper.consume_lanes_grouped(
+            gstate, lanes, active)
         G = self.max_build_rows
-        pos = jnp.where(gids >= 0, gids, G)
-        counts = jnp.zeros((G + 1,), dtype=jnp.int32).at[pos].add(
-            1, mode="drop")
-        starts = jnp.concatenate([
-            jnp.zeros((1,), jnp.int32),
-            jnp.cumsum(counts[:G]).astype(jnp.int32)])
-        # contiguous payload runs per group: stable sort rows by gid
-        iota = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0).reshape(
-            (cap,))
-        _, perm = jax.lax.sort([pos, iota], num_keys=1, is_stable=True)
+        R = rep_gids.shape[0]
+        GG = min(R, G)
+        # consume from an EMPTY table: persistent gid == first-appearance
+        # id, so gid-ordered arrays are just the rep arrays
+        starts = jnp.full((G,), cap, jnp.int32).at[:GG].set(
+            g.head_pos[:GG])
+        # per-seg run widths -> counts in gid order (unique scatter)
+        sidx = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0).reshape((R,))
+        nxt = jnp.concatenate([g.head_pos_seg[1:],
+                               jnp.full((1,), cap, jnp.int32)])
+        in_use = sidx < g.num_unique
+        ends_seg = jnp.where(sidx < g.num_unique - 1, nxt, g.n_active)
+        ends_seg = jnp.where(in_use, ends_seg, g.head_pos_seg)
+        cnt_seg = (ends_seg - g.head_pos_seg).astype(jnp.int32)
+        counts = jnp.zeros((G,), jnp.int32).at[
+            jnp.where(in_use, jnp.clip(g.gid_of_seg, 0, G - 1), G)].set(
+            cnt_seg, mode="drop", unique_indices=True)
+        key_lanes = jnp.zeros((G, lanes.shape[1]), jnp.uint32).at[
+            :GG].set(lanes[jnp.clip(g.unique_rows[:GG], 0, cap - 1)])
+        bgids = jnp.where(
+            g.codes >= 0, rep_gids[jnp.clip(g.codes, 0, R - 1)],
+            jnp.int32(-1))
         matched = jnp.zeros((cap,), dtype=jnp.bool_)
         error = gstate.error
-        return BuildState(gstate, right, counts[:G], starts, perm, matched,
-                          jnp.asarray(right.length, jnp.int32), error)
+        return BuildState(gstate, right, counts, starts, g.perm, matched,
+                          jnp.asarray(right.length, jnp.int32), error,
+                          key_lanes, bgids)
+
+    # ------------------------------------------------------------------
+    def _probe_gids(self, bs: BuildState, left: Batch,
+                    keys: Sequence[Array], ok: jax.Array) -> jax.Array:
+        """Sort-merge find: concat (unique build key lanes ++ probe keys),
+        one variadic sort groups equal keys with build rows first, a
+        segmented last-build scan carries each run's gid to its probe
+        rows. Replaces the per-round table-gather loop (7x slower on
+        v5e)."""
+        from .grouper import group_key_lanes
+        from .segment import segmented_scan
+        capP = left.capacity
+        lanes_p = group_key_lanes(keys, self.grouper.key_nullable)
+        act_p = row_mask(capP, left.length) & ok
+        G = self.max_build_rows
+        L = lanes_p.shape[1]
+        gidx = jax.lax.broadcasted_iota(jnp.int32, (G, 1), 0).reshape((G,))
+        lanesA = jnp.concatenate([bs.key_lanes, lanes_p])
+        actA = jnp.concatenate(
+            [gidx < bs.grouper_state.num_groups, act_p])
+        side = jnp.concatenate([jnp.zeros((G,), jnp.uint32),
+                                jnp.ones((capP,), jnp.uint32)])
+        gpay = jnp.concatenate([gidx, jnp.full((capP,), -1, jnp.int32)])
+        piota = jax.lax.broadcasted_iota(jnp.int32, (capP, 1), 0).reshape(
+            (capP,))
+        outp = jnp.concatenate([jnp.full((G,), -1, jnp.int32), piota])
+        inact = (~actA).astype(jnp.uint32)
+        ops = [inact] + [lanesA[:, j] for j in range(L)] + [side, gpay,
+                                                            outp]
+        out = jax.lax.sort(ops, num_keys=L + 2, is_stable=False)
+        s_act = out[0] == 0
+        s_lanes = out[1:1 + L]
+        s_gpay = out[2 + L]
+        s_outp = out[3 + L]
+        diff = s_lanes[0][1:] != s_lanes[0][:-1]
+        for c in s_lanes[1:]:
+            diff = diff | (c[1:] != c[:-1])
+        head = s_act & jnp.concatenate(
+            [jnp.ones((1,), jnp.bool_), diff | ~s_act[:-1]])
+        carried = segmented_scan(
+            s_gpay, head, lambda a, b: jnp.where(b >= 0, b, a))
+        val = jnp.where(s_act, carried, jnp.int32(-1))
+        gids = jnp.full((capP,), -1, jnp.int32).at[
+            jnp.where(s_outp >= 0, s_outp, capP)].set(
+            val, mode="drop", unique_indices=True)
+        return gids
 
     # ------------------------------------------------------------------
     def probe(self, bs: BuildState, left: Batch,
@@ -160,8 +230,7 @@ class HashJoin:
         keys = [left.column(k) for k in self.left_keys]
         ok = _all_valid(keys, cap)
         in_range = row_mask(cap, left.length)
-        gids = self.grouper.lookup(bs.grouper_state, keys,
-                                   length=left.length, active=ok)
+        gids = self._probe_gids(bs, left, keys, ok)
         cnt = jnp.where(gids >= 0, bs.counts[jnp.clip(gids, 0)], 0)
 
         jt = self.join_type
@@ -196,16 +265,12 @@ class HashJoin:
             jnp.where(gids >= 0, gids, G)].max(
             jnp.ones_like(gids, dtype=jnp.bool_), mode="drop")[:G]
         # mark build rows whose group was hit
-        bgids = self._build_gids(bs)
+        bgids = bs.bgids
         matched = bs.matched | ((bgids >= 0) & grp_hit[jnp.clip(bgids, 0)])
         return BuildState(bs.grouper_state, bs.batch, bs.counts, bs.starts,
-                          bs.perm, matched, bs.num_rows, bs.error)
+                          bs.perm, matched, bs.num_rows, bs.error,
+                          bs.key_lanes, bs.bgids)
 
-    def _build_gids(self, bs: BuildState) -> jax.Array:
-        keys = [bs.batch.column(k) for k in self.right_keys]
-        ok = _all_valid(keys, bs.batch.capacity)
-        return self.grouper.lookup(bs.grouper_state, keys,
-                                   length=bs.num_rows, active=ok)
 
     # ------------------------------------------------------------------
     def _expand(self, bs: BuildState, left: Batch, gids, cnt,
@@ -263,11 +328,12 @@ class HashJoin:
             matched = bs.matched.at[jnp.where(has_match, brow, bcap)].max(
                 jnp.ones((T,), jnp.bool_), mode="drop")
             bs = BuildState(bs.grouper_state, bs.batch, bs.counts,
-                            bs.starts, bs.perm, matched, bs.num_rows, error)
+                            bs.starts, bs.perm, matched, bs.num_rows,
+                            error, bs.key_lanes, bs.bgids)
         else:
             bs = BuildState(bs.grouper_state, bs.batch, bs.counts,
                             bs.starts, bs.perm, bs.matched, bs.num_rows,
-                            error)
+                            error, bs.key_lanes, bs.bgids)
         return out, bs
 
     # ------------------------------------------------------------------

@@ -56,7 +56,7 @@ class BuildState:
 
     def __init__(self, grouper_state, batch, counts, starts, perm, matched,
                  num_rows, error, key_lanes=None, bgids=None):
-        self.grouper_state = grouper_state
+        self.grouper_state = grouper_state  # int32 scalar: num build groups
         self.batch = batch
         self.counts = counts
         self.starts = starts
@@ -136,20 +136,20 @@ class HashJoin:
         One sort-group pass yields everything (no colliding scatters):
         payload runs (perm), per-gid starts/counts (run boundaries), and
         the unique key lanes in gid order for the sort-merge probe."""
+        from .distinct import sort_group
         from .grouper import group_key_lanes
         cap = right.capacity
         keys = [right.column(k) for k in self.right_keys]
         ok = _all_valid(keys, cap)
-        gstate = self.grouper.init_state()
         lanes = group_key_lanes(keys, self.grouper.key_nullable)
         active = row_mask(cap, right.length) & ok
-        gstate, rep_gids, g, _ = self.grouper.consume_lanes_grouped(
-            gstate, lanes, active)
         G = self.max_build_rows
-        R = rep_gids.shape[0]
+        R = min(cap, G)
+        # single-shot build: NO hash table at all — first-appearance ids
+        # from the sort ARE the gids (the claim-tournament insert costs
+        # ~5s/1M-slot table on v5e; it exists for streaming consumes only)
+        g, _ = sort_group(lanes, active, rep_capacity=R)
         GG = min(R, G)
-        # consume from an EMPTY table: persistent gid == first-appearance
-        # id, so gid-ordered arrays are just the rep arrays
         starts = jnp.full((G,), cap, jnp.int32).at[:GG].set(
             g.head_pos[:GG])
         # per-seg run widths -> counts in gid order (unique scatter)
@@ -165,14 +165,12 @@ class HashJoin:
             cnt_seg, mode="drop", unique_indices=True)
         key_lanes = jnp.zeros((G, lanes.shape[1]), jnp.uint32).at[
             :GG].set(lanes[jnp.clip(g.unique_rows[:GG], 0, cap - 1)])
-        bgids = jnp.where(
-            g.codes >= 0, rep_gids[jnp.clip(g.codes, 0, R - 1)],
-            jnp.int32(-1))
+        bgids = g.codes
         matched = jnp.zeros((cap,), dtype=jnp.bool_)
-        error = gstate.error
-        return BuildState(gstate, right, counts, starts, g.perm, matched,
-                          jnp.asarray(right.length, jnp.int32), error,
-                          key_lanes, bgids)
+        error = jnp.where(g.num_unique > G, 1, 0).astype(jnp.int32)
+        return BuildState(g.num_unique, right, counts, starts, g.perm,
+                          matched, jnp.asarray(right.length, jnp.int32),
+                          error, key_lanes, bgids)
 
     # ------------------------------------------------------------------
     def _probe_gids(self, bs: BuildState, left: Batch,
@@ -191,8 +189,7 @@ class HashJoin:
         L = lanes_p.shape[1]
         gidx = jax.lax.broadcasted_iota(jnp.int32, (G, 1), 0).reshape((G,))
         lanesA = jnp.concatenate([bs.key_lanes, lanes_p])
-        actA = jnp.concatenate(
-            [gidx < bs.grouper_state.num_groups, act_p])
+        actA = jnp.concatenate([gidx < bs.grouper_state, act_p])
         side = jnp.concatenate([jnp.zeros((G,), jnp.uint32),
                                 jnp.ones((capP,), jnp.uint32)])
         gpay = jnp.concatenate([gidx, jnp.full((capP,), -1, jnp.int32)])

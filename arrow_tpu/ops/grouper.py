@@ -130,9 +130,8 @@ class Grouper:
         self.key_types = tuple(key_types)
         self.key_nullable = tuple(key_nullable)
         self.max_groups = max_groups
-        self.table_size = 1
-        while self.table_size < 2 * max_groups:
-            self.table_size *= 2
+        # sorted-table state: exactly max_groups slots (no load factor)
+        self.table_size = max_groups
         # lane count is static given types+nullability
         self.num_lanes = 0
         for t, nb in zip(self.key_types, self.key_nullable):
@@ -228,76 +227,19 @@ class Grouper:
     def _consume_lanes_table(self, state: GrouperState, lanes: jax.Array,
                              active: jax.Array
                              ) -> Tuple[GrouperState, jax.Array]:
-        cap, L = lanes.shape
-        S = self.table_size
-        mask_u = jnp.uint32(S - 1)
-        mask_s = jnp.int32(S - 1)
-        h = _hash_lanes(lanes)
-        row_ids = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0).reshape(
-            (cap,))
-
-        # loop state: (slot per row, resolved mask, repr table, lane table,
-        #              rounds)
-        # repr: -1 empty, -2 pre-existing group (from prior consume),
-        #       >=0 row id that inserted this round
-        slot0 = (h & mask_u).astype(jnp.int32)
-        resolved0 = ~active
-        repr0 = jnp.where(state.table_gid >= 0, jnp.int32(-2), jnp.int32(-1))
-
-        def cond(carry):
-            _, resolved, _, _, rounds = carry
-            return (~jnp.all(resolved)) & (rounds <= 2 * S)
-
-        def body(carry):
-            slot, resolved, repr_t, lanes_t, rounds = carry
-            unresolved = ~resolved
-            occupied = repr_t[slot] != -1
-            key_eq = jnp.all(lanes_t[slot] == lanes, axis=1)
-            match = unresolved & occupied & key_eq
-            collide = unresolved & occupied & ~key_eq
-            # claim tournament on empty slots
-            want = unresolved & ~occupied
-            claim = jnp.full((S,), _EMPTY, dtype=jnp.int32).at[
-                jnp.where(want, slot, S)].min(
-                jnp.where(want, row_ids, _EMPTY), mode="drop")
-            win = want & (claim[slot] == row_ids)
-            # winners insert their lanes + repr
-            ins_slot = jnp.where(win, slot, S)
-            repr_t = repr_t.at[ins_slot].set(
-                jnp.where(win, row_ids, 0), mode="drop",
-                unique_indices=True)
-            lanes_t = lanes_t.at[ins_slot].set(lanes, mode="drop",
-                                               unique_indices=True)
-            resolved = resolved | match | win
-            # ONLY colliders (occupied, different key) advance; claim losers
-            # retry the same (now occupied) slot next round and match or
-            # collide there — advancing them would insert duplicate keys.
-            slot = jnp.where(collide,
-                             (slot + 1).astype(jnp.int32) & mask_s, slot)
-            return slot, resolved, repr_t, lanes_t, rounds + 1
-
-        slot, resolved, repr_t, lanes_t, rounds = jax.lax.while_loop(
-            cond, body,
-            (slot0, resolved0, repr0, state.table_lanes, jnp.int32(0)))
-
-        # Every resolved row's slot now holds its key. First-appearance
-        # group numbering: inserting rows are those whose slot repr is
-        # their own row id; rank them in row order with a cumsum.
-        is_repr = (repr_t[slot] == row_ids) & active
-        new_rank = jnp.cumsum(is_repr.astype(jnp.int32)) - 1
-        new_count = jnp.where(cap > 0, new_rank[-1] + 1, 0).astype(jnp.int32)
-        gid_of_repr = state.num_groups + new_rank
-        table_gid = state.table_gid.at[
-            jnp.where(is_repr, slot, S)].set(
-            gid_of_repr, mode="drop", unique_indices=True)
-        group_ids = jnp.where(active, table_gid[slot], jnp.int32(-1))
-
+        """Insert unique key reps into the SORTED table via one
+        sort-merge (ops/distinct.merge_insert) — the claim-tournament
+        hash insert this replaces cost ~5s per 1M-slot table on v5e
+        (colliding scatters serialize)."""
+        from .distinct import merge_insert
+        new_lanes, new_gid, rep_gids, new_count = merge_insert(
+            state.table_lanes, state.table_gid, state.num_groups,
+            lanes, active)
         num_groups = state.num_groups + new_count
-        error = state.error | jnp.int32(
-            jnp.where(num_groups > self.max_groups, 1, 0)) | jnp.int32(
-            jnp.where(jnp.all(resolved), 0, 2))
-        new_state = GrouperState(lanes_t, table_gid, num_groups, error)
-        return new_state, group_ids
+        error = state.error | jnp.where(num_groups > self.max_groups,
+                                        1, 0).astype(jnp.int32)
+        return (GrouperState(new_lanes, new_gid, num_groups, error),
+                rep_gids)
 
     # -------------------------------------------------------------------
     def lookup(self, state: GrouperState, keys: Sequence[Array],
@@ -317,31 +259,8 @@ class Grouper:
         act = row_mask(cap, length)
         if active is not None:
             act = act & active
-        S = self.table_size
-        mask_u = jnp.uint32(S - 1)
-        h = _hash_lanes(lanes)
-        slot0 = (h & mask_u).astype(jnp.int32)
-        gid0 = jnp.full((cap,), -1, dtype=jnp.int32)
-
-        def cond(carry):
-            _, done, _, rounds = carry
-            return (~jnp.all(done)) & (rounds <= S)
-
-        def body(carry):
-            slot, done, gid, rounds = carry
-            occupied = state.table_gid[slot] >= 0
-            key_eq = jnp.all(state.table_lanes[slot] == lanes, axis=1)
-            hit = ~done & occupied & key_eq
-            miss = ~done & ~occupied
-            gid = jnp.where(hit, state.table_gid[slot], gid)
-            done = done | hit | miss
-            slot = jnp.where(done, slot,
-                             (slot + 1).astype(jnp.int32) & (S - 1))
-            return slot, done, gid, rounds + 1
-
-        _, _, gid, _ = jax.lax.while_loop(
-            cond, body, (slot0, ~act, gid0, jnp.int32(0)))
-        return gid
+        from .distinct import merge_find
+        return merge_find(state.table_lanes, state.table_gid, lanes, act)
 
     # -------------------------------------------------------------------
     def uniques_scatter_reps(self, keys: Sequence[Array], g, rep_gids,

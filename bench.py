@@ -49,11 +49,13 @@ def _time_best(fn, *args, reps=3):
     are implausible the config reports an error rather than a fantasy
     number."""
     import jax
-    jax.block_until_ready(fn(np.int32(0), *args))  # compile + warm
+    jax.device_get(fn(np.int32(0), *args))  # compile + warm
     times = []
     for s in range(1, reps + 1):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(np.int32(s), *args))
+        # device_get forces a full host round-trip: the relay's
+        # block_until_ready returns early on repeat executions
+        jax.device_get(fn(np.int32(s), *args))
         times.append(time.perf_counter() - t0)
     real = [t for t in times if t > 2e-3]
     if not real:
@@ -224,11 +226,11 @@ def bench_sort(dev):
                        "s": t["s"]})
         variants.append(at.Batch.from_pyarrow(
             tv.combine_chunks().to_batches()[0]).device_put(dev))
-    jax.block_until_ready(run(np.int32(0), variants[0]))  # compile+warm
+    jax.device_get(run(np.int32(0), variants[0]))  # compile+warm
     times = []
     for v in range(1, 4):
         t0 = time.perf_counter()
-        jax.block_until_ready(run(np.int32(v), variants[v]))
+        jax.device_get(run(np.int32(v), variants[v]))
         times.append(time.perf_counter() - t0)
     real = [x for x in times if x > 2e-3]
     if not real:

@@ -207,8 +207,13 @@ class AggregateNode(ExecNode):
         from ..ops.aggregates import make_grouped_aggregator
         fields = []
         for spec in self.options.aggregates:
-            in_type = self._in_schema.field(spec.target).type \
-                if spec.target else None
+            ts = spec.targets
+            if len(ts) > 1:
+                in_type = tuple(self._in_schema.field(t).type for t in ts)
+            elif ts:
+                in_type = self._in_schema.field(ts[0]).type
+            else:
+                in_type = None
             agg = make_grouped_aggregator(spec.function, in_type, 1,
                                           spec.options)
             fields.append(Field(spec.out_name, agg.out_type, True))
@@ -225,6 +230,11 @@ class AggregateNode(ExecNode):
                     f"aggregate: group table overflow (error={err}); "
                     f"raise AggregateNodeOptions.max_groups "
                     f"(currently {self.options.max_groups})")
+            for agg, flag in self.ha.aggregator_errors(state):
+                msg = agg.error_message(flag) if \
+                    hasattr(agg, "error_message") else \
+                    f"{agg.name}: error {flag}"
+                raise RuntimeError(f"aggregate: {msg}")
             yield self.ha.finalize(state).with_index(0)
             return
         # scalar aggregation: accumulate then reduce once
@@ -237,7 +247,22 @@ class AggregateNode(ExecNode):
         for spec in self.options.aggregates:
             fn = spec.function[5:] if spec.function.startswith("hash_") \
                 else spec.function
-            target = big.column(spec.target) if spec.target else None
+            if fn == "pivot_wider":
+                # scalar pivot = the grouped machinery with one group
+                # (reference aggregate_pivot.cc PivotImpl)
+                from ..ops.pivot import GroupedPivotWider
+                keys, vals = (big.column(t) for t in spec.targets)
+                agg = GroupedPivotWider((keys.type, vals.type), 1,
+                                        spec.options)
+                st = agg.consume(agg.init(), (keys, vals),
+                                 jnp.zeros((keys.capacity,), jnp.int32))
+                flag = int(np.asarray(jax.device_get(agg.error_flag(st))))
+                if flag:
+                    raise RuntimeError(
+                        f"aggregate: {agg.error_message(flag)}")
+                arrays.append(agg.finalize(st, 1))
+                continue
+            target = big.column(spec.targets[0]) if spec.targets else None
             if fn == "count_all":
                 s = Scalar(len(big), dt.int64)
             else:

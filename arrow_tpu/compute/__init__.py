@@ -51,6 +51,7 @@ _LAZY = {
     "ScalarAggregateOptions": "arrow_tpu.ops.aggregates",
     "CountOptions": "arrow_tpu.ops.aggregates",
     "VarianceOptions": "arrow_tpu.ops.aggregates",
+    "PivotWiderOptions": "arrow_tpu.ops.agg_options",
 }
 
 

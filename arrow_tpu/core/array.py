@@ -49,18 +49,19 @@ class Array:
     """
 
     __slots__ = ("type", "values", "validity", "offsets", "dictionary",
-                 "length")
+                 "children", "length")
 
     def __init__(self, type: dt.DataType, values: AnyArr,
                  validity: Optional[AnyArr] = None,
                  offsets: Optional[AnyArr] = None,
                  dictionary: Optional["Array"] = None,
-                 length=None):
+                 length=None, children=None):
         self.type = type
         self.values = values
         self.validity = validity
         self.offsets = offsets
         self.dictionary = dictionary
+        self.children = tuple(children) if children is not None else None
         if length is None:
             length = (offsets.shape[0] - 1) if offsets is not None \
                 else values.shape[0]
@@ -69,18 +70,20 @@ class Array:
     # ---- pytree protocol --------------------------------------------------
     def tree_flatten(self):
         children = (self.values, self.validity, self.offsets,
-                    self.dictionary, self.length)
+                    self.dictionary, self.children, self.length)
         return children, self.type
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        values, validity, offsets, dictionary, length = children
+        values, validity, offsets, dictionary, struct_children, length = \
+            children
         obj = cls.__new__(cls)
         obj.type = aux
         obj.values = values
         obj.validity = validity
         obj.offsets = offsets
         obj.dictionary = dictionary
+        obj.children = struct_children
         obj.length = length
         return obj
 
@@ -140,11 +143,14 @@ class Array:
     # ---- convenience ------------------------------------------------------
     def with_validity(self, validity: Optional[AnyArr]) -> "Array":
         return Array(self.type, self.values, validity, self.offsets,
-                     self.dictionary, self.length)
+                     self.dictionary, self.length, self.children)
 
     def with_length(self, length) -> "Array":
+        ch = self.children
+        if ch is not None:
+            ch = tuple(c.with_length(length) for c in ch)
         return Array(self.type, self.values, self.validity, self.offsets,
-                     self.dictionary, length)
+                     self.dictionary, length, ch)
 
     def device_put(self, sharding=None) -> "Array":
         return jax.tree_util.tree_map(

@@ -157,6 +157,18 @@ def array_from_pyarrow(pa_arr, capacity: Optional[int] = None,
                      offsets=jnp.asarray(offsets), dictionary=child,
                      length=n)
 
+    if isinstance(t, dt.StructType):
+        # struct<...>: same-length children ride in the ``children`` slot;
+        # ``values`` is a dummy (cap,) buffer carrying the capacity.
+        # ``.field(i)`` (NOT .flatten()) keeps child validity independent of
+        # the parent mask, matching ArrayData.child_data semantics
+        # (reference ``array/data.h:85``).
+        children = tuple(
+            array_from_pyarrow(pa_arr.field(i), capacity=cap)
+            for i in range(pa_arr.type.num_fields))
+        return Array(t, jnp.zeros((cap,), jnp.uint8), validity,
+                     length=n, children=children)
+
     if t.is_primitive:
         vals = _primitive_values(pa_arr, t, n)
         if isinstance(t, dt.FixedSizeBinaryType):
@@ -217,6 +229,14 @@ def array_to_pyarrow(arr: Array):
             null_count=null_count if validity_buf else 0,
             children=[child])
         return lists
+
+    if isinstance(t, dt.StructType):
+        children = [array_to_pyarrow(c.with_length(n))
+                    for c in (arr.children or ())]
+        return pa.Array.from_buffers(
+            pa_type, n, [validity_buf],
+            null_count=null_count if validity_buf else 0,
+            children=children)
 
     if isinstance(t, dt.BoolType):
         vals = np.asarray(jax.device_get(arr.values))[:n].astype(np.bool_)

@@ -8,7 +8,8 @@ Reference: ``cpp/src/arrow/compute/api_aggregate.h`` options structs.
 
 from __future__ import annotations
 
-__all__ = ["ScalarAggregateOptions", "CountOptions", "VarianceOptions"]
+__all__ = ["ScalarAggregateOptions", "CountOptions", "VarianceOptions",
+           "PivotWiderOptions"]
 
 
 class ScalarAggregateOptions:
@@ -21,6 +22,17 @@ class CountOptions:
     def __init__(self, mode: str = "only_valid"):
         assert mode in ("only_valid", "only_null", "all")
         self.mode = mode
+
+
+class PivotWiderOptions:
+    """Options for (hash_)pivot_wider (``api_aggregate.h``
+    PivotWiderOptions): expected pivot key names + behavior on keys
+    outside that list ("ignore" silently skips, "raise" errors)."""
+
+    def __init__(self, key_names, unexpected_key_behavior: str = "ignore"):
+        assert unexpected_key_behavior in ("ignore", "raise")
+        self.key_names = list(key_names)
+        self.unexpected_key_behavior = unexpected_key_behavior
 
 
 class VarianceOptions:

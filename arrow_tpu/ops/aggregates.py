@@ -864,6 +864,11 @@ def make_grouped_aggregator(name: str, in_type: Optional[dt.DataType],
                             ) -> GroupedAggregator:
     key = name[5:] if name.startswith("hash_") else name
     if key not in GROUPED_AGGREGATORS:
+        # some aggregators (list, pivot_wider) live in lazily-imported
+        # kernel modules
+        from ..compute.registry import ensure_kernels_loaded
+        ensure_kernels_loaded()
+    if key not in GROUPED_AGGREGATORS:
         raise KeyError(f"no grouped aggregator named {name!r}")
     return GROUPED_AGGREGATORS[key](in_type, max_groups, options)
 

@@ -39,9 +39,19 @@ class AggregateSpec:
     options, output field name). Mirrors Arrow's Aggregate struct
     (``compute/api_aggregate.h``)."""
     function: str                  # e.g. "sum" or "hash_sum"
-    target: Optional[str] = None   # input column; None for count_all
+    target: object = None          # input column (str), tuple of columns
+    #                                (multi-arg aggs like pivot_wider), or
+    #                                None for count_all
     options: object = None
     name: Optional[str] = None     # output column; default "{target}_{fn}"
+
+    @property
+    def targets(self) -> tuple:
+        if self.target is None:
+            return ()
+        if isinstance(self.target, (tuple, list)):
+            return tuple(self.target)
+        return (self.target,)
 
     @property
     def out_name(self) -> str:
@@ -49,7 +59,8 @@ class AggregateSpec:
             return self.name
         fn = self.function[5:] if self.function.startswith("hash_") \
             else self.function
-        return f"{self.target}_{fn}" if self.target else fn
+        ts = self.targets
+        return "_".join(ts + (fn,)) if ts else fn
 
 
 class HashAggregate:
@@ -69,8 +80,13 @@ class HashAggregate:
         )
         self._aggregators = []
         for spec in self.aggs:
-            in_type = in_schema.field(spec.target).type if spec.target \
-                else None
+            ts = spec.targets
+            if len(ts) > 1:
+                in_type = tuple(in_schema.field(t).type for t in ts)
+            elif ts:
+                in_type = in_schema.field(ts[0]).type
+            else:
+                in_type = None
             self._aggregators.append(make_grouped_aggregator(
                 spec.function, in_type, max_groups, spec.options))
         # output column order matches pyarrow Table.group_by: keys first,
@@ -104,9 +120,9 @@ class HashAggregate:
         payloads = []
         seen = set()
         for spec in self.aggs:
-            if not spec.target:
-                continue
-            col = batch.column(spec.target)
+            if len(spec.targets) != 1:
+                continue   # multi-target aggs (pivot) read original rows
+            col = batch.column(spec.targets[0])
             key = id(col.values)
             if key in seen or col.type.is_varlen:
                 continue
@@ -130,7 +146,13 @@ class HashAggregate:
             key_cols, g, rep_gids, uniques))
         new_agg_states = []
         for spec, agg, st in zip(self.aggs, self._aggregators, agg_states):
-            values = batch.column(spec.target) if spec.target else None
+            ts = spec.targets
+            if len(ts) > 1:
+                values = tuple(batch.column(t) for t in ts)
+            elif ts:
+                values = batch.column(ts[0])
+            else:
+                values = None
             new_agg_states.append(agg.consume_grouped(st, values, ctx))
         return (grouper_state, tuple(new_agg_states), uniques)
 
@@ -165,6 +187,18 @@ class HashAggregate:
         for agg, st in zip(self._aggregators, agg_states):
             arrays.append(agg.finalize(st, n))
         return Batch(self.out_schema, arrays, n)
+
+    def aggregator_errors(self, state):
+        """Host-side deferred per-aggregator error flags:
+        [(aggregator, nonzero flag)] (e.g. pivot duplicate detection)."""
+        out = []
+        _, agg_states, _ = state
+        for agg, st in zip(self._aggregators, agg_states):
+            if hasattr(agg, "error_flag"):
+                flag = int(jax.device_get(agg.error_flag(st)))
+                if flag:
+                    out.append((agg, flag))
+        return out
 
     @property
     def error(self):

@@ -76,6 +76,68 @@ def _list_flatten(args, options):
     return take_array(child, idx)
 
 
+class MakeStructOptions:
+    def __init__(self, field_names=None):
+        self.field_names = list(field_names) if field_names else None
+
+
+class StructFieldOptions:
+    def __init__(self, indices=None, name=None):
+        self.indices = indices
+        self.name = name
+
+
+@register_function("make_struct", Kind.SCALAR, -1,
+                   null_handling=NullHandling.COMPUTED,
+                   options_class=MakeStructOptions)
+def _make_struct(args, options):
+    """``scalar_nested.cc`` make_struct: wrap N same-length columns as one
+    struct column (never null at the struct level)."""
+    arrays = [a for a in args if isinstance(a, Array)]
+    if not arrays:
+        raise TypeError("make_struct requires at least one array input")
+    names = options.field_names if options and options.field_names else \
+        [str(i) for i in range(len(args))]
+    if len(names) != len(args):
+        raise ValueError("field_names length != number of inputs")
+    cap = arrays[0].capacity
+    length = arrays[0].length
+    children = []
+    for a in args:
+        if not isinstance(a, Array):
+            from ..core.array import full
+            a = full(cap, a.as_py() if hasattr(a, "as_py") else a,
+                     a.type, capacity=cap).with_length(length)
+        children.append(a)
+    t = dt.struct([(n, c.type) for n, c in zip(names, children)])
+    return Array(t, jnp.zeros((cap,), jnp.uint8), None, length=length,
+                 children=children)
+
+
+@register_function("struct_field", Kind.SCALAR, 1,
+                   null_handling=NullHandling.COMPUTED,
+                   options_class=StructFieldOptions)
+def _struct_field(args, options):
+    """``scalar_nested.cc`` struct_field: extract one child, merging the
+    parent's validity into it (a null struct row has null fields)."""
+    a = args[0]
+    if not isinstance(a.type, dt.StructType) or a.children is None:
+        raise TypeError("struct_field expects a struct array")
+    idx = None
+    if options is not None and options.indices is not None:
+        idx = options.indices[0] if isinstance(
+            options.indices, (list, tuple)) else options.indices
+    elif options is not None and options.name is not None:
+        idx = [n for n, _ in a.type.fields].index(options.name)
+    if idx is None:
+        raise ValueError("struct_field requires indices or name")
+    child = a.children[idx]
+    if a.validity is not None:
+        v = child.validity_or_true() & a.validity
+        child = child.with_validity(v)
+    return child
+
+
 class GroupedList(GroupedAggregator):
     """hash_list (``hash_aggregate.cc:1852``): collect each group's values
     (input order) into a list. Buffers (gid, arrival, value[, valid]) and

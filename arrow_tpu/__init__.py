@@ -26,5 +26,7 @@ from .core.array import Array, array, nulls, full  # noqa: E402,F401
 from .core.schema import Field, Schema, field, schema  # noqa: E402,F401
 from .core.batch import Batch, Table, batch, table  # noqa: E402,F401
 from .core.json_literals import array_from_json, batch_from_json  # noqa: E402,F401
+from .core.tensor import (  # noqa: E402,F401
+    Tensor, SparseCOOTensor, SparseCSRMatrix, SparseCSCMatrix)
 
 __version__ = "0.1.0"

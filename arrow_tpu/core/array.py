@@ -147,7 +147,9 @@ class Array:
 
     def with_length(self, length) -> "Array":
         ch = self.children
-        if ch is not None:
+        if ch is not None and not isinstance(self.type, dt.UnionType):
+            # struct children share the parent's length; union children
+            # (esp. dense) have their own
             ch = tuple(c.with_length(length) for c in ch)
         return Array(self.type, self.values, self.validity, self.offsets,
                      self.dictionary, length, ch)

@@ -40,6 +40,7 @@ __all__ = [
     "DictionaryType",
     "ListType",
     "StructType",
+    "UnionType",
     "FixedSizeBinaryType",
     "NullType",
     "int8", "int16", "int32", "int64",
@@ -48,7 +49,7 @@ __all__ = [
     "bool_", "string", "binary", "null",
     "date32", "date64",
     "timestamp", "time32", "time64", "duration",
-    "decimal128", "dictionary", "list_", "struct", "fixed_size_binary",
+    "decimal128", "dictionary", "list_", "struct", "union", "fixed_size_binary",
     "from_pyarrow_type", "to_pyarrow_type",
 ]
 
@@ -459,6 +460,31 @@ class StructType(DataType):
         return True
 
 
+@dataclass(frozen=True)
+class UnionType(DataType):
+    """Sparse or dense union (``type.h`` UnionType; layout
+    ``Columnar.rst`` union section). Engine mapping: ``values`` holds the
+    int8 type-code buffer, ``offsets`` the int32 value offsets (dense
+    only), children in the ``children`` slot. ``type_codes[i]`` is the
+    code of child i (codes need not be 0..n-1)."""
+
+    fields: tuple       # tuple[tuple[str, DataType], ...]
+    type_codes: tuple   # tuple[int, ...], parallel to fields
+    mode: str = "sparse"   # "sparse" | "dense"
+
+    @property
+    def id(self) -> str:
+        inner = ", ".join(f"{n}: {t}" for n, t in self.fields)
+        return f"union<{inner}; mode={self.mode}>"
+
+    @property
+    def is_nested(self) -> bool:
+        return True
+
+    def child_index_of_code(self, code: int) -> int:
+        return self.type_codes.index(code)
+
+
 # ---- canonical singletons -------------------------------------------------
 int8 = IntegerType(8, True)
 int16 = IntegerType(16, True)
@@ -521,6 +547,13 @@ def struct(fields) -> StructType:
     return StructType(tuple((n, t) for n, t in fields))
 
 
+def union(fields, type_codes=None, mode: str = "sparse") -> UnionType:
+    fs = tuple((n, t) for n, t in fields)
+    codes = tuple(type_codes) if type_codes is not None \
+        else tuple(range(len(fs)))
+    return UnionType(fs, codes, mode)
+
+
 def fixed_size_binary(byte_width: int) -> FixedSizeBinaryType:
     return FixedSizeBinaryType(byte_width)
 
@@ -565,6 +598,10 @@ def to_pyarrow_type(t: DataType):
         return pa.list_(to_pyarrow_type(t.value_type))
     if isinstance(t, StructType):
         return pa.struct([(n, to_pyarrow_type(ft)) for n, ft in t.fields])
+    if isinstance(t, UnionType):
+        fields = [pa.field(n, to_pyarrow_type(ft)) for n, ft in t.fields]
+        maker = pa.sparse_union if t.mode == "sparse" else pa.dense_union
+        return maker(fields, type_codes=list(t.type_codes))
     raise NotImplementedError(f"to_pyarrow_type({t})")
 
 
@@ -612,4 +649,8 @@ def from_pyarrow_type(pt) -> DataType:
     if pat.is_struct(pt):
         return StructType(tuple((f.name, from_pyarrow_type(f.type))
                                 for f in pt))
+    if pat.is_union(pt):
+        fields = tuple((pt.field(i).name, from_pyarrow_type(pt.field(i).type))
+                       for i in range(pt.num_fields))
+        return UnionType(fields, tuple(pt.type_codes), pt.mode)
     raise NotImplementedError(f"from_pyarrow_type({pt})")

@@ -157,6 +157,30 @@ def array_from_pyarrow(pa_arr, capacity: Optional[int] = None,
                      offsets=jnp.asarray(offsets), dictionary=child,
                      length=n)
 
+    if isinstance(t, dt.UnionType):
+        # union: int8 type codes in ``values``, dense value offsets in
+        # ``offsets`` (sized cap+1 to match the varlen capacity
+        # convention; the last slot is unused), children in ``children``.
+        # Unions carry NO top-level validity (Columnar.rst union layout).
+        codes_buf = np.frombuffer(pa_arr.buffers()[1], dtype=np.int8)
+        codes = np.zeros((cap,), dtype=np.int8)
+        codes[:n] = codes_buf[pa_arr.offset:pa_arr.offset + n]
+        codes[n:] = t.type_codes[0] if t.type_codes else 0
+        offsets = None
+        if t.mode == "dense":
+            off_buf = np.frombuffer(pa_arr.buffers()[2], dtype=np.int32)
+            offsets = np.zeros((cap + 1,), dtype=np.int32)
+            offsets[:n] = off_buf[pa_arr.offset:pa_arr.offset + n]
+            offsets = jnp.asarray(offsets)
+        children = tuple(array_from_pyarrow(pa_arr.field(i))
+                         for i in range(pa_arr.type.num_fields))
+        if t.mode == "sparse":
+            children = tuple(
+                array_from_pyarrow(pa_arr.field(i), capacity=cap)
+                for i in range(pa_arr.type.num_fields))
+        return Array(t, jnp.asarray(codes), None, offsets=offsets,
+                     length=n, children=children)
+
     if isinstance(t, dt.StructType):
         # struct<...>: same-length children ride in the ``children`` slot;
         # ``values`` is a dummy (cap,) buffer carrying the capacity.
@@ -229,6 +253,22 @@ def array_to_pyarrow(arr: Array):
             null_count=null_count if validity_buf else 0,
             children=[child])
         return lists
+
+    if isinstance(t, dt.UnionType):
+        codes = np.asarray(jax.device_get(arr.values))[:n].astype(np.int8)
+        names = [nm for nm, _ in t.fields]
+        if t.mode == "sparse":
+            children = [array_to_pyarrow(c.with_length(n))
+                        for c in (arr.children or ())]
+            return pa.UnionArray.from_sparse(
+                pa.array(codes, type=pa.int8()), children,
+                field_names=names, type_codes=list(t.type_codes))
+        off = np.asarray(jax.device_get(arr.offsets))[:n].astype(np.int32)
+        children = [array_to_pyarrow(c) for c in (arr.children or ())]
+        return pa.UnionArray.from_dense(
+            pa.array(codes, type=pa.int8()),
+            pa.array(off, type=pa.int32()), children,
+            field_names=names, type_codes=list(t.type_codes))
 
     if isinstance(t, dt.StructType):
         children = [array_to_pyarrow(c.with_length(n))

@@ -162,9 +162,65 @@ def take_array(values: Array, indices: Array) -> Array:
     if t.is_varlen:
         return _take_varlen(values, idx, indices, out_len)
 
+    if isinstance(t, dt.StructType):
+        children = tuple(take_array(c, indices) for c in values.children)
+        validity = _gather_validity(values, idx, indices.validity)
+        return Array(t, values.values[idx], validity, length=out_len,
+                     children=children)
+
+    if isinstance(t, dt.UnionType):
+        # codes (and dense offsets) gather; children stay as-is for dense,
+        # recurse for sparse (vector_selection_take_internal.cc union take)
+        codes = values.values[idx]
+        if t.mode == "dense":
+            off = values.offsets[:-1][idx]
+            ocap = idx.shape[0]
+            new_off = jnp.zeros((ocap + 1,), jnp.int32).at[:-1].set(off)
+            return Array(t, codes, None, offsets=new_off, length=out_len,
+                         children=values.children)
+        children = tuple(take_array(c, indices) for c in values.children)
+        return Array(t, codes, None, length=out_len, children=children)
+
+    if isinstance(t, dt.ListType):
+        return _take_list(values, idx, indices, out_len)
+
+    if isinstance(t, dt.RunEndEncodedType):
+        # decode -> take -> re-encode keeps the column type stable
+        from .ree import run_end_decode_array, run_end_encode_array
+        plain = take_array(run_end_decode_array(values), indices)
+        return run_end_encode_array(plain, run_end_type=t.run_end_type)
+
     out_vals = values.values[idx]
     validity = _gather_validity(values, idx, indices.validity)
     return Array(t, out_vals, validity, length=out_len)
+
+
+def _take_list(values: Array, idx: jax.Array, indices: Array, out_len):
+    """list<T> gather: new offsets from gathered run lengths, then the
+    child rows gather through a searchsorted row map (same two-phase shape
+    as ``_take_varlen`` but over child rows instead of bytes)."""
+    t = values.type
+    child = values.dictionary
+    ocap = idx.shape[0]
+    off = values.offsets
+    in_range = row_mask(ocap, out_len)
+    sel_ok = in_range
+    if indices.validity is not None:
+        sel_ok = sel_ok & indices.validity
+    lens = jnp.where(sel_ok, off[idx + 1] - off[idx], 0)
+    new_off = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(lens).astype(jnp.int32)])
+    ccap = max(child.capacity, 1)
+    total = new_off[-1]
+    cidx = jax.lax.broadcasted_iota(jnp.int32, (ccap, 1), 0).reshape((ccap,))
+    r = jnp.clip(jnp.searchsorted(new_off, cidx, side="right").astype(
+        jnp.int32) - 1, 0, ocap - 1)
+    src = jnp.clip(off[idx[r]] + (cidx - new_off[r]), 0, ccap - 1)
+    child_idx = Array(dt.int32, src, None, length=total)
+    new_child = take_array(child, child_idx)
+    validity = _gather_validity(values, idx, indices.validity)
+    return Array(t, jnp.zeros((0,), jnp.uint8), validity, offsets=new_off,
+                 dictionary=new_child, length=out_len)
 
 
 def _take_varlen(values: Array, idx: jax.Array, indices: Array, out_len):
@@ -233,7 +289,9 @@ def _filter_batch_sorted(b: Batch, mask: Array,
     any_varlen = False
     for i in range(b.num_columns):
         a = b.column(i)
-        if a.type.is_varlen:
+        if a.type.is_varlen or a.type.is_nested:
+            # varlen and nested (list/struct/union/REE) columns ride a
+            # take through the iota payload
             any_varlen = True
             continue
         payloads.append(a.values)
@@ -263,7 +321,7 @@ def _filter_batch_sorted(b: Batch, mask: Array,
     arrays = []
     for i in range(b.num_columns):
         a = b.column(i)
-        if a.type.is_varlen:
+        if a.type.is_varlen or a.type.is_nested:
             idx_arr = Array(dt.int32, results[(-1, "iota")],
                             results.get((-1, "emit_valid")),
                             length=out_len)

@@ -69,23 +69,48 @@ class DirectoryPartitioning:
 
 class Fragment:
     def __init__(self, path: str, fmt: str,
-                 partition_values: Optional[Dict] = None):
+                 partition_values: Optional[Dict] = None,
+                 filesystem=None):
         self.path = path
         self.format = fmt
         self.partition_values = partition_values or {}
+        self.filesystem = filesystem  # pyarrow.fs.FileSystem or None=local
 
     def read_pyarrow(self):
         import pyarrow as pa
+        fs = self.filesystem
         if self.format == "parquet":
             import pyarrow.parquet as pq
-            return pq.read_table(self.path)
+            return pq.read_table(self.path, filesystem=fs)
         if self.format in ("ipc", "feather", "arrow"):
             import pyarrow.feather as fe
+            if fs is not None:
+                with fs.open_input_file(self.path) as f:
+                    return fe.read_table(f)
             return fe.read_table(self.path)
         if self.format == "csv":
             import pyarrow.csv as pcsv
+            if fs is not None:
+                with fs.open_input_stream(self.path) as f:
+                    return pcsv.read_csv(f)
             return pcsv.read_csv(self.path)
+        if self.format == "json":
+            import pyarrow.json as pjson
+            if fs is not None:
+                with fs.open_input_stream(self.path) as f:
+                    return pjson.read_json(f)
+            return pjson.read_json(self.path)
+        if self.format == "orc":
+            import pyarrow.orc as porc
+            if fs is not None:
+                with fs.open_input_file(self.path) as f:
+                    return porc.ORCFile(f).read()
+            return porc.ORCFile(self.path).read()
         if self.format == "atb":
+            if fs is not None:
+                raise ValueError(
+                    "atb fragments are local-mmap only; use parquet/ipc "
+                    "on remote filesystems")
             from .. import native
             cols, nrows = native.read_atb(self.path)
             return pa.table({name: _atb_col_to_pa(c, nrows)
@@ -112,7 +137,7 @@ def _atb_col_to_pa(col, nrows):
 
 _EXT_FORMAT = {".parquet": "parquet", ".feather": "feather",
                ".arrow": "ipc", ".ipc": "ipc", ".csv": "csv",
-               ".atb": "atb"}
+               ".json": "json", ".orc": "orc", ".atb": "atb"}
 
 
 class FileSystemDataset:
@@ -124,8 +149,31 @@ class FileSystemDataset:
 
     @staticmethod
     def discover(root: str, partitioning=None,
-                 format: Optional[str] = None) -> "FileSystemDataset":
+                 format: Optional[str] = None,
+                 filesystem=None) -> "FileSystemDataset":
+        if filesystem is None and _is_uri(root):
+            # "s3://bucket/…" etc. resolve through pyarrow.fs — the
+            # reference's FileSystem layer plays the same edge role here
+            # (SURVEY §2.6 Filesystems; our compute never touches IO)
+            from pyarrow import fs as pafs
+            filesystem, root = pafs.FileSystem.from_uri(root)
         frags = []
+        if filesystem is not None:
+            from pyarrow import fs as pafs
+            infos = filesystem.get_file_info(
+                pafs.FileSelector(root, recursive=True))
+            for info in sorted(infos, key=lambda i: i.path):
+                if info.type != pafs.FileType.File:
+                    continue
+                ext = os.path.splitext(info.path)[1]
+                fmt = format or _EXT_FORMAT.get(ext)
+                if fmt is None:
+                    continue
+                rel = os.path.relpath(info.path, root)
+                pv = partitioning.parse(rel) if partitioning else {}
+                frags.append(Fragment(info.path, fmt, pv,
+                                      filesystem=filesystem))
+            return FileSystemDataset(frags, partitioning)
         for dirpath, _dirs, files in sorted(os.walk(root)):
             for f in sorted(files):
                 ext = os.path.splitext(f)[1]
@@ -147,11 +195,19 @@ class FileSystemDataset:
         return self.scanner(**kw).to_table()
 
 
-def dataset(root: str, partitioning=None, format=None) -> FileSystemDataset:
-    """``pyarrow.dataset.dataset`` analog."""
+def _is_uri(path: str) -> bool:
+    return bool(re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*://", path))
+
+
+def dataset(root: str, partitioning=None, format=None,
+            filesystem=None) -> FileSystemDataset:
+    """``pyarrow.dataset.dataset`` analog. ``filesystem`` takes a
+    pyarrow.fs.FileSystem (S3/GCS/Azure/HDFS/local/mock); URIs like
+    "s3://bucket/path" resolve automatically."""
     if isinstance(partitioning, (list, tuple)):
         partitioning = HivePartitioning(list(partitioning))
-    return FileSystemDataset.discover(root, partitioning, format)
+    return FileSystemDataset.discover(root, partitioning, format,
+                                      filesystem=filesystem)
 
 
 # ---- filter splitting (guarantee simplification) --------------------------------
@@ -279,17 +335,26 @@ class Scanner:
 # ---- partitioned write ----------------------------------------------------------
 
 def write_dataset(table, root: str, partitioning=None,
-                  format: str = "parquet", basename: str = "part-{i}"):
-    """Partitioned write (``dataset/dataset_writer.cc`` role)."""
+                  format: str = "parquet", basename: str = "part-{i}",
+                  filesystem=None):
+    """Partitioned write (``dataset/dataset_writer.cc`` role).
+    ``filesystem`` takes a pyarrow.fs.FileSystem; URIs resolve
+    automatically (atb stays local-only)."""
     import pyarrow as pa
     if isinstance(table, Table):
         table = table.to_pyarrow()
     if isinstance(partitioning, (list, tuple)):
         partitioning = HivePartitioning(list(partitioning))
-    os.makedirs(root, exist_ok=True)
+    if filesystem is None and _is_uri(root):
+        from pyarrow import fs as pafs
+        filesystem, root = pafs.FileSystem.from_uri(root)
+    if filesystem is not None and format == "atb":
+        raise ValueError("atb writes are local-mmap only")
+    _mkdir(root, filesystem)
     if partitioning is None:
-        _write_one(table, os.path.join(
-            root, basename.format(i=0) + f".{_ext(format)}"), format)
+        _write_one(table, _join(root, basename.format(i=0) +
+                                f".{_ext(format)}", filesystem), format,
+                   filesystem)
         return
     keys = partitioning.fields
     combos = table.group_by(keys).aggregate([([], "count_all")])
@@ -301,10 +366,24 @@ def write_dataset(table, root: str, partitioning=None,
             m = pc.equal(table[k], v)
             mask = m if mask is None else pc.and_(mask, m)
         part = table.filter(mask).drop_columns(keys)
-        d = os.path.join(root, partitioning.format(values))
-        os.makedirs(d, exist_ok=True)
-        _write_one(part, os.path.join(
-            d, basename.format(i=0) + f".{_ext(format)}"), format)
+        d = _join(root, partitioning.format(values), filesystem)
+        _mkdir(d, filesystem)
+        _write_one(part, _join(d, basename.format(i=0) +
+                               f".{_ext(format)}", filesystem), format,
+                   filesystem)
+
+
+def _mkdir(path: str, filesystem=None):
+    if filesystem is not None:
+        filesystem.create_dir(path, recursive=True)
+    else:
+        os.makedirs(path, exist_ok=True)
+
+
+def _join(root: str, name: str, filesystem=None) -> str:
+    if filesystem is not None:
+        return f"{root.rstrip('/')}/{name}"
+    return os.path.join(root, name)
 
 
 def _ext(fmt: str) -> str:
@@ -312,16 +391,24 @@ def _ext(fmt: str) -> str:
             "csv": "csv", "atb": "atb"}[fmt]
 
 
-def _write_one(t, path: str, fmt: str):
+def _write_one(t, path: str, fmt: str, filesystem=None):
     if fmt == "parquet":
         import pyarrow.parquet as pq
-        pq.write_table(t, path)
+        pq.write_table(t, path, filesystem=filesystem)
     elif fmt in ("ipc", "feather"):
         import pyarrow.feather as fe
-        fe.write_feather(t, path)
+        if filesystem is not None:
+            with filesystem.open_output_stream(path) as f:
+                fe.write_feather(t, f)
+        else:
+            fe.write_feather(t, path)
     elif fmt == "csv":
         import pyarrow.csv as pcsv
-        pcsv.write_csv(t, path)
+        if filesystem is not None:
+            with filesystem.open_output_stream(path) as f:
+                pcsv.write_csv(t, f)
+        else:
+            pcsv.write_csv(t, path)
     elif fmt == "atb":
         from .. import native
         cols = {}

@@ -123,3 +123,41 @@ def test_scan_node_in_plan(tmp_path, sample_table):
     np.testing.assert_allclose(got["v_sum"].to_pylist(),
                                exp["v_sum"].to_pylist(), rtol=1e-12)
     assert got["count_all"].to_pylist() == exp["count_all"].to_pylist()
+
+
+def test_filesystem_backed_dataset(tmp_path, sample_table):
+    """pyarrow.fs FileSystem objects plug into discovery/read/write
+    (SURVEY §2.6 Filesystems — local/S3/GCS/mock share one interface)."""
+    from pyarrow import fs as pafs
+    fs = pafs.SubTreeFileSystem(str(tmp_path), pafs.LocalFileSystem())
+    ds.write_dataset(sample_table, "fsd", partitioning=["region"],
+                     format="parquet", filesystem=fs)
+    d = ds.dataset("fsd", partitioning=["region"], filesystem=fs)
+    assert all(f.filesystem is fs for f in d.fragments)
+    got = d.to_table().to_pyarrow()
+    assert got.num_rows == sample_table.num_rows
+    assert sorted(got["v"].to_pylist()) == \
+        sorted(sample_table["v"].to_pylist())
+
+
+def test_mock_filesystem_dataset(sample_table):
+    """In-memory mock FS — the stand-in for cloud filesystems in CI."""
+    from pyarrow import fs as pafs
+    mfs = pafs._MockFileSystem()
+    ds.write_dataset(sample_table, "bucket/data", format="feather",
+                     filesystem=mfs)
+    d = ds.dataset("bucket/data", filesystem=mfs)
+    assert d.to_table().to_pyarrow().num_rows == sample_table.num_rows
+
+
+def test_orc_and_json_fragments(tmp_path):
+    import pyarrow.orc as porc
+    root = tmp_path / "mixed"
+    root.mkdir()
+    porc.write_table(pa.table({"v": [1, 2, 3]}), str(root / "a.orc"))
+    (root / "b.json").write_text(
+        "\n".join('{"v": %d}' % i for i in (100, 200)))
+    d = ds.dataset(str(root))
+    assert {f.format for f in d.fragments} == {"orc", "json"}
+    rows = d.to_table().to_pyarrow()
+    assert sorted(rows["v"].to_pylist()) == [1, 2, 3, 100, 200]

@@ -65,12 +65,26 @@ def _cast(args, options):
 
     if src.is_integer and isinstance(dst, dt.StringType):
         return _int_to_string(a)
+    if src.is_floating and isinstance(dst, dt.StringType):
+        return _float_to_string(a)
+    if isinstance(src, dt.BoolType) and isinstance(dst, dt.StringType):
+        return _bool_to_string(a)
     if isinstance(src, (dt.StringType,)) and dst.is_integer:
         return _string_to_int(a, dst)
     if isinstance(src, (dt.StringType,)) and dst.is_floating:
         return _string_to_float(a, dst)
+    if isinstance(src, (dt.StringType,)) and isinstance(dst, dt.BoolType):
+        return _string_to_bool(a)
+    if isinstance(src, (dt.StringType,)) and (
+            isinstance(dst, (dt.TimestampType, dt.Date32Type,
+                             dt.Date64Type))):
+        return _string_to_temporal(a, dst)
+    if src.is_temporal and isinstance(dst, dt.StringType):
+        return _temporal_to_string(a)
 
     v = a.values
+    if src.is_temporal and dst.is_temporal:
+        return _temporal_to_temporal(a, dst)
     if (src.is_numeric or isinstance(src, dt.BoolType) or src.is_temporal) \
             and (dst.is_numeric or isinstance(dst, dt.BoolType)
                  or dst.is_temporal):
@@ -81,6 +95,190 @@ def _cast(args, options):
         return Array(dst, out, a.validity, length=a.length)
 
     raise NotImplementedError(f"cast {src} -> {dst}")
+
+
+# ---- temporal unit rescaling -------------------------------------------------
+
+_UNIT_NS = {"s": 10**9, "ms": 10**6, "us": 10**3, "ns": 1}
+
+
+def _ns_per_tick(t: dt.DataType) -> int:
+    """Nanoseconds represented by one stored unit of ``t``."""
+    if isinstance(t, dt.Date32Type):
+        return 86_400 * 10**9
+    if isinstance(t, dt.Date64Type):
+        return 10**6       # ms
+    if isinstance(t, (dt.TimestampType, dt.DurationType, dt.Time32Type,
+                      dt.Time64Type)):
+        return _UNIT_NS[t.unit]
+    raise NotImplementedError(f"temporal cast for {t}")
+
+
+def _temporal_to_temporal(a: Array, dst: dt.DataType) -> Array:
+    """Unit-aware temporal cast (``scalar_cast_temporal.cc``): upscaling
+    multiplies; downscaling divides TRUNCATING TOWARD ZERO (C++ integer
+    division — pre-epoch -1500ms -> -1s, matching Arrow, not floor's
+    -2s)."""
+    sn = _ns_per_tick(a.type)
+    dn = _ns_per_tick(dst)
+    v = a.values.astype(jnp.int64)
+    to_date = isinstance(dst, (dt.Date32Type, dt.Date64Type)) and \
+        not isinstance(a.type, (dt.Date32Type, dt.Date64Type))
+    to_time = isinstance(dst, (dt.Time32Type, dt.Time64Type)) and \
+        isinstance(a.type, dt.TimestampType)
+    if to_date:
+        # calendar-day casts FLOOR (pre-epoch instants belong to the
+        # previous day), unlike plain unit downscale which truncates
+        day = 86_400 * 10**9 // sn
+        days = jnp.floor_divide(v, day)
+        out = days if isinstance(dst, dt.Date32Type) else \
+            days * 86_400_000
+    elif to_time:
+        day = 86_400 * 10**9 // sn
+        tod = v - jnp.floor_divide(v, day) * day  # time of day in src units
+        k_up, k_dn = (sn // dn, 1) if sn >= dn else (1, dn // sn)
+        out = tod * k_up // k_dn
+    elif sn >= dn:
+        out = v * (sn // dn)
+    else:
+        k = dn // sn
+        mag = jnp.abs(v) // k
+        out = jnp.where(v < 0, -mag, mag)
+    return Array(dst, out.astype(jnp_dtype(dst)), a.validity,
+                 length=a.length)
+
+
+def _bool_to_string(a: Array) -> Array:
+    """bool -> "true"/"false" on device (byte-table writes)."""
+    from .strings import _build_varlen
+    v = a.values.astype(jnp.bool_)
+    cap = a.capacity
+    lens = jnp.where(v, 4, 5).astype(jnp.int32)
+    table = jnp.asarray(
+        [list(b"true\x00"), list(b"false")], dtype=jnp.uint8)
+
+    def src_of(r, k, out_pos):
+        return jnp.full_like(r, -1)  # all bytes come from the filler
+
+    def filler(r, k):
+        row = jnp.where(v[r], 0, 1)
+        return table[row, jnp.clip(k, 0, 4)]
+
+    shell = Array(dt.string, jnp.zeros((1,), jnp.uint8), a.validity,
+                  offsets=jnp.zeros((cap + 1,), jnp.int32), length=a.length)
+    out = _build_varlen(shell, lens, src_of, out_bcap=cap * 5,
+                        filler=filler)
+    return Array(dt.string, out.values, a.validity, offsets=out.offsets,
+                 length=a.length)
+
+
+def _string_to_bool(a: Array) -> Array:
+    """"1"/"true" -> True, "0"/"false" -> False (case-insensitive,
+    ``scalar_cast_string.cc`` ParseBool semantics); unparseable rows
+    become null (the unchecked-cast analog, same policy as
+    ``_string_to_int``)."""
+    from .strings import _lens
+    cap = a.capacity
+    bcap = max(a.values.shape[0], 1)
+    pool = a.values if a.values.shape[0] else jnp.zeros((1,), jnp.uint8)
+    lower = jnp.where((pool >= 65) & (pool <= 90), pool + 32, pool)
+    lens = _lens(a).astype(jnp.int32)
+    start = a.offsets[:-1]
+
+    def byte_at(j):
+        return jnp.where(j < lens,
+                         lower[jnp.clip(start + j, 0, bcap - 1)], 0)
+
+    b = [byte_at(jnp.full((cap,), j, jnp.int32)) for j in range(5)]
+
+    def _is(word: bytes):
+        m = lens == len(word)
+        for i, ch in enumerate(word):
+            m = m & (b[i] == ch)
+        return m
+
+    t = _is(b"1") | _is(b"true")
+    f = _is(b"0") | _is(b"false")
+    ok = t | f
+    validity = ok if a.validity is None else (a.validity & ok)
+    return Array(dt.bool_, t, validity, length=a.length)
+
+
+def _float_to_string(a: Array) -> Array:
+    """float -> shortest-roundtrip decimal string. HOST-BOUNDARY kernel
+    (same policy as strftime — text formatting is not device work)."""
+    import jax
+    import numpy as np_
+    import pyarrow as pa
+    from ..core.array import array as make_array
+    vals = np_.asarray(jax.device_get(a.values))[:len(a)]
+    valid = np_.asarray(jax.device_get(a.validity))[:len(a)] \
+        if a.validity is not None else None
+    outs = []
+    for i, x in enumerate(vals):
+        if valid is not None and not valid[i]:
+            outs.append(None)
+        elif np_.isnan(x):
+            outs.append("nan")
+        elif np_.isinf(x):
+            outs.append("inf" if x > 0 else "-inf")
+        else:
+            outs.append(repr(x.item()) if vals.dtype == np_.float64
+                        else repr(float(str(x))))
+    return make_array(pa.array(outs, type=pa.string()),
+                      capacity=a.capacity)
+
+
+def _string_to_temporal(a: Array, dst: dt.DataType) -> Array:
+    """ISO-8601 string -> timestamp/date. HOST-BOUNDARY kernel (the
+    reference parses in C via ParseTimestampISO8601)."""
+    import numpy as np_
+    from ..core.array import Array as _Arr
+    vals = a.to_pylist()
+    import datetime as _dtm
+    epoch = _dtm.datetime(1970, 1, 1)
+    buf = np_.zeros((a.capacity,), np_.int64)
+    ok = np_.ones((a.capacity,), np_.bool_)
+    for i, v in enumerate(vals):
+        if v is None:
+            ok[i] = False
+            continue
+        try:
+            ts = _dtm.datetime.fromisoformat(v)
+        except ValueError:
+            raise ValueError(f"cannot parse {v!r} as {dst}")
+        delta = ts - epoch
+        if isinstance(dst, dt.Date32Type):
+            buf[i] = delta.days
+        elif isinstance(dst, dt.Date64Type):
+            buf[i] = int(delta.total_seconds() * 1000)
+        else:
+            us = delta.days * 86_400_000_000 + delta.seconds * 10**6 \
+                + delta.microseconds
+            scale = {"s": 10**6, "ms": 10**3, "us": 1}.get(dst.unit)
+            buf[i] = us // scale if scale else us * 1000
+    validity = None if bool(ok[:len(vals)].all()) and a.validity is None \
+        else jnp.asarray(ok)
+    out_np = buf if not isinstance(dst, dt.Date32Type) else \
+        buf.astype(np_.int32)
+    return _Arr(dst, jnp.asarray(out_np.astype(dst.storage_np)), validity,
+                length=a.length)
+
+
+def _temporal_to_string(a: Array) -> Array:
+    """timestamp/date -> ISO string via the strftime host-boundary kernel
+    (Arrow's cast formats ISO with unit-dependent precision)."""
+    from ..compute.registry import call_function
+    from .temporal import StrftimeOptions
+    t = a.type
+    if isinstance(t, (dt.Date32Type, dt.Date64Type)):
+        fmt = "%Y-%m-%d"
+    elif isinstance(t, dt.TimestampType) and t.unit == "s":
+        fmt = "%Y-%m-%d %H:%M:%S"
+    else:
+        fmt = "%Y-%m-%d %H:%M:%S.%f"
+    return call_function("strftime", [a],
+                         options=StrftimeOptions(format=fmt))
 
 
 def _int_to_string(a: Array) -> Array:

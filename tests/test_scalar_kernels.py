@@ -217,3 +217,73 @@ def test_cast_string_to_float(rng):
     bad = atc.call_function("cast", [at.array(pa.array(["x", ""]))],
                             options=CastOptions(dt.float64))
     assert bad.to_pylist() == [None, None]
+
+
+# ---- temporal / string / bool casts (scalar_cast_temporal.cc parity) --------
+
+def _cast(vals_pa, target):
+    from arrow_tpu.ops.scalar_cast import CastOptions
+    return atc.call_function(
+        "cast", [at.array(vals_pa)],
+        options=CastOptions(target)).to_pyarrow()
+
+
+def test_cast_timestamp_unit_scaling():
+    from arrow_tpu.core import datatype as dt
+    a = pa.array([1, -1, 1699999999], type=pa.timestamp("s"))
+    assert _cast(a, dt.timestamp("ms")).equals(a.cast(pa.timestamp("ms")))
+    b = pa.array([1500, -1500], type=pa.timestamp("ms"))
+    # downscale truncates toward zero (C++ integer division)
+    assert _cast(b, dt.timestamp("s")).equals(
+        b.cast(pa.timestamp("s"), safe=False))
+
+
+def test_cast_timestamp_to_date_and_time_floors():
+    from arrow_tpu.core import datatype as dt
+    ts = pa.array([86400_000_000, -1, 123_456_789], type=pa.timestamp("us"))
+    for tgt_at, tgt_pa in [(dt.date32, pa.date32()),
+                           (dt.date64, pa.date64()),
+                           (dt.time32("ms"), pa.time32("ms")),
+                           (dt.time64("us"), pa.time64("us"))]:
+        assert _cast(ts, tgt_at).equals(ts.cast(tgt_pa, safe=False))
+
+
+def test_cast_date_duration_units():
+    from arrow_tpu.core import datatype as dt
+    d = pa.array([0, 1, -1], type=pa.date32())
+    assert _cast(d, dt.timestamp("us")).equals(d.cast(pa.timestamp("us")))
+    assert _cast(d, dt.date64).equals(d.cast(pa.date64()))
+    du = pa.array([1500, -1500], type=pa.duration("ms"))
+    assert _cast(du, dt.duration("s")).equals(
+        du.cast(pa.duration("s"), safe=False))
+    assert _cast(du, dt.duration("ns")).equals(du.cast(pa.duration("ns")))
+
+
+def test_cast_bool_string_roundtrip():
+    from arrow_tpu.core import datatype as dt
+    bl = pa.array([True, False, None])
+    assert _cast(bl, dt.string).equals(bl.cast(pa.string()))
+    s = pa.array(["1", "true", "FALSE", "0", None])
+    assert _cast(s, dt.bool_).equals(s.cast(pa.bool_()))
+
+
+def test_cast_float_to_string():
+    from arrow_tpu.core import datatype as dt
+    f = pa.array([1.5, 0.1, -2.25, float("nan"), float("inf"), None])
+    assert _cast(f, dt.string).equals(f.cast(pa.string()))
+
+
+def test_cast_string_to_temporal():
+    from arrow_tpu.core import datatype as dt
+    st = pa.array(["2023-01-15 10:30:00", "1969-12-31 23:00:00"])
+    assert _cast(st, dt.timestamp("us")).equals(st.cast(pa.timestamp("us")))
+    sd = pa.array(["2023-01-15", "1969-12-31"])
+    assert _cast(sd, dt.date32).equals(sd.cast(pa.date32()))
+
+
+def test_cast_timestamp_to_string():
+    from arrow_tpu.core import datatype as dt
+    tsv = pa.array([0, 1_700_000_000_000_000], type=pa.timestamp("us"))
+    assert _cast(tsv, dt.string).equals(tsv.cast(pa.string()))
+    d = pa.array([0, 19737], type=pa.date32())
+    assert _cast(d, dt.string).equals(d.cast(pa.string()))

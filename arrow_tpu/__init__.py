@@ -29,4 +29,13 @@ from .core.json_literals import array_from_json, batch_from_json  # noqa: E402,F
 from .core.tensor import (  # noqa: E402,F401
     Tensor, SparseCOOTensor, SparseCSRMatrix, SparseCSCMatrix)
 
+# Eagerly import every kernel module. Deferred (inside-function) imports
+# would otherwise fire during a jit TRACE, and any module-level jnp value
+# created under an active trace is a leaked tracer that poisons every
+# later jaxpr referencing it ("Execution supplied N buffers but compiled
+# program expected M").
+from .compute.registry import ensure_kernels_loaded as _ekl  # noqa: E402
+_ekl()
+del _ekl
+
 __version__ = "0.1.0"

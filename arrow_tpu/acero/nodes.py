@@ -41,6 +41,65 @@ def register_node_factory(name: str):
     return deco
 
 
+# ---- plan-stage compile cache -------------------------------------------------
+#
+# Nodes are rebuilt per Declaration materialization (the reference rebuilds
+# ExecNodes per ExecPlan too), but a fresh ``jax.jit`` per node instance
+# would RETRACE AND RECOMPILE every stage on every query run — on a real
+# TPU that is seconds-to-minutes per stage. Structurally identical stages
+# therefore share one jitted callable through this module-level cache (the
+# engine-side analog of a prepared-statement/plan cache). Keys are
+# structural signatures of everything the stage closure captures; batch
+# DATA always flows through arguments, so sharing is semantics-preserving.
+
+_STAGE_CACHE: Dict[tuple, object] = {}
+
+
+def plan_sig(x) -> object:
+    """Hashable structural signature of node configuration (expressions,
+    options, schemas). Unhashable leaves (device arrays, tables) fall back
+    to identity — a cache miss, never a wrong hit."""
+    from ..compute.expressions import Expression
+    if x is None or isinstance(x, (str, int, float, bool, bytes)):
+        return x
+    if isinstance(x, (list, tuple)):
+        return ("seq",) + tuple(plan_sig(v) for v in x)
+    if isinstance(x, dict):
+        return ("map",) + tuple(
+            (k, plan_sig(v)) for k, v in sorted(x.items(),
+                                                key=lambda kv: str(kv[0])))
+    if isinstance(x, Expression):
+        return ("expr", x.kind, plan_sig(x.value), x.name, x.function,
+                plan_sig(x.args), plan_sig(x.options))
+    if isinstance(x, (dt.DataType, Schema, Field)):
+        return x
+    if isinstance(x, (Array, Batch, Table)):
+        return ("data", id(x))
+    if isinstance(x, (np.generic,)):
+        return ("np", x.item())
+    import datetime as _dtm
+    if isinstance(x, (_dtm.date, _dtm.datetime, _dtm.timedelta)):
+        return ("dt", str(x))
+    if hasattr(x, "__dict__"):
+        return (type(x).__module__, type(x).__qualname__,
+                plan_sig(vars(x)))
+    try:
+        hash(x)
+        return x
+    except TypeError:
+        return ("id", id(x))
+
+
+def cached_stage(key: tuple, make):
+    """Return (and memoize) a stage object — a jitted callable or a
+    stateless config object owning jitted methods."""
+    obj = _STAGE_CACHE.get(key)
+    if obj is None:
+        obj = make()
+        _STAGE_CACHE[key] = obj
+    return obj
+
+
 def empty_batch(schema: Schema, capacity: int = 16) -> Batch:
     arrays = []
     for f in schema.fields:
@@ -132,7 +191,8 @@ class FilterNode(ExecNode):
             mask = execute_scalar_expression(expr, b)
             return filter_batch(b, mask)
 
-        self._run = jax.jit(run)
+        self._run = cached_stage(("filter", plan_sig(expr)),
+                                 lambda: jax.jit(run))
 
     def output_schema(self) -> Schema:
         return self.inputs[0].output_schema()
@@ -169,7 +229,9 @@ class ProjectNode(ExecNode):
                            for n, a in zip(self.names, arrays))
             return Batch(Schema(fields), arrays, b.length, b.index)
 
-        self._run = jax.jit(run)
+        self._run = cached_stage(
+            ("project", plan_sig(self.exprs), tuple(self.names)),
+            lambda: jax.jit(run))
         self._out_schema: Optional[Schema] = None
 
     def output_schema(self) -> Schema:
@@ -194,10 +256,13 @@ class AggregateNode(ExecNode):
         super().__init__(options, inputs)
         self._in_schema = self.inputs[0].output_schema()
         if options.keys:
-            self.ha = HashAggregate(self._in_schema, options.keys,
-                                    options.aggregates,
-                                    max_groups=options.max_groups)
-            self._consume = jax.jit(self.ha.consume)
+            key = ("aggregate", self._in_schema, tuple(options.keys),
+                   plan_sig(options.aggregates), options.max_groups)
+            self.ha, self._consume = cached_stage(key, lambda: (
+                lambda ha: (ha, jax.jit(ha.consume)))(
+                    HashAggregate(self._in_schema, options.keys,
+                                  options.aggregates,
+                                  max_groups=options.max_groups)))
         else:
             self.ha = None
 
@@ -289,7 +354,9 @@ class OrderByNode(ExecNode):
                           length=idx.length)
             return take_batch(big, idx32)
 
-        self._run = jax.jit(run)
+        self._run = cached_stage(
+            ("order_by", plan_sig(self.options.sort_keys),
+             self.options.null_placement), lambda: jax.jit(run))
 
     def output_schema(self) -> Schema:
         return self.inputs[0].output_schema()
@@ -343,11 +410,13 @@ class HashJoinNode(ExecNode):
     def __init__(self, options: opts.HashJoinNodeOptions, inputs):
         super().__init__(options, inputs)
         from ..ops.join import HashJoin
-        self.join = HashJoin(inputs[0].output_schema(),
-                             inputs[1].output_schema(), options)
-        self._build = jax.jit(self.join.build)
-        self._probe = jax.jit(self.join.probe)
-        self._finish = jax.jit(self.join.finish)
+        key = ("hashjoin", inputs[0].output_schema(),
+               inputs[1].output_schema(), plan_sig(options))
+        self.join, self._build, self._probe, self._finish = cached_stage(
+            key, lambda: (lambda j: (j, jax.jit(j.build), jax.jit(j.probe),
+                                     jax.jit(j.finish)))(
+                HashJoin(inputs[0].output_schema(),
+                         inputs[1].output_schema(), options)))
 
     def output_schema(self) -> Schema:
         return self.join.out_schema
@@ -436,7 +505,9 @@ class SortedMergeNode(ExecNode):
                           length=idx.length)
             return take_batch(big, idx32)
 
-        self._run = jax.jit(run)
+        self._run = cached_stage(
+            ("sorted_merge", plan_sig(self.options.sort_keys),
+             self.options.null_placement), lambda: jax.jit(run))
 
     def output_schema(self) -> Schema:
         return self.inputs[0].output_schema()
@@ -534,7 +605,9 @@ class AsofJoinNode(ExecNode):
                 out.append(take_array(right.column(name), idx_arr))
             return Batch(self._schema, out, left.length)
 
-        self._run = jax.jit(run)
+        self._run = cached_stage(
+            ("asofjoin", lschema, rschema, plan_sig(o)),
+            lambda: jax.jit(run))
 
     def output_schema(self) -> Schema:
         return self._schema

@@ -20,10 +20,13 @@ from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 __all__ = ["SortGroup", "sort_group", "sort_distinct"]
 
-_I32MAX = jnp.int32(2147483647)
+_I32MAX = np.int32(2147483647)   # np, NOT jnp: module import may happen
+#   inside an active trace (lazy kernel loading) and a jnp constant
+#   created there would be a leaked tracer
 
 
 class SortGroup(NamedTuple):

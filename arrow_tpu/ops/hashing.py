@@ -30,6 +30,7 @@ from typing import List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core import datatype as dt
 from ..core.array import Array
@@ -39,10 +40,10 @@ __all__ = ["hash32", "hash64", "normalize_keys", "hash_batch_columns",
            "combine_hashes32", "string_fingerprint_exact"]
 
 # Murmur3 / xxh-style constants
-_C1 = jnp.uint32(0xCC9E2D51)
-_C2 = jnp.uint32(0x1B873593)
-_FMIX1 = jnp.uint32(0x85EBCA6B)
-_FMIX2 = jnp.uint32(0xC2B2AE35)
+_C1 = np.uint32(0xCC9E2D51)   # np, not jnp: see distinct._I32MAX note
+_C2 = np.uint32(0x1B873593)
+_FMIX1 = np.uint32(0x85EBCA6B)
+_FMIX2 = np.uint32(0xC2B2AE35)
 
 _PRIME64_1 = 0x9E3779B185EBCA87
 _PRIME64_2 = 0xC2B2AE3D27D4EB4F

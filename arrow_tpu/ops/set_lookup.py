@@ -39,7 +39,7 @@ from .vector_hash import _key_lanes, sort_distinct
 
 __all__ = ["SetLookupOptions", "is_in_array", "index_in_array"]
 
-_I32MAX = jnp.int32(2147483647)
+_I32MAX = np.int32(2147483647)   # np, not jnp: see distinct._I32MAX note
 
 
 class SetLookupOptions:

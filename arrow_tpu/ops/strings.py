@@ -42,7 +42,7 @@ from ..compute.scalar import Scalar
 __all__ = ["MatchSubstringOptions", "SliceOptions", "TrimOptions",
            "PadOptions", "ReplaceSubstringOptions", "ExtractRegexOptions"]
 
-_BIG = jnp.int32(2147483647)
+_BIG = np.int32(2147483647)   # np, not jnp: see distinct._I32MAX note
 
 
 # ---- options ------------------------------------------------------------------

@@ -33,6 +33,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core import datatype as dt
 from ..core.array import Array, row_mask
@@ -48,7 +49,7 @@ from .selection import take_array
 __all__ = ["unique_array", "value_counts_array",
            "dictionary_encode_array", "sort_distinct"]
 
-_I32MAX = jnp.int32(2147483647)
+_I32MAX = np.int32(2147483647)   # np, not jnp: see distinct._I32MAX note
 
 
 def _key_lanes(a: Array, include_validity: bool) -> jax.Array:

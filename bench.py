@@ -36,7 +36,11 @@ def _setup_compile_cache():
                              ".jax_cache")
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # the axon relay compiles asynchronously, so host-side compile time
+    # looks near-zero — a min-compile-time threshold would skip EVERY
+    # entry. Cache unconditionally.
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 
 def _time_best(fn, *args, reps=3):

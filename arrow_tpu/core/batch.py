@@ -181,11 +181,16 @@ class Table:
 
     # ---- pyarrow.Table-parity query methods (route through acero, like
     # pyarrow's Table.group_by/join/sort_by do: python/pyarrow/acero.py) ---
-    def group_by(self, keys, aggregations, max_groups: int = 1 << 16
-                 ) -> "Table":
-        from ..acero import group_by as _gb
+    def group_by(self, keys, aggregations=None, max_groups: int = 1 << 16,
+                 use_threads: bool = True):
+        """pyarrow parity (``table.pxi:6465``): ``group_by(keys)`` returns
+        a TableGroupBy for ``.aggregate([...])``; passing ``aggregations``
+        directly is the one-shot shorthand."""
         if isinstance(keys, str):
             keys = [keys]
+        if aggregations is None:
+            return TableGroupBy(self, list(keys), max_groups=max_groups)
+        from ..acero import group_by as _gb
         aggs = [(a[1], a[0]) if isinstance(a, tuple) and len(a) == 2
                 and not callable(a[0]) else a for a in aggregations]
         return _gb(self, keys, aggs, max_groups=max_groups)
@@ -267,6 +272,39 @@ class Table:
     def __repr__(self) -> str:
         return (f"Table(rows={self.num_rows}, batches={len(self.batches)}, "
                 f"cols={list(self.schema.names)})")
+
+
+class TableGroupBy:
+    """pyarrow.TableGroupBy parity: holds (table, keys), ``aggregate``
+    runs the grouped aggregation (``table.pxi`` TableGroupBy.aggregate).
+
+    Aggregation entries are pyarrow-shaped: ``(column, "fn")``,
+    ``(column, "fn", options)``, ``([], "count_all")``, or
+    ``(("key","value"), "pivot_wider", opts)`` for multi-target
+    aggregates."""
+
+    def __init__(self, table: "Table", keys, max_groups: int = 1 << 16):
+        self.table = table
+        self.keys = list(keys)
+        self.max_groups = max_groups
+
+    def aggregate(self, aggregations) -> "Table":
+        from ..acero import group_by as _gb
+        from ..ops.hash_aggregate import AggregateSpec
+        specs = []
+        for a in aggregations:
+            if isinstance(a, AggregateSpec):
+                specs.append(a)
+                continue
+            target, fn = a[0], a[1]
+            options = a[2] if len(a) > 2 else None
+            if isinstance(target, list) and not target:
+                target = None
+            elif isinstance(target, (tuple, list)):
+                target = tuple(target)
+            specs.append(AggregateSpec(fn, target, options))
+        return _gb(self.table, self.keys, specs,
+                   max_groups=self.max_groups)
 
 
 def batch(data: Dict[str, object], schema_: Optional[Schema] = None,

@@ -196,3 +196,24 @@ def test_aggregate_segment_keys(rng):
     assert got["k"].to_pylist() == exp["k"].to_pylist()
     np.testing.assert_allclose(got["v_sum"].to_pylist(),
                                exp["v_sum"].to_pylist(), rtol=1e-12)
+
+
+def test_table_group_by_pyarrow_call_shape():
+    """pyarrow parity: table.group_by(keys).aggregate([...]) (table.pxi
+    TableGroupBy), incl. multi-target + no-target entries."""
+    import pyarrow.compute as _pc
+    from arrow_tpu.ops.agg_options import PivotWiderOptions
+    pt = pa.table({"g": [1, 1, 2, 3], "k": ["h", "w", "w", "h"],
+                   "v": [11.0, 12.0, 13.0, 14.0]})
+    t = at.table(pt)
+    out = t.group_by("g").aggregate(
+        [("v", "sum"), ([], "count_all"),
+         (("k", "v"), "pivot_wider", PivotWiderOptions(["h", "w"]))])
+    ref = pt.group_by("g", use_threads=False).aggregate(
+        [("v", "sum"), ([], "count_all"),
+         (("k", "v"), "pivot_wider",
+          _pc.PivotWiderOptions(key_names=["h", "w"]))])
+    o = out.to_pyarrow().sort_by("g")
+    r = ref.sort_by("g")
+    assert o.select(sorted(o.column_names)).equals(
+        r.select(sorted(r.column_names)))

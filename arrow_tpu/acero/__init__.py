@@ -11,6 +11,7 @@ from .options import (  # noqa: F401
     FilterNodeOptions, HashJoinNodeOptions, OrderByNodeOptions,
     AsofJoinNodeOptions, PivotLongerNodeOptions, ProjectNodeOptions,
     ScanNodeOptions,
+    RecordBatchReaderSourceNodeOptions, RecordBatchSourceNodeOptions,
     SortedMergeNodeOptions, SourceNodeOptions, TableSourceNodeOptions,
     TpchGenNodeOptions, UnionNodeOptions,
 )

@@ -178,6 +178,48 @@ class SourceNode(ExecNode):
             yield b.with_index(i)
 
 
+@register_node_factory("record_batch_source")
+@register_node_factory("exec_batch_source")
+@register_node_factory("array_vector_source")
+class RecordBatchSourceNode(ExecNode):
+    """``source_node.cc:303`` RecordBatchSourceNode + the exec-batch /
+    array-vector variants (:372,:408): an iterable of batches with a known
+    schema; pyarrow batches stage onto the device as they stream."""
+
+    def __init__(self, options: opts.RecordBatchSourceNodeOptions, inputs):
+        super().__init__(options, inputs)
+        self._schema = options.schema if isinstance(
+            options.schema, Schema) else Schema.from_pyarrow(options.schema)
+
+    def output_schema(self) -> Schema:
+        return self._schema
+
+    def batches(self) -> Iterator[Batch]:
+        import pyarrow as pa
+        for i, rb in enumerate(self.options.batches):
+            if isinstance(rb, pa.RecordBatch):
+                rb = Batch.from_pyarrow(rb)
+            yield rb.with_index(i)
+
+
+@register_node_factory("record_batch_reader_source")
+class RecordBatchReaderSourceNode(ExecNode):
+    """``source_node.cc:372`` RecordBatchReaderSourceNode: stream a
+    pyarrow.RecordBatchReader through the engine."""
+
+    def __init__(self,
+                 options: opts.RecordBatchReaderSourceNodeOptions, inputs):
+        super().__init__(options, inputs)
+        self._schema = Schema.from_pyarrow(options.reader.schema)
+
+    def output_schema(self) -> Schema:
+        return self._schema
+
+    def batches(self) -> Iterator[Batch]:
+        for i, rb in enumerate(self.options.reader):
+            yield Batch.from_pyarrow(rb).with_index(i)
+
+
 @register_node_factory("filter")
 class FilterNode(ExecNode):
     """``filter_node.cc:42``: expression -> bool mask -> filter kernel.

@@ -40,6 +40,22 @@ class SourceNodeOptions(ExecNodeOptions):
         self.generator = generator
 
 
+class RecordBatchSourceNodeOptions(ExecNodeOptions):
+    """Feed from an iterable of record batches (pyarrow.RecordBatch or
+    arrow_tpu.Batch) — ``source_node.cc:303`` RecordBatchSourceNode."""
+
+    def __init__(self, schema, batches):
+        self.schema = schema
+        self.batches = batches
+
+
+class RecordBatchReaderSourceNodeOptions(ExecNodeOptions):
+    """Feed from a pyarrow.RecordBatchReader (``source_node.cc:372``)."""
+
+    def __init__(self, reader):
+        self.reader = reader
+
+
 class FilterNodeOptions(ExecNodeOptions):
     def __init__(self, filter_expression: Expression):
         self.filter_expression = filter_expression

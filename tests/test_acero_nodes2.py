@@ -114,3 +114,23 @@ def test_pivot_longer_null_template():
     assert got["which"].to_pylist() == ["ab", "a-only"]
     assert got["x"].to_pylist() == [1.5, 1.5]
     assert got["y"].to_pylist() == [2.5, None]
+
+
+def test_record_batch_source_variants():
+    """source_node.cc:303,372 record-batch / reader source nodes."""
+    import pyarrow as pa
+    from arrow_tpu.acero import (Declaration, FilterNodeOptions,
+                                 RecordBatchReaderSourceNodeOptions,
+                                 RecordBatchSourceNodeOptions)
+    from arrow_tpu.compute.expressions import field
+    rbs = pa.table({"x": list(range(10))}).to_batches(max_chunksize=4)
+    d = Declaration.from_sequence([
+        Declaration("record_batch_source",
+                    RecordBatchSourceNodeOptions(rbs[0].schema, rbs)),
+        Declaration("filter", FilterNodeOptions(field("x") >= 5))])
+    assert sorted(d.to_table().to_pyarrow()["x"].to_pylist()) == \
+        [5, 6, 7, 8, 9]
+    reader = pa.RecordBatchReader.from_batches(rbs[0].schema, rbs)
+    d2 = Declaration("record_batch_reader_source",
+                     RecordBatchReaderSourceNodeOptions(reader))
+    assert d2.to_table().to_pyarrow()["x"].to_pylist() == list(range(10))

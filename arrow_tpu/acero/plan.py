@@ -56,13 +56,20 @@ class Declaration:
         return out
 
     def _build(self) -> "_nodes.ExecNode":
+        import os
+        decl = self
+        if not os.environ.get("ARROW_TPU_NO_PRUNE"):
+            decl = prune_columns(self)
+        return decl._build_raw()
+
+    def _build_raw(self) -> "_nodes.ExecNode":
         try:
             cls = _FACTORIES[self.factory_name]
         except KeyError:
             raise KeyError(
                 f"no exec node factory named '{self.factory_name}'; "
                 f"have {sorted(_FACTORIES)}") from None
-        inputs = [d._build() for d in self.inputs]
+        inputs = [d._build_raw() for d in self.inputs]
         return cls(self.options, inputs)
 
     # ---- materialization ----------------------------------------------------
@@ -94,6 +101,40 @@ class Declaration:
         metrics.record(f"plan:{self.factory_name}", t.num_rows, 0.0)
         return t
 
+    def to_batches_prefetched(self, prefetch: int = 2,
+                              stop_token=None) -> Iterator[Batch]:
+        """Bounded-readahead materialization: a producer thread drives the
+        plan while the consumer lags at most ``prefetch`` batches — the
+        pull-engine form of Acero's byte-threshold backpressure
+        (``options.h:369`` BackpressureOptions; pause == queue full).
+        XLA's async dispatch overlaps the producer's device work with the
+        consumer's host work."""
+        import queue as _q
+        import threading
+        q: "_q.Queue" = _q.Queue(maxsize=max(prefetch, 1))
+        DONE, ERR = object(), object()
+
+        def produce():
+            try:
+                for b in self.to_batches(stop_token=stop_token):
+                    q.put(b)
+                q.put(DONE)
+            except BaseException as e:  # propagate to consumer
+                q.put((ERR, e))
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+
+        def gen():
+            while True:
+                item = q.get()
+                if item is DONE:
+                    return
+                if isinstance(item, tuple) and item and item[0] is ERR:
+                    raise item[1]
+                yield item
+        return gen()
+
     def to_string(self, indent: int = 0) -> str:
         """Plan dump (ExecPlan::ToString analog)."""
         pad = "  " * indent
@@ -120,6 +161,92 @@ class Declaration:
 
 def declaration_to_table(decl: Declaration) -> Table:
     return decl.to_table()
+
+
+# ---- projection pushdown ------------------------------------------------------
+#
+# The reference prunes columns in the dataset scanner (ScanOptions
+# projection) and leaves plan-level pruning to the planner; on TPU unused
+# columns are far more expensive to drag through kernels (a var-len column
+# rides every filter/take as a byte-pool gather), so the engine prunes
+# plans itself: sources emit only the columns some ancestor reads.
+# ``needed=None`` means "everything" (unknown consumer — safe default).
+
+def _expr_fields(e) -> set:
+    return set(e.field_names()) if e is not None else set()
+
+
+def prune_columns(decl: Declaration,
+                  needed: Optional[frozenset] = None) -> Declaration:
+    f = decl.factory_name
+    o = decl.options
+
+    def rebuild(options, new_inputs):
+        if options is o and all(a is b for a, b in
+                                zip(new_inputs, decl.inputs)):
+            return decl
+        return Declaration(f, options, new_inputs)
+
+    if f in ("table_source",):
+        if needed is None:
+            return decl
+        table = o.table
+        names = [c for c in table.column_names if c in needed]
+        if len(names) == len(table.column_names):
+            return decl
+        from .options import TableSourceNodeOptions
+        return rebuild(TableSourceNodeOptions(
+            table.select(names), o.max_batch_rows), [])
+
+    if f == "filter":
+        child_needed = None if needed is None else \
+            frozenset(needed | _expr_fields(o.filter_expression))
+        return rebuild(o, [prune_columns(decl.inputs[0], child_needed)])
+
+    if f == "project":
+        opts2 = o
+        if needed is not None:
+            names = o.names or [repr(e) for e in o.expressions]
+            keep = [i for i, n in enumerate(names) if n in needed]
+            if len(keep) < len(names) and keep:
+                from .options import ProjectNodeOptions
+                opts2 = ProjectNodeOptions(
+                    [o.expressions[i] for i in keep],
+                    [names[i] for i in keep])
+        child_needed = frozenset().union(
+            *[_expr_fields(e) for e in opts2.expressions]) \
+            if opts2.expressions else frozenset()
+        return rebuild(opts2,
+                       [prune_columns(decl.inputs[0],
+                                      frozenset(child_needed))])
+
+    if f == "aggregate":
+        child_needed = set(o.keys) | set(getattr(o, "segment_keys", ()))
+        for spec in o.aggregates:
+            child_needed |= set(spec.targets)
+        return rebuild(o, [prune_columns(decl.inputs[0],
+                                         frozenset(child_needed))])
+
+    if f == "hashjoin":
+        lneed = None if o.left_output is None else \
+            frozenset(set(o.left_keys) | set(o.left_output))
+        rneed = None if o.right_output is None else \
+            frozenset(set(o.right_keys) | set(o.right_output))
+        return rebuild(o, [prune_columns(decl.inputs[0], lneed),
+                           prune_columns(decl.inputs[1], rneed)])
+
+    if f in ("order_by", "sorted_merge"):
+        child_needed = None if needed is None else frozenset(
+            needed | {k.name for k in o.sort_keys})
+        return rebuild(o, [prune_columns(i, child_needed)
+                           for i in decl.inputs])
+
+    if f in ("fetch", "union"):
+        return rebuild(o, [prune_columns(i, needed) for i in decl.inputs])
+
+    # unknown / schema-opaque nodes (scan, tpch_gen, pivot_longer, asof,
+    # sources): children keep everything
+    return rebuild(o, [prune_columns(i, None) for i in decl.inputs])
 
 
 ExecNode = _nodes.ExecNode

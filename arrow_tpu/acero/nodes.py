@@ -142,6 +142,17 @@ class ExecNode:
     def batches(self) -> Iterator[Batch]:
         raise NotImplementedError
 
+    def fused_stream(self):
+        """(batches_iterable, transform_or_None, transform_sig_tuple).
+
+        ``transform`` is this node's (plus fusable ancestors') per-batch
+        work as one PURE traceable Batch->Batch function. Consumers
+        compose it INSIDE their own jit, so a filter→project→consume
+        chain runs as ONE XLA program per batch (whole-stage fusion —
+        one dispatch instead of three, and the intermediate batches never
+        round-trip HBM). Stateful/fan-in nodes return transform None."""
+        return self.batches(), None, ()
+
 
 @register_node_factory("table_source")
 class TableSourceNode(ExecNode):
@@ -233,8 +244,9 @@ class FilterNode(ExecNode):
             mask = execute_scalar_expression(expr, b)
             return filter_batch(b, mask)
 
-        self._run = cached_stage(("filter", plan_sig(expr)),
-                                 lambda: jax.jit(run))
+        self._pure = run
+        self._sig = ("filter", plan_sig(expr))
+        self._run = cached_stage(self._sig, lambda: jax.jit(run))
 
     def output_schema(self) -> Schema:
         return self.inputs[0].output_schema()
@@ -242,6 +254,9 @@ class FilterNode(ExecNode):
     def batches(self) -> Iterator[Batch]:
         for b in self.inputs[0].batches():
             yield self._run(b).with_index(b.index)
+
+    def fused_stream(self):
+        return _compose_stream(self.inputs[0], self._pure, self._sig)
 
 
 @register_node_factory("project")
@@ -271,9 +286,9 @@ class ProjectNode(ExecNode):
                            for n, a in zip(self.names, arrays))
             return Batch(Schema(fields), arrays, b.length, b.index)
 
-        self._run = cached_stage(
-            ("project", plan_sig(self.exprs), tuple(self.names)),
-            lambda: jax.jit(run))
+        self._pure = run
+        self._sig = ("project", plan_sig(self.exprs), tuple(self.names))
+        self._run = cached_stage(self._sig, lambda: jax.jit(run))
         self._out_schema: Optional[Schema] = None
 
     def output_schema(self) -> Schema:
@@ -286,6 +301,29 @@ class ProjectNode(ExecNode):
     def batches(self) -> Iterator[Batch]:
         for b in self.inputs[0].batches():
             yield self._run(b)
+
+    def fused_stream(self):
+        return _compose_stream(self.inputs[0], self._pure, self._sig)
+
+
+def _compose_stream(input_node, pure_fn, sig):
+    base, t, tsig = input_node.fused_stream()
+    if t is None:
+        fn = pure_fn
+    else:
+        def fn(b, _t=t, _m=pure_fn):
+            return _m(_t(b))
+    return base, fn, tsig + (sig,)
+
+
+def fused_consumer(input_node, key, make_consumer):
+    """Helper for stateful consumers: returns (batches_iterable,
+    consume_fn) where consume_fn includes any upstream map-transform
+    inside one cached jit. ``make_consumer(transform_or_None)`` builds
+    the jitted callable."""
+    base, t, tsig = input_node.fused_stream()
+    return base, cached_stage(key + ("fused",) + tuple(tsig),
+                              lambda: make_consumer(t))
 
 
 @register_node_factory("aggregate")
@@ -305,6 +343,7 @@ class AggregateNode(ExecNode):
                     HashAggregate(self._in_schema, options.keys,
                                   options.aggregates,
                                   max_groups=options.max_groups)))
+            self._key = key
         else:
             self.ha = None
 
@@ -328,9 +367,14 @@ class AggregateNode(ExecNode):
 
     def batches(self) -> Iterator[Batch]:
         if self.ha is not None:
-            state = self.ha.init_state()
-            for b in self.inputs[0].batches():
-                state = self._consume(state, b)
+            ha = self.ha
+            base, consume = fused_consumer(
+                self.inputs[0], self._key,
+                lambda t: self._consume if t is None else
+                jax.jit(lambda s, b: ha.consume(s, t(b))))
+            state = ha.init_state()
+            for b in base:
+                state = consume(state, b)
             err = int(np.asarray(jax.device_get(state[0].error)))
             if err:
                 raise RuntimeError(
@@ -396,20 +440,32 @@ class OrderByNode(ExecNode):
                           length=idx.length)
             return take_batch(big, idx32)
 
-        self._run = cached_stage(
-            ("order_by", plan_sig(self.options.sort_keys),
-             self.options.null_placement), lambda: jax.jit(run))
+        self._pure_run = run
+        self._key = ("order_by", plan_sig(self.options.sort_keys),
+                     self.options.null_placement)
+        self._run = cached_stage(self._key, lambda: jax.jit(run))
 
     def output_schema(self) -> Schema:
         return self.inputs[0].output_schema()
 
     def batches(self) -> Iterator[Batch]:
-        accumulated = [b for b in self.inputs[0].batches()]
+        run_pure = self._pure_run
+        base, run_fn = fused_consumer(
+            self.inputs[0], self._key,
+            lambda t: self._run if t is None else
+            jax.jit(lambda big: run_pure(t(big))))
+        accumulated = [b for b in base]
         if not accumulated:
             return
-        big = concat_batches(accumulated) if len(accumulated) > 1 \
-            else accumulated[0]
-        yield self._run(big).with_index(0)
+        if len(accumulated) == 1:
+            yield run_fn(accumulated[0]).with_index(0)
+            return
+        _, t, tsig = self.inputs[0].fused_stream()
+        if t is not None:
+            tj = cached_stage(self._key + ("t",) + tuple(tsig),
+                              lambda: jax.jit(t))
+            accumulated = [tj(b) for b in accumulated]
+        yield self._run(concat_batches(accumulated)).with_index(0)
 
 
 @register_node_factory("fetch")
@@ -459,20 +515,40 @@ class HashJoinNode(ExecNode):
                                      jax.jit(j.finish)))(
                 HashJoin(inputs[0].output_schema(),
                          inputs[1].output_schema(), options)))
+        self._key = key
 
     def output_schema(self) -> Schema:
         return self.join.out_schema
 
     def batches(self) -> Iterator[Batch]:
-        build_batches = [b for b in self.inputs[1].batches()]
-        if not build_batches:
-            build_batches = [empty_batch(self.inputs[1].output_schema())]
-        big = concat_batches(build_batches) if len(build_batches) > 1 \
-            else build_batches[0]
-        bs = self._build(big)
+        join = self.join
+        build_base, build_fn = fused_consumer(
+            self.inputs[1], self._key + ("build",),
+            lambda t: self._build if t is None else
+            jax.jit(lambda big: join.build(t(big))))
+        build_batches = [b for b in build_base]
+        if len(build_batches) == 1:
+            bs = build_fn(build_batches[0])
+        else:
+            # multi-batch build: transform per batch, then build the concat
+            if not build_batches:
+                bs = self._build(empty_batch(
+                    self.inputs[1].output_schema()))
+            else:
+                _, t, tsig = self.inputs[1].fused_stream()
+                if t is not None:
+                    tj = cached_stage(
+                        self._key + ("build-t",) + tuple(tsig),
+                        lambda: jax.jit(t))
+                    build_batches = [tj(b) for b in build_batches]
+                bs = self._build(concat_batches(build_batches))
+        probe_base, probe_fn = fused_consumer(
+            self.inputs[0], self._key + ("probe",),
+            lambda t: self._probe if t is None else
+            jax.jit(lambda s, b: join.probe(s, t(b))))
         i = 0
-        for b in self.inputs[0].batches():
-            out, bs = self._probe(bs, b)
+        for b in probe_base:
+            out, bs = probe_fn(bs, b)
             if out is not None:
                 yield out.with_index(i)
                 i += 1

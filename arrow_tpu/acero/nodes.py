@@ -338,8 +338,10 @@ class AggregateNode(ExecNode):
         if options.keys:
             key = ("aggregate", self._in_schema, tuple(options.keys),
                    plan_sig(options.aggregates), options.max_groups)
-            self.ha, self._consume = cached_stage(key, lambda: (
-                lambda ha: (ha, jax.jit(ha.consume)))(
+            self.ha, self._consume, self._finalize = cached_stage(
+                key, lambda: (
+                    lambda ha: (ha, jax.jit(ha.consume),
+                                jax.jit(ha.finalize)))(
                     HashAggregate(self._in_schema, options.keys,
                                   options.aggregates,
                                   max_groups=options.max_groups)))
@@ -386,7 +388,7 @@ class AggregateNode(ExecNode):
                     hasattr(agg, "error_message") else \
                     f"{agg.name}: error {flag}"
                 raise RuntimeError(f"aggregate: {msg}")
-            yield self.ha.finalize(state).with_index(0)
+            yield self._finalize(state).with_index(0)
             return
         # scalar aggregation: accumulate then reduce once
         accumulated = [b for b in self.inputs[0].batches()]
@@ -492,9 +494,15 @@ class FetchNode(ExecNode):
             take_n = min(n - start, remaining_take)
             remaining_skip = 0
             remaining_take -= take_n
-            idx = jnp.arange(b.capacity, dtype=jnp.int32) + start
-            idx = jnp.minimum(idx, b.capacity - 1)
-            sl = take_batch(b, Array(dt.int32, idx, None, length=take_n))
+
+            def slice_run(bb, s, t):
+                idx = jnp.arange(bb.capacity, dtype=jnp.int32) + s
+                idx = jnp.minimum(idx, bb.capacity - 1)
+                return take_batch(bb, Array(dt.int32, idx, None, length=t))
+
+            sl = cached_stage(("fetch-slice", b.schema),
+                              lambda: jax.jit(slice_run))(
+                b, np.int32(start), np.int32(take_n))
             yield sl
         return
 

@@ -10,6 +10,7 @@ from ..ops.sorting import SortKey
 
 __all__ = [
     "ExecNodeOptions", "TableSourceNodeOptions", "SourceNodeOptions",
+    "RecordBatchSourceNodeOptions", "RecordBatchReaderSourceNodeOptions",
     "FilterNodeOptions", "ProjectNodeOptions", "AggregateNodeOptions",
     "OrderByNodeOptions", "FetchNodeOptions", "UnionNodeOptions",
     "HashJoinNodeOptions", "TpchGenNodeOptions",
@@ -124,8 +125,13 @@ class HashJoinNodeOptions(ExecNodeOptions):
         self.join_type = join_type
         self.left_keys = list(left_keys)
         self.right_keys = list(right_keys)
-        self.left_output = list(left_output) if left_output else None
-        self.right_output = list(right_output) if right_output else None
+        # [] is meaningful ("emit NO columns from this side" — e.g. the
+        # probe side of a semi-join-shaped inner join); only None means
+        # "all columns"
+        self.left_output = list(left_output) if left_output is not None \
+            else None
+        self.right_output = list(right_output) if right_output is not None \
+            else None
         self.output_suffix_for_left = output_suffix_for_left
         self.output_suffix_for_right = output_suffix_for_right
         self.max_build_rows = max_build_rows

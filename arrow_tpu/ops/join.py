@@ -105,8 +105,11 @@ class HashJoin:
                                [f.nullable for f in key_fields],
                                max_groups=options.max_build_rows)
 
-        self.left_out = options.left_output or list(left_schema.names)
-        self.right_out = options.right_output or list(right_schema.names)
+        # [] means "no columns from this side"; only None means all
+        self.left_out = options.left_output \
+            if options.left_output is not None else list(left_schema.names)
+        self.right_out = options.right_output \
+            if options.right_output is not None else list(right_schema.names)
         if self.join_type in ("left semi", "left anti"):
             self.right_out = []
         if self.join_type in ("right semi", "right anti"):

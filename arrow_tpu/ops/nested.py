@@ -44,11 +44,11 @@ def _list_parent_indices(args, options):
     a = _list_arg(args[0])
     child = a.dictionary
     ccap = max(child.capacity, 1)
+    from .selection import rows_of_positions
     cidx = jax.lax.broadcasted_iota(jnp.int32, (ccap, 1), 0).reshape(
         (ccap,))
-    r = jnp.searchsorted(a.offsets, cidx, side="right").astype(
-        jnp.int64) - 1
-    r = jnp.clip(r, 0, a.capacity - 1)
+    r = jnp.clip(rows_of_positions(a.offsets, ccap), 0,
+                 a.capacity - 1).astype(jnp.int64)
     nchild = a.offsets[jnp.asarray(a.length, jnp.int32)]
     return Array(dt.int64, r, None, length=nchild)
 
@@ -67,10 +67,10 @@ def _list_flatten(args, options):
     new_off = jnp.concatenate([jnp.zeros((1,), jnp.int32),
                                jnp.cumsum(lens).astype(jnp.int32)])
     total = new_off[-1]
+    from .selection import rows_of_positions
     oidx = jax.lax.broadcasted_iota(jnp.int32, (ccap, 1), 0).reshape(
         (ccap,))
-    r = jnp.clip(jnp.searchsorted(new_off, oidx, "right").astype(
-        jnp.int32) - 1, 0, cap - 1)
+    r = jnp.clip(rows_of_positions(new_off, ccap), 0, cap - 1)
     src = jnp.clip(a.offsets[r] + (oidx - new_off[r]), 0, ccap - 1)
     idx = Array(dt.int32, src, None, length=total)
     return take_array(child, idx)

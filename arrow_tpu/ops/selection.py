@@ -30,7 +30,7 @@ from ..compute.registry import Kind, NullHandling, register_function
 from ..compute.scalar import Scalar
 
 __all__ = [
-    "FilterOptions", "TakeOptions",
+    "FilterOptions", "TakeOptions", "rows_of_positions",
     "get_take_indices", "take_array", "filter_array",
     "take_batch", "filter_batch",
 ]
@@ -132,6 +132,25 @@ def get_take_indices(mask: Array,
     return Array(dt.int32, indices, validity, length=out_len)
 
 
+def rows_of_positions(new_off: jax.Array, out_cap: int) -> jax.Array:
+    """(out_cap,) source-row index per output position p: the r with
+    ``new_off[r] <= p < new_off[r+1]`` (junk past the total, clip before
+    use).
+
+    One unique-index scatter of each non-empty row's start + one
+    ``lax.cummax`` forward fill — replaces a per-position binary search
+    (log n rounds of random gathers, the former hot spot of every var-len
+    take: byte pools run to hundreds of MB)."""
+    cap = new_off.shape[0] - 1
+    starts = new_off[:-1]
+    lens = new_off[1:] - starts
+    ridx = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0).reshape((cap,))
+    pos = jnp.where(lens > 0, starts, out_cap)   # empty rows: dropped
+    marks = jnp.full((out_cap,), -1, jnp.int32).at[pos].max(
+        ridx, mode="drop", unique_indices=True)
+    return jax.lax.cummax(marks)
+
+
 def _gather_validity(values: Array, idx: jax.Array,
                      idx_validity: Optional[jax.Array]):
     validity = None
@@ -213,8 +232,7 @@ def _take_list(values: Array, idx: jax.Array, indices: Array, out_len):
     ccap = max(child.capacity, 1)
     total = new_off[-1]
     cidx = jax.lax.broadcasted_iota(jnp.int32, (ccap, 1), 0).reshape((ccap,))
-    r = jnp.clip(jnp.searchsorted(new_off, cidx, side="right").astype(
-        jnp.int32) - 1, 0, ocap - 1)
+    r = jnp.clip(rows_of_positions(new_off, ccap), 0, ocap - 1)
     src = jnp.clip(off[idx[r]] + (cidx - new_off[r]), 0, ccap - 1)
     child_idx = Array(dt.int32, src, None, length=total)
     new_child = take_array(child, child_idx)
@@ -244,10 +262,9 @@ def _take_varlen(values: Array, idx: jax.Array, indices: Array, out_len):
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(lens).astype(jnp.int32)])
     bcap = values.values.shape[0]
     total = new_off[-1]
-    # output byte j -> row r -> source byte
+    # output byte j -> row r -> source byte (scatter+cummax row map)
     bidx = jax.lax.broadcasted_iota(jnp.int32, (bcap, 1), 0).reshape((bcap,))
-    r = jnp.searchsorted(new_off, bidx, side="right").astype(jnp.int32) - 1
-    r = jnp.clip(r, 0, ocap - 1)
+    r = jnp.clip(rows_of_positions(new_off, bcap), 0, ocap - 1)
     src = off[idx[r]] + (bidx - new_off[r])
     src = jnp.clip(src, 0, bcap - 1)
     out_bytes = jnp.where(bidx < total, values.values[src], 0).astype(

@@ -101,9 +101,9 @@ def _lens(a: Array) -> jax.Array:
 
 def _rows_of_bytes(a: Array) -> jax.Array:
     """(B,) int32 — owning row of each pool byte (padding bytes clamp)."""
+    from .selection import rows_of_positions
     bcap = a.values.shape[0]
-    bidx = jax.lax.broadcasted_iota(jnp.int32, (bcap, 1), 0).reshape((bcap,))
-    r = jnp.searchsorted(a.offsets, bidx, side="right").astype(jnp.int32) - 1
+    r = rows_of_positions(a.offsets, bcap)
     return jnp.clip(r, 0, a.capacity - 1)
 
 
@@ -129,9 +129,9 @@ def _build_varlen(a: Array, new_lens: jax.Array, src_of, out_bcap: int,
     new_off = jnp.concatenate([jnp.zeros((1,), jnp.int32),
                                jnp.cumsum(new_lens).astype(jnp.int32)])
     total = new_off[-1]
+    from .selection import rows_of_positions
     bidx = _pool_iota(out_bcap)
-    r = jnp.searchsorted(new_off, bidx, side="right").astype(jnp.int32) - 1
-    r = jnp.clip(r, 0, cap - 1)
+    r = jnp.clip(rows_of_positions(new_off, out_bcap), 0, cap - 1)
     k = bidx - new_off[r]
     src = src_of(r, k, bidx)
     in_pool = bidx < total
@@ -783,9 +783,9 @@ def _binary_join_element_wise(args, options):
                                    row_mask(cap, base.length), n, 0)
                                ).astype(jnp.int32)])
     out_bcap = max(int(total_in), 1)
+    from .selection import rows_of_positions
     bidx = _pool_iota(out_bcap)
-    r = jnp.clip(jnp.searchsorted(new_off, bidx, "right").astype(
-        jnp.int32) - 1, 0, cap - 1)
+    r = jnp.clip(rows_of_positions(new_off, out_bcap), 0, cap - 1)
     k = bidx - new_off[r]
     out = jnp.zeros((out_bcap,), jnp.uint8)
     seg = 0

@@ -100,6 +100,36 @@ def cached_stage(key: tuple, make):
     return obj
 
 
+def maybe_compact(b: Batch) -> Batch:
+    """Shrink a sparsely-filled batch to its capacity bucket.
+
+    Pipeline-breaker outputs (join fanout, aggregate finalize) carry
+    worst-case static capacities; when the dynamic length lands far
+    below, every downstream sort/scan would still pay the full capacity.
+    The pull engine is host-driven between stages anyway, so one scalar
+    sync + a bucketed gather rebases the batch (the TPU-shape analog of
+    Acero re-slicing accumulated batches to 32Ki outputs,
+    ``light_array_internal.h:420``). Off: ARROW_TPU_NO_COMPACT=1."""
+    import os
+    if os.environ.get("ARROW_TPU_NO_COMPACT"):
+        return b
+    from ..core.interop import pad_capacity
+    n = int(np.asarray(jax.device_get(b.length)))
+    target = pad_capacity(max(n, 1))
+    if target * 2 > b.capacity:
+        return b
+
+    def run(bb: Batch, ln):
+        from ..ops.selection import take_batch as _take
+        idx = jnp.minimum(jnp.arange(target, dtype=jnp.int32),
+                          bb.capacity - 1)
+        return _take(bb, Array(dt.int32, idx, None, length=ln))
+
+    fn = cached_stage(("compact", b.schema, b.capacity, target),
+                      lambda: jax.jit(run))
+    return fn(b, np.int32(n)).with_index(b.index)
+
+
 def empty_batch(schema: Schema, capacity: int = 16) -> Batch:
     arrays = []
     for f in schema.fields:
@@ -388,7 +418,7 @@ class AggregateNode(ExecNode):
                     hasattr(agg, "error_message") else \
                     f"{agg.name}: error {flag}"
                 raise RuntimeError(f"aggregate: {msg}")
-            yield self._finalize(state).with_index(0)
+            yield maybe_compact(self._finalize(state).with_index(0))
             return
         # scalar aggregation: accumulate then reduce once
         accumulated = [b for b in self.inputs[0].batches()]
@@ -558,7 +588,7 @@ class HashJoinNode(ExecNode):
         for b in probe_base:
             out, bs = probe_fn(bs, b)
             if out is not None:
-                yield out.with_index(i)
+                yield maybe_compact(out.with_index(i))
                 i += 1
         err = int(np.asarray(jax.device_get(bs.error)))
         if err:

@@ -80,9 +80,17 @@ def plan_sig(x) -> object:
     import datetime as _dtm
     if isinstance(x, (_dtm.date, _dtm.datetime, _dtm.timedelta)):
         return ("dt", str(x))
+    from ..compute.scalar import Scalar as _Scalar
+    if isinstance(x, _Scalar):
+        return ("scalar", x.type, x.is_valid, plan_sig(x.value))
     if hasattr(x, "__dict__"):
         return (type(x).__module__, type(x).__qualname__,
                 plan_sig(vars(x)))
+    if hasattr(type(x), "__slots__"):
+        # __slots__ classes (Scalar-likes, states): structural over slots
+        return (type(x).__module__, type(x).__qualname__,
+                plan_sig({s: getattr(x, s, None)
+                          for s in type(x).__slots__}))
     try:
         hash(x)
         return x

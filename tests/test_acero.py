@@ -217,3 +217,39 @@ def test_table_group_by_pyarrow_call_shape():
     r = ref.sort_by("g")
     assert o.select(sorted(o.column_names)).equals(
         r.select(sorted(r.column_names)))
+
+
+def test_stage_cache_stable_across_plan_rebuilds():
+    """Rebuilding structurally identical Declarations must HIT the
+    plan-stage compile cache (a miss retraces+recompiles every stage —
+    the q3 8s-vs-0.5s regression) and reproduce identical results."""
+    import datetime as dtm
+    from arrow_tpu.acero.nodes import _STAGE_CACHE
+    from arrow_tpu.acero import (FilterNodeOptions, HashJoinNodeOptions,
+                                 ProjectNodeOptions)
+
+    t = pa.table({"k": [1, 2, 3, 4], "d": [dtm.date(1995, 1, 1 + i)
+                                           for i in range(4)],
+                  "v": [1.0, 2.0, 3.0, 4.0]})
+    r = pa.table({"k": [2, 3], "w": ["x", "y"]})
+
+    def make():
+        return Declaration("hashjoin", HashJoinNodeOptions(
+            "inner", ["k"], ["k"], left_output=["k", "v2"],
+            right_output=["w"]),
+            inputs=[Declaration.from_sequence([
+                Declaration("table_source",
+                            TableSourceNodeOptions(at.table(t))),
+                Declaration("filter", FilterNodeOptions(
+                    field("d") < literal(dtm.date(1995, 1, 4)))),
+                Declaration("project", ProjectNodeOptions(
+                    [field("k"), field("v") * 2.0], ["k", "v2"]))]),
+                Declaration("table_source",
+                            TableSourceNodeOptions(at.table(r)))])
+
+    out1 = make().to_table().to_pyarrow()
+    n_entries = len(_STAGE_CACHE)
+    out2 = make().to_table().to_pyarrow()
+    assert len(_STAGE_CACHE) == n_entries, (
+        "stage cache missed on identical plan rebuild")
+    assert out1.equals(out2)

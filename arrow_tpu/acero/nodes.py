@@ -364,6 +364,24 @@ def fused_consumer(input_node, key, make_consumer):
                               lambda: make_consumer(t))
 
 
+def materialized_stream(input_node) -> Iterator[Batch]:
+    """Upstream map chain as ONE jitted dispatch per batch, then
+    length-bucket compaction. Pipeline breakers (join build/probe,
+    aggregate, order_by) consume THIS rather than fusing the chain into
+    their own program: a breaker's cost scales with input CAPACITY (its
+    sorts run over padding too), so after a selective filter the
+    compacted batch is far cheaper than a fused full-capacity pass —
+    e.g. q3's lineitem probe at a 2M bucket instead of the raw 4M."""
+    base, t, tsig = input_node.fused_stream()
+    if t is None:
+        for b in base:
+            yield maybe_compact(b)
+        return
+    tj = cached_stage(("mat",) + tuple(tsig), lambda: jax.jit(t))
+    for b in base:
+        yield maybe_compact(tj(b))
+
+
 @register_node_factory("aggregate")
 class AggregateNode(ExecNode):
     """``groupby_aggregate_node.cc`` (keyed) / ``scalar_aggregate_node.cc``
@@ -408,13 +426,9 @@ class AggregateNode(ExecNode):
     def batches(self) -> Iterator[Batch]:
         if self.ha is not None:
             ha = self.ha
-            base, consume = fused_consumer(
-                self.inputs[0], self._key,
-                lambda t: self._consume if t is None else
-                jax.jit(lambda s, b: ha.consume(s, t(b))))
             state = ha.init_state()
-            for b in base:
-                state = consume(state, b)
+            for b in materialized_stream(self.inputs[0]):
+                state = self._consume(state, b)
             err = int(np.asarray(jax.device_get(state[0].error)))
             if err:
                 raise RuntimeError(
@@ -489,23 +503,12 @@ class OrderByNode(ExecNode):
         return self.inputs[0].output_schema()
 
     def batches(self) -> Iterator[Batch]:
-        run_pure = self._pure_run
-        base, run_fn = fused_consumer(
-            self.inputs[0], self._key,
-            lambda t: self._run if t is None else
-            jax.jit(lambda big: run_pure(t(big))))
-        accumulated = [b for b in base]
+        accumulated = [b for b in materialized_stream(self.inputs[0])]
         if not accumulated:
             return
-        if len(accumulated) == 1:
-            yield run_fn(accumulated[0]).with_index(0)
-            return
-        _, t, tsig = self.inputs[0].fused_stream()
-        if t is not None:
-            tj = cached_stage(self._key + ("t",) + tuple(tsig),
-                              lambda: jax.jit(t))
-            accumulated = [tj(b) for b in accumulated]
-        yield self._run(concat_batches(accumulated)).with_index(0)
+        big = accumulated[0] if len(accumulated) == 1 \
+            else concat_batches(accumulated)
+        yield self._run(big).with_index(0)
 
 
 @register_node_factory("fetch")
@@ -567,34 +570,16 @@ class HashJoinNode(ExecNode):
         return self.join.out_schema
 
     def batches(self) -> Iterator[Batch]:
-        join = self.join
-        build_base, build_fn = fused_consumer(
-            self.inputs[1], self._key + ("build",),
-            lambda t: self._build if t is None else
-            jax.jit(lambda big: join.build(t(big))))
-        build_batches = [b for b in build_base]
-        if len(build_batches) == 1:
-            bs = build_fn(build_batches[0])
+        build_batches = [b for b in materialized_stream(self.inputs[1])]
+        if not build_batches:
+            bs = self._build(empty_batch(self.inputs[1].output_schema()))
+        elif len(build_batches) == 1:
+            bs = self._build(build_batches[0])
         else:
-            # multi-batch build: transform per batch, then build the concat
-            if not build_batches:
-                bs = self._build(empty_batch(
-                    self.inputs[1].output_schema()))
-            else:
-                _, t, tsig = self.inputs[1].fused_stream()
-                if t is not None:
-                    tj = cached_stage(
-                        self._key + ("build-t",) + tuple(tsig),
-                        lambda: jax.jit(t))
-                    build_batches = [tj(b) for b in build_batches]
-                bs = self._build(concat_batches(build_batches))
-        probe_base, probe_fn = fused_consumer(
-            self.inputs[0], self._key + ("probe",),
-            lambda t: self._probe if t is None else
-            jax.jit(lambda s, b: join.probe(s, t(b))))
+            bs = self._build(concat_batches(build_batches))
         i = 0
-        for b in probe_base:
-            out, bs = probe_fn(bs, b)
+        for b in materialized_stream(self.inputs[0]):
+            out, bs = self._probe(bs, b)
             if out is not None:
                 yield maybe_compact(out.with_index(i))
                 i += 1

@@ -106,9 +106,17 @@ def seg_sum(ctx: SegmentContext, x_sorted: jax.Array) -> jax.Array:
 
 
 def running_scan(v: jax.Array, combine, fill) -> jax.Array:
-    """Unsegmented inclusive scan (cummax/cummin/etc.) via the same
-    hand-rolled doubling as segmented_scan — ``lax.associative_scan``'s
-    lowering is a compile-time hazard at engine sizes."""
+    """Unsegmented inclusive scan. cummax/cummin/cumsum hit the dedicated
+    XLA cumulative primitives (fast TPU lowering, unlike generic
+    ``associative_scan`` whose slice/concat form is a compile-time hazard
+    at engine sizes — and unlike the hand-rolled doubling this replaces,
+    which paid log2(n) full passes over the array at runtime)."""
+    if combine is jnp.maximum:
+        return jax.lax.cummax(v)
+    if combine is jnp.minimum:
+        return jax.lax.cummin(v)
+    if combine is jnp.add:
+        return jnp.cumsum(v)
     cap = v.shape[0]
     d = 1
     while d < cap:

@@ -145,7 +145,7 @@ def merge_find(table_lanes: jax.Array, table_gid: jax.Array,
     a segmented last-table scan carries each run's gid to its probe rows.
     Per-round table-gather loops measured ~7x slower on v5e.
     """
-    from .segment import segmented_scan
+    from .segment import segmented_carry_last
     S, L = table_lanes.shape
     capP = probe_lanes.shape[0]
     sidx = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0).reshape((S,))
@@ -169,8 +169,7 @@ def merge_find(table_lanes: jax.Array, table_gid: jax.Array,
         diff = diff | (c[1:] != c[:-1])
     head = s_act & jnp.concatenate(
         [jnp.ones((1,), jnp.bool_), diff | ~s_act[:-1]])
-    carried = segmented_scan(
-        s_gpay, head, lambda a, b: jnp.where(b >= 0, b, a))
+    carried = segmented_carry_last(s_gpay, head)
     val = jnp.where(s_act, carried, jnp.int32(-1))
     return jnp.full((capP,), -1, jnp.int32).at[
         jnp.where(s_outp >= 0, s_outp, capP)].set(
@@ -189,7 +188,7 @@ def merge_insert(table_lanes: jax.Array, table_gid: jax.Array,
 
     Returns (new_table_lanes, new_table_gid, rep_gids (R,), new_count).
     """
-    from .segment import segmented_scan
+    from .segment import segmented_carry_last
     S, L = table_lanes.shape
     R = rep_lanes.shape[0]
     N = S + R
@@ -212,8 +211,8 @@ def merge_insert(table_lanes: jax.Array, table_gid: jax.Array,
         diff = diff | (c[1:] != c[:-1])
     head = s_act & jnp.concatenate(
         [jnp.ones((1,), jnp.bool_), diff | ~s_act[:-1]])
-    carried = segmented_scan(
-        s_gpay, head, lambda a, b: jnp.where(b >= 0, b, a))
+    from .segment import segmented_carry_last as _scl
+    carried = _scl(s_gpay, head)
     # each rep's existing gid (or -1 new), scattered back to rep order
     found = jnp.full((R,), -1, jnp.int32).at[
         jnp.where(s_ipay >= 0, s_ipay, R)].set(

@@ -184,7 +184,7 @@ class HashJoin:
         rows. Replaces the per-round table-gather loop (7x slower on
         v5e)."""
         from .grouper import group_key_lanes
-        from .segment import segmented_scan
+        from .segment import segmented_carry_last
         capP = left.capacity
         lanes_p = group_key_lanes(keys, self.grouper.key_nullable)
         act_p = row_mask(capP, left.length) & ok
@@ -212,8 +212,7 @@ class HashJoin:
             diff = diff | (c[1:] != c[:-1])
         head = s_act & jnp.concatenate(
             [jnp.ones((1,), jnp.bool_), diff | ~s_act[:-1]])
-        carried = segmented_scan(
-            s_gpay, head, lambda a, b: jnp.where(b >= 0, b, a))
+        carried = segmented_carry_last(s_gpay, head)
         val = jnp.where(s_act, carried, jnp.int32(-1))
         gids = jnp.full((capP,), -1, jnp.int32).at[
             jnp.where(s_outp >= 0, s_outp, capP)].set(

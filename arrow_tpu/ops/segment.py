@@ -28,6 +28,7 @@ import jax.numpy as jnp
 from .distinct import SortGroup
 
 __all__ = ["SegmentContext", "make_segment_context", "segmented_scan",
+           "segmented_carry_last",
            "seg_sum", "seg_prod", "seg_reduce_min", "seg_reduce_max",
            "seg_any", "seg_all", "seg_first_pos", "seg_last_pos"]
 
@@ -146,6 +147,27 @@ def segmented_scan(v: jax.Array, head: jax.Array, combine) -> jax.Array:
         f = f | fs  # fs is True for i < d (array start = implicit head)
         d *= 2
     return v
+
+
+def segmented_carry_last(values_i32: jax.Array,
+                         head: jax.Array) -> jax.Array:
+    """Within each head-delimited run, carry the value of the LATEST
+    position whose value >= 0 (-1 where the run has none yet).
+
+    One cumsum + one packed ``lax.cummax`` + one gather replaces the
+    doubling segmented scan (log2(n) full passes): pack (segment id,
+    source position) into int64 — higher segments always dominate, so a
+    plain cummax never leaks a carry across a head."""
+    cap = values_i32.shape[0]
+    g = jnp.cumsum(head.astype(jnp.int32)) - 1
+    pos = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0).reshape((cap,))
+    tag = jnp.where(values_i32 >= 0, pos + 1, 0)     # 0 == "no source"
+    packed = (g.astype(jnp.int64) << 32) | tag.astype(jnp.int64)
+    cm = jax.lax.cummax(packed)
+    src = (cm & jnp.int64(0xFFFFFFFF)).astype(jnp.int32) - 1
+    return jnp.where(src >= 0,
+                     values_i32[jnp.clip(src, 0, cap - 1)],
+                     jnp.int32(-1))
 
 
 def _seg_scan_last(ctx: SegmentContext, x_sorted: jax.Array, combine):

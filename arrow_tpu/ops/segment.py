@@ -24,6 +24,7 @@ from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .distinct import SortGroup
 
@@ -182,22 +183,94 @@ def seg_prod(ctx, x_sorted):
     return _seg_scan_last(ctx, x_sorted, jnp.multiply)
 
 
+# ---- packed-cummax segmented extremes ----------------------------------------
+#
+# For <=32-bit orderable dtypes, a segmented min/max is ONE lax.cummax over
+# (segment_id << 32 | order-preserving code): higher segments always
+# dominate, so the scan can't leak across run boundaries — replacing the
+# log2(n)-pass doubling scan. NaNs are forced to the winning code in both
+# directions (jnp.minimum/maximum propagate NaN; so do we).
+
+_U32MAX = np.uint32(0xFFFFFFFF)
+
+
+def _asc_enc32(x: jax.Array):
+    """(order-preserving uint32 codes, kind) or (None, None)."""
+    d = x.dtype
+    if d == jnp.bool_:
+        return x.astype(jnp.uint32), "u32"
+    if d in (jnp.dtype(jnp.int8), jnp.dtype(jnp.int16),
+             jnp.dtype(jnp.int32)):
+        return (x.astype(jnp.int32).view(jnp.uint32)
+                ^ jnp.uint32(0x80000000)), "i32"
+    if d in (jnp.dtype(jnp.uint8), jnp.dtype(jnp.uint16),
+             jnp.dtype(jnp.uint32)):
+        return x.astype(jnp.uint32), "u32"
+    if d == jnp.dtype(jnp.float32):
+        bits = jax.lax.bitcast_convert_type(x, jnp.uint32)
+        sign = (bits >> jnp.uint32(31)) != 0
+        enc = jnp.where(sign, ~bits, bits | jnp.uint32(0x80000000))
+        enc = jnp.where(jnp.isnan(x), _U32MAX, enc)
+        return enc, "f32"
+    return None, None
+
+
+def _asc_dec32(code: jax.Array, kind: str, out_dtype) -> jax.Array:
+    if kind == "u32":
+        return code.astype(out_dtype)
+    if kind == "i32":
+        return (code ^ jnp.uint32(0x80000000)).view(jnp.int32).astype(
+            out_dtype)
+    # f32: invert the sign-split encoding; 0xFFFFFFFF == forced NaN
+    neg = (code >> jnp.uint32(31)) == 0
+    bits = jnp.where(neg, ~code, code ^ jnp.uint32(0x80000000))
+    v = jax.lax.bitcast_convert_type(bits, jnp.float32)
+    return jnp.where(code == _U32MAX, jnp.float32(jnp.nan), v).astype(
+        out_dtype)
+
+
+def _seg_extreme_packed(ctx: SegmentContext, enc: jax.Array,
+                        is_max: bool) -> jax.Array:
+    """(seg,) winning u32 code per run (max of enc / min via ~enc)."""
+    work = enc if is_max else ~enc
+    packed = (ctx.seg.astype(jnp.int64) << 32) | work.astype(jnp.int64)
+    cm = jax.lax.cummax(packed)
+    last = jnp.clip(ctx.ends - 1, 0, enc.shape[0] - 1)
+    code = (cm[last] & jnp.int64(0xFFFFFFFF)).astype(jnp.uint32)
+    return code if is_max else ~code
+
+
 def seg_reduce_min(ctx, x_sorted):
-    return _seg_scan_last(ctx, x_sorted, jnp.minimum)
+    enc, kind = _asc_enc32(x_sorted)
+    if enc is None:
+        return _seg_scan_last(ctx, x_sorted, jnp.minimum)
+    if kind == "f32":
+        # NaN must WIN a min too (jnp.minimum propagates): smallest code
+        enc = jnp.where(jnp.isnan(x_sorted), jnp.uint32(0), enc)
+        code = _seg_extreme_packed(ctx, enc, False)
+        return jnp.where(code == jnp.uint32(0), jnp.float32(jnp.nan),
+                         _asc_dec32(code, kind, x_sorted.dtype)).astype(
+            x_sorted.dtype)
+    return _asc_dec32(_seg_extreme_packed(ctx, enc, False), kind,
+                      x_sorted.dtype)
 
 
 def seg_reduce_max(ctx, x_sorted):
-    return _seg_scan_last(ctx, x_sorted, jnp.maximum)
+    enc, kind = _asc_enc32(x_sorted)
+    if enc is None:
+        return _seg_scan_last(ctx, x_sorted, jnp.maximum)
+    return _asc_dec32(_seg_extreme_packed(ctx, enc, True), kind,
+                      x_sorted.dtype)
 
 
 def seg_any(ctx, flags_sorted):
-    return _seg_scan_last(ctx, flags_sorted.astype(jnp.bool_),
-                          jnp.logical_or)
+    f = flags_sorted.astype(jnp.bool_)
+    return seg_reduce_max(ctx, f.astype(jnp.uint32)) != 0
 
 
 def seg_all(ctx, flags_sorted):
-    return _seg_scan_last(ctx, flags_sorted.astype(jnp.bool_),
-                          jnp.logical_and)
+    f = flags_sorted.astype(jnp.bool_)
+    return seg_reduce_min(ctx, f.astype(jnp.uint32)) != 0
 
 
 def seg_first_pos(ctx: SegmentContext, valid_sorted: jax.Array
@@ -207,7 +280,7 @@ def seg_first_pos(ctx: SegmentContext, valid_sorted: jax.Array
     cap = valid_sorted.shape[0]
     sidx = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0).reshape((cap,))
     pos = jnp.where(valid_sorted, sidx, cap)
-    return _seg_scan_last(ctx, pos, jnp.minimum)
+    return seg_reduce_min(ctx, pos)
 
 
 def seg_last_pos(ctx: SegmentContext, valid_sorted: jax.Array
@@ -215,4 +288,4 @@ def seg_last_pos(ctx: SegmentContext, valid_sorted: jax.Array
     cap = valid_sorted.shape[0]
     sidx = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0).reshape((cap,))
     pos = jnp.where(valid_sorted, sidx, -1)
-    return _seg_scan_last(ctx, pos, jnp.maximum)
+    return seg_reduce_max(ctx, pos)

@@ -213,11 +213,7 @@ class DistContext:
         ``swiss_join_internal.h:524``, with ICI as the partitioner — and
         no merge phase: results stay partitioned)."""
         from ..ops.join import HashJoin
-        if options.join_type not in ("inner", "left outer", "left semi",
-                                     "left anti"):
-            raise NotImplementedError(
-                "distributed join emits on probe; right/full-outer finish "
-                "scans are future work")
+        from ..ops.concat import concat_batches as _concat
         left = self.shard_batch(left) if not self._is_sharded(left) \
             else left
         right = self.shard_batch(right) if not self._is_sharded(right) \
@@ -245,6 +241,14 @@ class DistContext:
                                       bucket_capacity=bucket_factor * rcap)
             bs = hj.build(rsh)
             out, bs = hj.probe(bs, lsh, fanout_capacity=fanout)
+            # right/full-outer + right semi/anti finish scans are LOCAL:
+            # hash co-partitioning puts every build row on exactly one
+            # shard, so each shard's unmatched-build emission is complete
+            tail = hj.finish(bs)
+            if out is None:
+                out = tail
+            elif tail is not None:
+                out = _concat([out, tail])
             err = lerr | rerr | bs.error
             leaves = _batch_leaves(out)
             leaves = [l if l is not None else

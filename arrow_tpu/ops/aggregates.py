@@ -970,3 +970,43 @@ def _register_scalar_aggs():
 
 
 _register_scalar_aggs()
+
+
+@register_function("count_all", Kind.SCALAR_AGGREGATE, 1,
+                   null_handling=NullHandling.COMPUTED)
+def _count_all(args, options):
+    """Row count including nulls (aggregate_basic.cc CountAll)."""
+    (a,) = args
+    import jax as _jax
+    import numpy as _np
+    n = int(_np.asarray(_jax.device_get(a.length))) \
+        if not isinstance(a.length, (int, _np.integer)) else int(a.length)
+    return Scalar(n, dt.int64)
+
+
+def _register_hash_aggs():
+    """Register hash_* names for registry parity (initialize.cc registers
+    the grouped kernels as functions too). Direct CallFunction on them
+    errors like the reference — they only execute through grouped
+    contexts (the aggregate node / Table.group_by)."""
+    from .agg_options import PivotWiderOptions
+
+    for key in list(GROUPED_AGGREGATORS) + ["count_all", "min_max",
+                                            "first_last", "distinct",
+                                            "any", "all"]:
+        name = f"hash_{key}"
+        if name in ("hash_count_all",):
+            pass
+
+        def _exec(args, options, _n=name):
+            raise ValueError(
+                f"Direct calls to \"{_n}\" are not valid: hash "
+                f"aggregates execute through group_by/aggregate nodes")
+        try:
+            register_function(name, Kind.HASH_AGGREGATE, -1,
+                              null_handling=NullHandling.COMPUTED)(_exec)
+        except KeyError:
+            pass
+
+
+_register_hash_aggs()

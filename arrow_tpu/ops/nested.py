@@ -244,3 +244,68 @@ class GroupedList(GroupedAggregator):
 
 
 GROUPED_AGGREGATORS["list"] = GroupedList
+
+
+class ListSliceOptions:
+    def __init__(self, start: int = 0, stop=None, step: int = 1,
+                 return_fixed_size_list=None):
+        self.start = start
+        self.stop = stop
+        self.step = step
+
+
+@register_function("list_element", Kind.SCALAR, 2,
+                   null_handling=NullHandling.COMPUTED)
+def _list_element(args, options):
+    """scalar_nested.cc list_element: per-row child element at index i
+    (null when out of range or list null)."""
+    a = _list_arg(args[0])
+    idx_arg = args[1]
+    child = a.dictionary
+    ccap = max(child.capacity, 1)
+    lens = (a.offsets[1:] - a.offsets[:-1]).astype(jnp.int32)
+    if isinstance(idx_arg, Array):
+        i = idx_arg.values.astype(jnp.int32)
+    else:
+        i = jnp.full((a.capacity,), int(idx_arg.as_py()), jnp.int32)
+    neg = i < 0
+    eff = jnp.where(neg, lens + i, i)
+    ok = a.present_mask() & (eff >= 0) & (eff < lens)
+    src = jnp.clip(a.offsets[:-1] + eff, 0, ccap - 1)
+    out = take_array(child, Array(dt.int32, jnp.where(ok, src, 0), None,
+                                  length=a.length))
+    v = out.validity_or_true() & ok
+    return out.with_validity(v)
+
+
+@register_function("list_slice", Kind.SCALAR, 1,
+                   null_handling=NullHandling.COMPUTED,
+                   options_class=ListSliceOptions)
+def _list_slice(args, options):
+    """scalar_nested.cc list_slice (step 1): per-row [start, stop) child
+    window as a new list column."""
+    a = _list_arg(args[0])
+    if options is None or options.step != 1:
+        raise NotImplementedError("list_slice requires step=1 options")
+    child = a.dictionary
+    ccap = max(child.capacity, 1)
+    cap = a.capacity
+    lens = (a.offsets[1:] - a.offsets[:-1]).astype(jnp.int32)
+    start = jnp.clip(jnp.int32(options.start), 0, lens)
+    stop = lens if options.stop is None else jnp.clip(
+        jnp.int32(options.stop), 0, lens)
+    new_lens = jnp.maximum(stop - start, 0)
+    ok = a.present_mask()
+    new_lens = jnp.where(ok, new_lens, 0)
+    new_off = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                               jnp.cumsum(new_lens).astype(jnp.int32)])
+    from .selection import rows_of_positions
+    cidx = jax.lax.broadcasted_iota(jnp.int32, (ccap, 1), 0).reshape(
+        (ccap,))
+    r = jnp.clip(rows_of_positions(new_off, ccap), 0, cap - 1)
+    src = jnp.clip(a.offsets[r] + start[r] + (cidx - new_off[r]), 0,
+                   ccap - 1)
+    total = new_off[-1]
+    new_child = take_array(child, Array(dt.int32, src, None, length=total))
+    return Array(a.type, jnp.zeros((0,), jnp.uint8), a.validity,
+                 offsets=new_off, dictionary=new_child, length=a.length)

@@ -197,3 +197,6 @@ def _round_to_multiple(args, options):
     out = (r.astype(jnp.float64) * m)
     out_t = a.type if a.type.is_floating else dt.float64
     return output_like(out.astype(out_t.storage_np), out_t, args)
+
+
+_binary_arith("hypot", jnp.hypot, force_float=True)

@@ -389,3 +389,58 @@ def _indices_nonzero(args, options):
     (mask,) = args
     opts = options or FilterOptions()
     return get_take_indices(mask, opts.null_selection_behavior)
+
+
+@register_function("array_filter", Kind.VECTOR, 2,
+                   null_handling=NullHandling.COMPUTED,
+                   options_class=FilterOptions)
+def _array_filter(args, options):
+    """Alias of filter restricted to array inputs (vector_selection.cc
+    registers both)."""
+    values, mask = args
+    return filter_array(values, mask, options)
+
+
+@register_function("array_take", Kind.VECTOR, 2,
+                   null_handling=NullHandling.COMPUTED,
+                   options_class=TakeOptions)
+def _array_take(args, options):
+    values, indices = args
+    return take_array(values, indices)
+
+
+@register_function("drop_null", Kind.VECTOR, 1,
+                   null_handling=NullHandling.COMPUTED)
+def _drop_null(args, options):
+    """Remove null rows (vector_selection.cc DropNull)."""
+    a = args[0]
+    if isinstance(a, Batch):
+        ok = jnp.ones((a.capacity,), jnp.bool_)
+        for i in range(a.num_columns):
+            c = a.column(i)
+            if c.validity is not None:
+                ok = ok & c.validity
+        return filter_batch(a, Array(dt.bool_, ok, None, length=a.length))
+    if a.validity is None:
+        return a
+    return filter_array(a, Array(dt.bool_, a.validity, None,
+                                 length=a.length))
+
+
+@register_function("inverse_permutation", Kind.VECTOR, 1,
+                   null_handling=NullHandling.COMPUTED)
+def _inverse_permutation(args, options):
+    """vector_swizzle.cc InversePermutation: out[perm[i]] = i; positions
+    not hit are null."""
+    a = args[0]
+    cap = a.capacity
+    idx = a.values.astype(jnp.int32)
+    ok = a.present_mask()
+    pos = jnp.where(ok, jnp.clip(idx, 0, cap - 1), cap)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0).reshape((cap,))
+    out = jnp.zeros((cap,), jnp.int32).at[pos].set(
+        iota, mode="drop", unique_indices=True)
+    hit = jnp.zeros((cap,), jnp.bool_).at[pos].set(
+        True, mode="drop", unique_indices=True)
+    out_t = a.type if a.type.is_integer else dt.int32
+    return Array(out_t, out.astype(out_t.storage_np), hit, length=a.length)

@@ -1,0 +1,110 @@
+"""Regex/split host-boundary kernels + new scalar/vector additions vs the
+pyarrow oracle (reference: scalar_string_*.cc regex + split kernels,
+scalar_nested.cc list_element/list_slice, vector_swizzle.cc)."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+import arrow_tpu as at
+from arrow_tpu.compute import call_function as cf
+from arrow_tpu.compute.scalar import Scalar
+from arrow_tpu.ops.nested import ListSliceOptions
+from arrow_tpu.ops.strings import (MatchSubstringOptions,
+                                   ReplaceSubstringOptions)
+from arrow_tpu.ops.strings_regex import (ExtractRegexOptions,
+                                         SplitPatternOptions)
+
+A = pa.array(["hello world", "a-b-c", None, "", "  pad  "])
+
+
+def test_match_count_find_regex():
+    aa = at.array(A)
+    for fn, kw in [("match_substring_regex", dict(pattern="^h.*d$")),
+                   ("count_substring_regex", dict(pattern="[lo]")),
+                   ("find_substring_regex", dict(pattern="o"))]:
+        got = cf(fn, [aa], options=MatchSubstringOptions(**kw)).to_pylist()
+        ref = getattr(pc, fn)(A, **kw).to_pylist()
+        assert got == ref, (fn, got, ref)
+
+
+def test_replace_regex():
+    aa = at.array(A)
+    got = cf("replace_substring_regex", [aa],
+             options=ReplaceSubstringOptions(
+                 pattern="[aeiou]", replacement="_")).to_pylist()
+    assert got == pc.replace_substring_regex(
+        A, pattern="[aeiou]", replacement="_").to_pylist()
+
+
+def test_split_pattern_and_regex():
+    aa = at.array(A)
+    for ms in (None, 1):
+        got = cf("split_pattern", [aa],
+                 options=SplitPatternOptions("-", ms)).to_pylist()
+        ref = pc.split_pattern(A, pattern="-", max_splits=ms).to_pylist()
+        assert got == ref
+    got = cf("split_pattern_regex", [aa],
+             options=SplitPatternOptions("[-l]")).to_pylist()
+    assert got == pc.split_pattern_regex(A, pattern="[-l]").to_pylist()
+
+
+def test_split_whitespace():
+    # avoid TRAILING whitespace: the reference finder reads one byte past
+    # the string end there (scalar_string_ascii.cc:2900-2904), so its
+    # output depends on pool contents; interior/leading runs agree
+    B = pa.array(["hello world", "a  b", None, "", " lead"])
+    got = cf("utf8_split_whitespace", [at.array(B)]).to_pylist()
+    assert got == pc.utf8_split_whitespace(B).to_pylist()
+
+
+def test_extract_regex_struct():
+    e = pa.array(["ab12", "xy", None])
+    pat = r"(?P<l>[a-z]+)(?P<d>\d+)"
+    got = cf("extract_regex", [at.array(e)],
+             options=ExtractRegexOptions(pat)).to_pylist()
+    assert got == pc.extract_regex(e, pattern=pat).to_pylist()
+
+
+def test_list_element_and_slice():
+    lt = pa.array([[1, 2, 3], [4, 5], [6, 7]])
+    la = at.array(lt)
+    got = cf("list_element", [la, Scalar(1, at.int64)]).to_pylist()
+    assert got == pc.list_element(lt, 1).to_pylist()
+    # short/null lists: pyarrow raises; we emit null (documented
+    # relaxation — no data-dependent errors on device)
+    lt2 = pa.array([[1, 2], [3], None])
+    got2 = cf("list_element", [at.array(lt2),
+                               Scalar(1, at.int64)]).to_pylist()
+    assert got2 == [2, None, None]
+    out = cf("list_slice", [la],
+             options=ListSliceOptions(start=1, stop=3)).to_pylist()
+    assert out == pc.list_slice(lt, start=1, stop=3).to_pylist()
+
+
+def test_selection_aliases_and_inverse_permutation():
+    a = pa.array([1, None, 3, None, 5])
+    m = pa.array([True, False, True, True, False])
+    assert cf("array_filter", [at.array(a), at.array(m)]).to_pylist() == \
+        pc.array_filter(a, m).to_pylist()
+    idx = pa.array([0, 2, 4], type=pa.int32())
+    assert cf("array_take", [at.array(a), at.array(idx)]).to_pylist() == \
+        pc.array_take(a, idx).to_pylist()
+    assert cf("drop_null", [at.array(a)]).to_pylist() == \
+        pc.drop_null(a).to_pylist()
+    perm = pa.array([2, 0, 1])
+    assert cf("inverse_permutation", [at.array(perm)]).to_pylist() == \
+        pc.inverse_permutation(perm).to_pylist()
+
+
+def test_hypot_count_all_and_hash_stub():
+    a = pa.array([3.0, 1.0])
+    b = pa.array([4.0, 1.0])
+    np.testing.assert_allclose(
+        cf("hypot", [at.array(a), at.array(b)]).to_pylist(),
+        pc.hypot(a, b).to_pylist())
+    assert cf("count_all",
+              [at.array(pa.array([1, None, 3]))]).as_py() == 3
+    with pytest.raises(ValueError, match="group_by"):
+        cf("hash_sum", [at.array(a)])

@@ -322,3 +322,34 @@ def _partition_nth(args, options):
     return sort_indices_array(x, "ascending",
                               options.null_placement if options else
                               "at_end")
+
+
+@register_function("rank_quantile", Kind.VECTOR, 1,
+                   null_handling=NullHandling.OUTPUT_NOT_NULL,
+                   options_class=RankOptions)
+def _rank_quantile(args, options):
+    """``vector_rank.cc`` RankQuantile: (r_min + r_max)/2 - 0.5 over n
+    (nulls rank at the end and count toward n)."""
+    (x,) = args
+    opts = options or RankOptions()
+
+    def with_tb(tb):
+        o = RankOptions(sort_keys=opts.sort_keys,
+                        null_placement=opts.null_placement, tiebreaker=tb)
+        return _rank([x], o).values.astype(jnp.float64)
+
+    rmin = with_tb("min")
+    rmax = with_tb("max")
+    n = jnp.maximum(jnp.asarray(x.length, jnp.float64), 1.0)
+    q = ((rmin + rmax) * 0.5 - 0.5) / n
+    return Array(dt.float64, q, None, length=x.length)
+
+
+@register_function("rank_normal", Kind.VECTOR, 1,
+                   null_handling=NullHandling.OUTPUT_NOT_NULL,
+                   options_class=RankOptions)
+def _rank_normal(args, options):
+    """RankQuantile mapped through the standard normal inverse CDF."""
+    from jax.scipy.special import ndtri
+    q = _rank_quantile(args, options)
+    return Array(dt.float64, ndtri(q.values), None, length=q.length)

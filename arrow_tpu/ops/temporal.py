@@ -352,3 +352,75 @@ def _strptime(args, options):
     return _Arr(t, jnp.asarray(buf),
                 jnp.asarray(validity) if has_null else None,
                 length=len(out))
+
+
+# ---- temporal difference kernels ("*_between", scalar_temporal_binary.cc) ---
+
+_BETWEEN_UNIT_NS = {
+    "hours": 3600 * 10**9, "minutes": 60 * 10**9, "seconds": 10**9,
+    "milliseconds": 10**6, "microseconds": 10**3, "nanoseconds": 1,
+}
+
+
+def _register_between():
+    def make(name):
+        def _exec(args, options, _n=name):
+            a, b = args
+            da, ta = _days_and_tod_ns(a)
+            db, tb = _days_and_tod_ns(b)
+            if _n == "days":
+                out = db - da
+            elif _n == "weeks":
+                # week-boundary crossings, Monday start (epoch day 4 was
+                # the first Monday)
+                out = jnp.floor_divide(db.astype(jnp.int64) - 4, 7) - \
+                    jnp.floor_divide(da.astype(jnp.int64) - 4, 7)
+            elif _n == "years":
+                out = _field(b, "year", None).values - \
+                    _field(a, "year", None).values
+            elif _n == "quarters":
+                ya = _field(a, "year", None).values
+                yb = _field(b, "year", None).values
+                qa = _field(a, "quarter", None).values
+                qb = _field(b, "quarter", None).values
+                out = (yb * 4 + qb) - (ya * 4 + qa)
+            else:
+                u = _BETWEEN_UNIT_NS[_n]
+                ta_t = da.astype(jnp.int64) * (86_400 * 10**9) + ta
+                tb_t = db.astype(jnp.int64) * (86_400 * 10**9) + tb
+                out = jnp.floor_divide(tb_t, u) - jnp.floor_divide(ta_t, u)
+            validity = None
+            for x in (a, b):
+                if x.validity is not None:
+                    validity = x.validity if validity is None else \
+                        (validity & x.validity)
+            return Array(dt.int64, out.astype(jnp.int64), validity,
+                         length=a.length)
+        return _exec
+
+    for n in ["years", "quarters", "weeks", "days", "hours", "minutes",
+              "seconds", "milliseconds", "microseconds", "nanoseconds"]:
+        register_function(f"{n}_between", Kind.SCALAR, 2,
+                          null_handling=NullHandling.COMPUTED)(make(n))
+
+
+_register_between()
+
+
+@register_function("iso_calendar", Kind.SCALAR, 1,
+                   null_handling=NullHandling.COMPUTED)
+def _iso_calendar(args, options):
+    """struct<iso_year, iso_week, iso_day_of_week> (temporal.cc
+    ISOCalendar)."""
+    (a,) = args
+    days, _ = _days_and_tod_ns(a)
+    y, w = _iso_year_week(days, sunday_start=False)
+    dow = jnp.mod(days + 3, 7) + 1       # ISO: 1=Mon..7=Sun
+    cap = a.capacity
+    t = dt.struct([("iso_year", dt.int64), ("iso_week", dt.int64),
+                   ("iso_day_of_week", dt.int64)])
+    children = [Array(dt.int64, v.astype(jnp.int64), a.validity,
+                      length=a.length)
+                for v in (y, w, dow)]
+    return Array(t, jnp.zeros((cap,), jnp.uint8), a.validity,
+                 length=a.length, children=children)

@@ -133,3 +133,14 @@ def test_sort_empty():
     a = at.array([], type=at.int64)
     got = atc.call_function("array_sort_indices", [a])
     assert got.to_pylist() == []
+
+
+def test_rank_quantile_and_normal():
+    from arrow_tpu.compute import call_function as cf
+    x = pa.array([3.0, 1.0, 2.0, None, 2.0])
+    np.testing.assert_allclose(
+        cf("rank_quantile", [at.array(x)]).to_pylist(),
+        pc.rank_quantile(x).to_pylist())
+    np.testing.assert_allclose(
+        cf("rank_normal", [at.array(x)]).to_pylist(),
+        pc.rank_normal(x).to_pylist(), rtol=1e-12)

@@ -99,3 +99,21 @@ def test_year_month_day(rng):
     assert got.column("year").to_pylist() == pc.year(a).to_pylist()
     assert got.column("month").to_pylist() == pc.month(a).to_pylist()
     assert got.column("day").to_pylist() == pc.day(a).to_pylist()
+
+
+def test_between_family_and_iso_calendar():
+    import datetime as dtm
+    from arrow_tpu.compute import call_function as cf
+    a = pa.array([dtm.datetime(2020, 1, 31, 23),
+                  dtm.datetime(2021, 3, 1, 5), None])
+    b = pa.array([dtm.datetime(2020, 3, 1, 1),
+                  dtm.datetime(2021, 3, 2, 4), dtm.datetime(2022, 1, 1)])
+    for fn in ["years_between", "quarters_between", "weeks_between",
+               "days_between", "hours_between", "minutes_between",
+               "seconds_between", "milliseconds_between",
+               "microseconds_between"]:
+        got = cf(fn, [at.array(a), at.array(b)]).to_pylist()
+        assert got == getattr(pc, fn)(a, b).to_pylist(), fn
+    d = pa.array([dtm.date(2020, 1, 31), dtm.date(2020, 3, 1), None])
+    assert cf("iso_calendar", [at.array(d)]).to_pylist() == \
+        pc.iso_calendar(d).to_pylist()

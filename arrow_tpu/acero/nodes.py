@@ -354,16 +354,6 @@ def _compose_stream(input_node, pure_fn, sig):
     return base, fn, tsig + (sig,)
 
 
-def fused_consumer(input_node, key, make_consumer):
-    """Helper for stateful consumers: returns (batches_iterable,
-    consume_fn) where consume_fn includes any upstream map-transform
-    inside one cached jit. ``make_consumer(transform_or_None)`` builds
-    the jitted callable."""
-    base, t, tsig = input_node.fused_stream()
-    return base, cached_stage(key + ("fused",) + tuple(tsig),
-                              lambda: make_consumer(t))
-
-
 def materialized_stream(input_node) -> Iterator[Batch]:
     """Upstream map chain as ONE jitted dispatch per batch, then
     length-bucket compaction. Pipeline breakers (join build/probe,

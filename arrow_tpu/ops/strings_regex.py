@@ -196,3 +196,47 @@ def _split_whitespace(args, options):
     def sp(s):
         return ws.split(s, maxsplit=ms if ms is not None else 0)
     return _split_impl(args[0], sp)
+
+
+class ReplaceSliceOptions:
+    def __init__(self, start: int = 0, stop: int = 0,
+                 replacement: str = ""):
+        self.start = start
+        self.stop = stop
+        self.replacement = replacement
+
+
+@register_function("binary_replace_slice", Kind.SCALAR, 1,
+                   null_handling=NullHandling.COMPUTED,
+                   options_class=ReplaceSliceOptions)
+@register_function("utf8_replace_slice", Kind.SCALAR, 1,
+                   null_handling=NullHandling.COMPUTED,
+                   options_class=ReplaceSliceOptions)
+def _replace_slice(args, options):
+    import pyarrow as pa
+    st, sp, rep = options.start, options.stop, options.replacement
+    return _host_elementwise(args[0], lambda s: s[:st] + rep + s[sp:],
+                             pa.string())
+
+
+@register_function("binary_join", Kind.SCALAR, 2,
+                   null_handling=NullHandling.COMPUTED)
+def _binary_join(args, options):
+    """list<string> + separator -> joined string; null if the list or any
+    element is null (``scalar_string_ascii.cc`` binary_join)."""
+    import pyarrow as pa
+    lists, sep = args
+    if not isinstance(sep, Array):
+        sv = sep.as_py()
+        seps = [sv] * (len(lists) if hasattr(lists, "__len__") else 0)
+    else:
+        seps = sep.to_pylist()
+    lv = lists.to_pylist()
+    out = []
+    for i, parts in enumerate(lv):
+        s = seps[i] if i < len(seps) else None
+        if parts is None or s is None or any(p is None for p in parts):
+            out.append(None)
+        else:
+            out.append(s.join(parts))
+    return _from_py(out, pa.string(), lists.capacity)

@@ -424,3 +424,97 @@ def _iso_calendar(args, options):
                 for v in (y, w, dow)]
     return Array(t, jnp.zeros((cap,), jnp.uint8), a.validity,
                  length=a.length, children=children)
+
+
+# ---- timezone kernels (HOST-BOUNDARY: the tz database lives on the host;
+# the reference links its own tzdb the same way, temporal.cc) ------------
+
+class AssumeTimezoneOptions:
+    def __init__(self, timezone: str = "UTC", ambiguous: str = "raise",
+                 nonexistent: str = "raise"):
+        self.timezone = timezone
+        self.ambiguous = ambiguous
+        self.nonexistent = nonexistent
+
+
+def _ts_scale(unit: str) -> int:
+    return {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}[unit]
+
+
+def _host_ts_map(a, fn, out_type):
+    """Map each timestamp value (as utc-naive datetime) through fn."""
+    import datetime as _dtm
+    import numpy as np_
+    t = a.type
+    scale = _ts_scale(t.unit)
+    vals = np_.asarray(jax.device_get(a.values))[:len(a)]
+    valid = np_.asarray(jax.device_get(a.validity))[:len(a)] \
+        if a.validity is not None else None
+    epoch = _dtm.datetime(1970, 1, 1)
+    buf = np_.zeros((a.capacity,), np_.int64)
+    for i, v in enumerate(vals):
+        if valid is not None and not valid[i]:
+            continue
+        us = int(v) * (10**6 // scale) if scale <= 10**6 \
+            else int(v) // (scale // 10**6)
+        buf[i] = fn(epoch + _dtm.timedelta(microseconds=us))
+    return buf
+
+
+@register_function("assume_timezone", Kind.SCALAR, 1,
+                   null_handling=NullHandling.COMPUTED,
+                   options_class=AssumeTimezoneOptions)
+def _assume_timezone(args, options):
+    """Naive wall time -> instant in options.timezone
+    (``temporal.cc`` AssumeTimezone)."""
+    from zoneinfo import ZoneInfo
+    (a,) = args
+    tz = ZoneInfo(options.timezone)
+    scale = _ts_scale(a.type.unit)
+    import datetime as _dtm
+    epoch = _dtm.datetime(1970, 1, 1, tzinfo=_dtm.timezone.utc)
+
+    def conv(naive):
+        aware = naive.replace(tzinfo=tz)
+        return round((aware - epoch).total_seconds() * scale)
+    buf = _host_ts_map(a, conv, None)
+    out_t = dt.timestamp(a.type.unit, options.timezone)
+    return Array(out_t, jnp.asarray(buf), a.validity, length=a.length)
+
+
+@register_function("local_timestamp", Kind.SCALAR, 1,
+                   null_handling=NullHandling.COMPUTED)
+def _local_timestamp(args, options):
+    """Instant -> naive local wall time in the column's timezone."""
+    from zoneinfo import ZoneInfo
+    import datetime as _dtm
+    (a,) = args
+    tz = ZoneInfo(a.type.tz or "UTC")
+    scale = _ts_scale(a.type.unit)
+    epoch = _dtm.datetime(1970, 1, 1)
+
+    def conv(utc_naive):
+        aware = utc_naive.replace(tzinfo=_dtm.timezone.utc).astimezone(tz)
+        return round((aware.replace(tzinfo=None) - epoch
+                      ).total_seconds() * scale)
+    buf = _host_ts_map(a, conv, None)
+    out_t = dt.timestamp(a.type.unit)
+    return Array(out_t, jnp.asarray(buf), a.validity, length=a.length)
+
+
+@register_function("is_dst", Kind.SCALAR, 1,
+                   null_handling=NullHandling.COMPUTED)
+def _is_dst(args, options):
+    """Daylight-savings flag of each instant in the column's timezone."""
+    from zoneinfo import ZoneInfo
+    import datetime as _dtm
+    import numpy as np_
+    (a,) = args
+    tz = ZoneInfo(a.type.tz or "UTC")
+
+    def conv(utc_naive):
+        aware = utc_naive.replace(tzinfo=_dtm.timezone.utc).astimezone(tz)
+        return 1 if aware.dst() else 0
+    buf = _host_ts_map(a, conv, None)
+    return Array(dt.bool_, jnp.asarray(buf != 0), a.validity,
+                 length=a.length)

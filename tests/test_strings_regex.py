@@ -108,3 +108,30 @@ def test_hypot_count_all_and_hash_stub():
               [at.array(pa.array([1, None, 3]))]).as_py() == 3
     with pytest.raises(ValueError, match="group_by"):
         cf("hash_sum", [at.array(a)])
+
+
+def test_timezone_kernels():
+    import datetime as dtm
+    from arrow_tpu.ops.temporal import AssumeTimezoneOptions
+    ts = pa.array([dtm.datetime(2020, 6, 1, 12),
+                   dtm.datetime(2020, 1, 1, 12), None])
+    ours = cf("assume_timezone", [at.array(ts)],
+              options=AssumeTimezoneOptions("America/New_York"))
+    ref = pc.assume_timezone(ts, timezone="America/New_York")
+    assert ours.to_pyarrow().equals(ref)
+    assert cf("is_dst", [ours]).to_pylist() == pc.is_dst(ref).to_pylist()
+    assert cf("local_timestamp", [ours]).to_pyarrow().equals(
+        pc.local_timestamp(ref))
+
+
+def test_binary_join_and_replace_slice():
+    from arrow_tpu.ops.strings_regex import ReplaceSliceOptions
+    a = pa.array(["hello", "x", None])
+    got = cf("binary_replace_slice", [at.array(a)],
+             options=ReplaceSliceOptions(1, 3, "XY")).to_pylist()
+    assert got == pc.binary_replace_slice(
+        a, start=1, stop=3, replacement="XY").to_pylist()
+    lj = pa.array([["a", "b"], ["c"], None, ["x", None]])
+    got = cf("binary_join", [at.array(lj),
+                             Scalar("-", at.string)]).to_pylist()
+    assert got == pc.binary_join(lj, "-").to_pylist()

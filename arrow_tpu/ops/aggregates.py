@@ -993,7 +993,8 @@ def _register_hash_aggs():
 
     for key in list(GROUPED_AGGREGATORS) + ["count_all", "min_max",
                                             "first_last", "distinct",
-                                            "any", "all"]:
+                                            "any", "all", "list",
+                                            "pivot_wider"]:
         name = f"hash_{key}"
         if name in ("hash_count_all",):
             pass

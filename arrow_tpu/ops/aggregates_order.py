@@ -372,3 +372,25 @@ register_function(
     "kurtosis", Kind.SCALAR_AGGREGATE, 1,
     null_handling=NullHandling.COMPUTED, options_class=SkewOptions)(
     lambda args, options: _skew_exec(args, options, kurtosis=True))
+
+
+class WinsorizeOptions:
+    def __init__(self, lower_limit: float = 0.0, upper_limit: float = 1.0):
+        self.lower_limit = lower_limit
+        self.upper_limit = upper_limit
+
+
+@register_function("winsorize", Kind.VECTOR, 1,
+                   null_handling=NullHandling.COMPUTED,
+                   options_class=WinsorizeOptions)
+def _winsorize(args, options):
+    """vector_statistics.cc Winsorize: clamp to the nearest data values
+    at the limit quantiles (interpolation 'higher' below, 'lower'
+    above)."""
+    (a,) = args
+    opts = options or WinsorizeOptions()
+    lo = _quantile_values(a, [opts.lower_limit], "higher")[0]
+    hi = _quantile_values(a, [opts.upper_limit], "lower")[0]
+    v = a.values
+    out = jnp.clip(v, lo.astype(v.dtype), hi.astype(v.dtype))
+    return Array(a.type, out, a.validity, length=a.length)

@@ -200,3 +200,31 @@ def _round_to_multiple(args, options):
 
 
 _binary_arith("hypot", jnp.hypot, force_float=True)
+
+
+@register_function("round_binary", Kind.SCALAR, 2,
+                   options_class=RoundOptions)
+def _round_binary(args, options):
+    """Per-element ndigits round (``scalar_round_arithmetic.cc``
+    round_binary): scale = 10^ndigits[i] per row."""
+    a, nd = args
+    opts = options or RoundOptions()
+    mode = opts.round_mode
+    if not a.type.is_floating:
+        return output_like(values_of(a), a.type, args)
+    v = values_of(a)
+    from ..core.array import Array as _Arr
+    ndv = values_of(nd) if isinstance(nd, _Arr) else nd.as_py()
+    scale = jnp.power(10.0, jnp.asarray(ndv, v.dtype))
+    x = v * scale
+    if mode == "half_to_even":
+        r = jnp.round(x)
+    elif mode == "down":
+        r = jnp.floor(x)
+    elif mode == "up":
+        r = jnp.ceil(x)
+    elif mode == "towards_zero":
+        r = jnp.trunc(x)
+    else:
+        r = jnp.round(x)
+    return output_like(r / scale, a.type, args)

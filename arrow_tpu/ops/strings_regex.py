@@ -240,3 +240,59 @@ def _binary_join(args, options):
         else:
             out.append(s.join(parts))
     return _from_py(out, pa.string(), lists.capacity)
+
+
+class ZeroFillOptions:
+    def __init__(self, width: int = 0, padding: str = "0"):
+        self.width = width
+        self.padding = padding
+
+
+class Utf8NormalizeOptions:
+    def __init__(self, form: str = "NFC"):
+        self.form = form
+
+
+@register_function("utf8_reverse", Kind.SCALAR, 1,
+                   null_handling=NullHandling.COMPUTED)
+def _utf8_reverse(args, options):
+    import pyarrow as pa
+    return _host_elementwise(args[0], lambda s: s[::-1], pa.string())
+
+
+@register_function("utf8_swapcase", Kind.SCALAR, 1,
+                   null_handling=NullHandling.COMPUTED)
+def _utf8_swapcase(args, options):
+    import pyarrow as pa
+    return _host_elementwise(args[0], str.swapcase, pa.string())
+
+
+@register_function("utf8_zero_fill", Kind.SCALAR, 1,
+                   null_handling=NullHandling.COMPUTED,
+                   options_class=ZeroFillOptions)
+def _utf8_zero_fill(args, options):
+    import pyarrow as pa
+    w = options.width
+    p = options.padding
+    if p == "0":
+        return _host_elementwise(args[0], lambda s: s.zfill(w),
+                                 pa.string())
+
+    def zf(s):
+        if len(s) >= w:
+            return s
+        sign = s[0] if s[:1] in "+-" else ""
+        body = s[len(sign):]
+        return sign + p * (w - len(s)) + body
+    return _host_elementwise(args[0], zf, pa.string())
+
+
+@register_function("utf8_normalize", Kind.SCALAR, 1,
+                   null_handling=NullHandling.COMPUTED,
+                   options_class=Utf8NormalizeOptions)
+def _utf8_normalize(args, options):
+    import pyarrow as pa
+    import unicodedata
+    form = options.form
+    return _host_elementwise(
+        args[0], lambda s: unicodedata.normalize(form, s), pa.string())

@@ -201,3 +201,35 @@ def _indices_nonzero(args, options):
     idx = get_take_indices(mask)
     return Array(dt.uint64, idx.values.astype(jnp.uint64), None,
                  length=idx.length)
+
+
+class ScatterOptions:
+    def __init__(self, max_index: int = -1):
+        self.max_index = max_index
+
+
+@register_function("scatter", Kind.VECTOR, 2,
+                   null_handling=NullHandling.COMPUTED,
+                   options_class=ScatterOptions)
+def _scatter(args, options):
+    """vector_swizzle.cc Scatter: out[indices[i]] = values[i]; positions
+    not hit are null. Implemented as take through the inverse
+    permutation (one unique scatter of int32 + one gather)."""
+    from .selection import take_array
+    from ..compute.registry import call_function
+    values, indices = args
+    inv = call_function("inverse_permutation", [indices])
+    mi = options.max_index if options else -1
+    if mi is not None and mi >= 0:
+        if inv.capacity < mi + 1:
+            from ..core.interop import pad_capacity
+            cap = pad_capacity(mi + 1)
+            iv = jnp.zeros((cap,), jnp.int32).at[:inv.capacity].set(
+                inv.values.astype(jnp.int32))
+            vv = jnp.zeros((cap,), jnp.bool_).at[:inv.capacity].set(
+                inv.validity_or_true())
+            inv = Array(dt.int32, iv, vv, length=mi + 1)
+        else:
+            # positions beyond the hit range are already null-marked
+            inv = inv.with_length(mi + 1)
+    return take_array(values, inv)

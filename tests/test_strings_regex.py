@@ -135,3 +135,42 @@ def test_binary_join_and_replace_slice():
     got = cf("binary_join", [at.array(lj),
                              Scalar("-", at.string)]).to_pylist()
     assert got == pc.binary_join(lj, "-").to_pylist()
+
+
+def test_scatter_round_binary_winsorize_utf8_extras():
+    from arrow_tpu.ops.vector_misc import ScatterOptions
+    from arrow_tpu.ops.strings_regex import (Utf8NormalizeOptions,
+                                             ZeroFillOptions)
+    from arrow_tpu.ops.aggregates_order import WinsorizeOptions
+    a = pa.array([10, 20, 30])
+    idx = pa.array([2, 0, 1])
+    assert cf("scatter", [at.array(a), at.array(idx)]).to_pylist() == \
+        pc.scatter(a, idx).to_pylist()
+    assert cf("scatter", [at.array(a), at.array(idx)],
+              options=ScatterOptions(5)).to_pylist() == \
+        pc.scatter(a, idx, max_index=5).to_pylist()
+    s = pa.array(["x", "yy", "zzz"])
+    assert cf("scatter", [at.array(s), at.array(idx)]).to_pylist() == \
+        pc.scatter(s, idx).to_pylist()
+    np.testing.assert_allclose(
+        cf("round_binary", [at.array(pa.array([1.234, 5.678])),
+                            at.array(pa.array([1, 2]))]).to_pylist(),
+        pc.round_binary(pa.array([1.234, 5.678]),
+                        pa.array([1, 2])).to_pylist())
+    w = pa.array([1., 2., 3., 4., 100.])
+    assert cf("winsorize", [at.array(w)],
+              options=WinsorizeOptions(0.2, 0.8)).to_pylist() == \
+        pc.winsorize(w, lower_limit=0.2, upper_limit=0.8).to_pylist()
+    u = pa.array(["abç", "aBc", None])
+    assert cf("utf8_reverse", [at.array(u)]).to_pylist() == \
+        pc.utf8_reverse(u).to_pylist()
+    assert cf("utf8_swapcase", [at.array(u)]).to_pylist() == \
+        pc.utf8_swapcase(u).to_pylist()
+    z = pa.array(["-42", "7"])
+    assert cf("utf8_zero_fill", [at.array(z)],
+              options=ZeroFillOptions(5)).to_pylist() == \
+        pc.utf8_zero_fill(z, width=5).to_pylist()
+    n = pa.array(["é"])
+    assert cf("utf8_normalize", [at.array(n)],
+              options=Utf8NormalizeOptions("NFD")).to_pylist() == \
+        pc.utf8_normalize(n, form="NFD").to_pylist()

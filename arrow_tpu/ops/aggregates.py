@@ -559,21 +559,20 @@ class GroupedFirst(GroupedAggregator):
         return best2, val2, base + jnp.int64(cap)
 
     def consume_grouped(self, state, values, ctx):
-        from .segment import seg_first_pos, seg_last_pos
+        from .segment import seg_first_row, seg_last_row
         best, val, base = state
         cap = values.capacity
-        v_sorted, ok = _sorted_inputs(values, ctx)
+        _, ok = _sorted_inputs(values, ctx)
         if self.is_first:
-            p = seg_first_pos(ctx, ok)          # sorted pos or cap
-            has = p < cap
+            rowid = seg_first_row(ctx, ok)      # original row id or cap
+            has = rowid < cap
         else:
-            p = seg_last_pos(ctx, ok)           # sorted pos or -1
-            has = p >= 0
-        pc = jnp.clip(p, 0, cap - 1)
-        rows = ctx.perm[pc].astype(jnp.int64)
+            rowid = seg_last_row(ctx, ok)       # original row id or -1
+            has = rowid >= 0
+        rc = jnp.clip(rowid, 0, cap - 1)
         sentinel = jnp.iinfo(jnp.int64).max if self.is_first else \
             jnp.int64(-1)
-        cand = jnp.where(has, base + rows, sentinel)
+        cand = jnp.where(has, base + rowid.astype(jnp.int64), sentinel)
         gp = jnp.where(has & (ctx.gid_global >= 0), ctx.gid_global, self.G)
         if self.is_first:
             best2 = best.at[gp].min(cand, mode="drop", unique_indices=True)
@@ -582,7 +581,8 @@ class GroupedFirst(GroupedAggregator):
         take = has & (ctx.gid_global >= 0) & (
             best2[jnp.clip(ctx.gid_global, 0, self.G - 1)] == cand)
         wsel = jnp.where(take, ctx.gid_global, self.G)
-        v = v_sorted[pc].astype(val.dtype)
+        # gather winners from the ORIGINAL column ((R,) rows — cheap)
+        v = values.values[rc].astype(val.dtype)
         val2 = val.at[wsel].set(v, mode="drop", unique_indices=True)
         return best2, val2, base + jnp.int64(cap)
 

@@ -85,7 +85,11 @@ def sort_group(lanes: jax.Array, active: jax.Array,
     iota = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0).reshape((cap,))
     ops = [inactive] + [lanes[:, j] for j in range(L)] + [iota] + \
         list(payloads)
-    out = jax.lax.sort(ops, num_keys=L + 1, is_stable=True)
+    # UNSTABLE sort: stability costs about one extra key lane of sort
+    # time on TPU; the only consumer of intra-run order was the
+    # first-appearance rank, recovered below with one packed cummax
+    # (ops/segment.segmented_carry_last's trick)
+    out = jax.lax.sort(ops, num_keys=L + 1, is_stable=False)
     s_inactive = out[0]
     s_lane_cols = out[1:1 + L]
     perm = out[1 + L]
@@ -102,10 +106,26 @@ def sort_group(lanes: jax.Array, active: jax.Array,
         jnp.int32) if cap > 0 else jnp.int32(0)
     spos = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0).reshape((cap,))
     ridx = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0).reshape((R,))
-    # first (min-row) occurrence of each run sits at its head position
-    rep = jnp.full((R,), _I32MAX, dtype=jnp.int32).at[
-        jnp.where(head, seg, R)].set(perm, mode="drop",
+    # first (min-row) occurrence of each run: prefix-min of perm within
+    # the run — pack (seg, cap - perm) and cummax; read at each run's
+    # LAST position (runs are contiguous, actives first)
+    segc = jnp.clip(seg, 0, R - 1)
+    minwork = jnp.where(s_active, cap - perm, 0)
+    packed = (segc.astype(jnp.int64) << 32) | minwork.astype(jnp.int64)
+    cm = jax.lax.cummax(packed)
+    rep_of_pos = (cap - (cm & jnp.int64(0xFFFFFFFF))).astype(jnp.int32)
+    head_pos_of_seg = jnp.full((R,), cap, dtype=jnp.int32).at[
+        jnp.where(head, seg, R)].set(spos, mode="drop",
                                      unique_indices=True)
+    n_active = jnp.sum(active).astype(jnp.int32)
+    # read the per-run prefix-min at each run's last position
+    nxt = jnp.concatenate([head_pos_of_seg[1:],
+                           jnp.full((1,), cap, jnp.int32)])
+    in_use = ridx < num_unique
+    last_pos = jnp.where(ridx < num_unique - 1, nxt - 1, n_active - 1)
+    last_pos = jnp.clip(jnp.where(in_use, last_pos, 0), 0,
+                        max(cap - 1, 0))
+    rep = jnp.where(in_use, rep_of_pos[last_pos], _I32MAX)
     # first-appearance rank: runs ordered by their first original row
     order = jnp.argsort(rep).astype(jnp.int32)        # gid -> seg
     gid_of_seg = jnp.zeros((R,), dtype=jnp.int32).at[order].set(
@@ -115,11 +135,7 @@ def sort_group(lanes: jax.Array, active: jax.Array,
     codes = jnp.zeros((cap,), dtype=jnp.int32).at[perm].set(
         codes_sorted, unique_indices=True)
     codes = jnp.where(active, codes, jnp.int32(-1))
-    head_pos_of_seg = jnp.full((R,), cap, dtype=jnp.int32).at[
-        jnp.where(head, seg, R)].set(spos, mode="drop",
-                                     unique_indices=True)
     head_pos = head_pos_of_seg[order]
-    n_active = jnp.sum(active).astype(jnp.int32)
     g = SortGroup(perm, s_active, head, seg, codes, gid_of_seg, order,
                   unique_rows, head_pos, head_pos_of_seg, n_active,
                   num_unique)

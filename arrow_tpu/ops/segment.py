@@ -31,7 +31,7 @@ from .distinct import SortGroup
 __all__ = ["SegmentContext", "make_segment_context", "segmented_scan",
            "segmented_carry_last",
            "seg_sum", "seg_prod", "seg_reduce_min", "seg_reduce_max",
-           "seg_any", "seg_all", "seg_first_pos", "seg_last_pos"]
+           "seg_any", "seg_all", "seg_first_row", "seg_last_row"]
 
 
 class SegmentContext(NamedTuple):
@@ -273,19 +273,17 @@ def seg_all(ctx, flags_sorted):
     return seg_reduce_min(ctx, f.astype(jnp.uint32)) != 0
 
 
-def seg_first_pos(ctx: SegmentContext, valid_sorted: jax.Array
+def seg_first_row(ctx: SegmentContext, valid_sorted: jax.Array
                   ) -> jax.Array:
-    """(seg,) sorted position of the first VALID row per run (cap if
-    none). Rows within a run are ordered by original row id."""
+    """(seg,) ORIGINAL row id of the first VALID row per run (cap if
+    none). Works under the unstable grouping sort: the min is taken over
+    ctx.perm, not sorted positions."""
     cap = valid_sorted.shape[0]
-    sidx = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0).reshape((cap,))
-    pos = jnp.where(valid_sorted, sidx, cap)
-    return seg_reduce_min(ctx, pos)
+    rows = jnp.where(valid_sorted, ctx.perm, cap)
+    return seg_reduce_min(ctx, rows)
 
 
-def seg_last_pos(ctx: SegmentContext, valid_sorted: jax.Array
+def seg_last_row(ctx: SegmentContext, valid_sorted: jax.Array
                  ) -> jax.Array:
-    cap = valid_sorted.shape[0]
-    sidx = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0).reshape((cap,))
-    pos = jnp.where(valid_sorted, sidx, -1)
-    return seg_reduce_max(ctx, pos)
+    rows = jnp.where(valid_sorted, ctx.perm, -1)
+    return seg_reduce_max(ctx, rows)

@@ -118,7 +118,8 @@ class HashJoinNodeOptions(ExecNodeOptions):
                  output_suffix_for_left: str = "",
                  output_suffix_for_right: str = "",
                  max_build_rows: int = 1 << 20,
-                 fanout_capacity: Optional[int] = None):
+                 fanout_capacity: Optional[int] = None,
+                 filter=None):
         assert join_type in ("inner", "left outer", "right outer",
                              "full outer", "left semi", "right semi",
                              "left anti", "right anti")
@@ -136,6 +137,12 @@ class HashJoinNodeOptions(ExecNodeOptions):
         self.output_suffix_for_right = output_suffix_for_right
         self.max_build_rows = max_build_rows
         self.fanout_capacity = fanout_capacity
+        # residual (non-equi) filter evaluated on matched key pairs —
+        # ``acero/options.h:571`` (Expression filter, default
+        # literal(true)). Field refs resolve by name against the left
+        # then the right input schema; a name present in both is an
+        # error (acero resolves ambiguity the same way: bind fails).
+        self.filter = filter
 
 
 class TpchGenNodeOptions(ExecNodeOptions):

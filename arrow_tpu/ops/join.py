@@ -76,6 +76,18 @@ class BuildState:
     def tree_unflatten(cls, aux, children):
         return cls(*children)
 
+    def _with_error(self, error):
+        return BuildState(self.grouper_state, self.batch, self.counts,
+                          self.starts, self.perm, self.matched,
+                          self.num_rows, self.error | error,
+                          self.key_lanes, self.bgids)
+
+    def _with_matched(self, matched, error=None):
+        return BuildState(self.grouper_state, self.batch, self.counts,
+                          self.starts, self.perm, matched, self.num_rows,
+                          self.error if error is None else
+                          (self.error | error), self.key_lanes, self.bgids)
+
 
 def _all_valid(keys: Sequence[Array], cap: int) -> jax.Array:
     ok = jnp.ones((cap,), dtype=jnp.bool_)
@@ -114,6 +126,31 @@ class HashJoin:
             self.right_out = []
         if self.join_type in ("right semi", "right anti"):
             self.left_out = []
+        # residual (non-equi) filter: ``acero/options.h:571`` filter,
+        # evaluated per matched key pair (``swiss_join.cc``
+        # JoinResidualFilter). A pair whose filter comes out false/null
+        # is treated as a non-match for every join type.
+        self.residual = getattr(options, "filter", None)
+        if self.residual is not None and \
+                self.residual.kind == self.residual.KIND_LITERAL:
+            v = self.residual.value.as_py()
+            if v:
+                self.residual = None   # literal(true) = no filter
+        if self.residual is not None:
+            refs = set(self.residual.field_names())
+            self._resid_left = [n for n in left_schema.names if n in refs]
+            self._resid_right = [n for n in right_schema.names if n in refs]
+            dup = set(self._resid_left) & set(self._resid_right)
+            if dup:
+                raise ValueError(
+                    f"hash join filter field(s) {sorted(dup)} exist on "
+                    "both sides; rename before the join")
+            missing = refs - set(self._resid_left) - set(self._resid_right)
+            if missing:
+                raise KeyError(
+                    f"hash join filter references unknown field(s) "
+                    f"{sorted(missing)}")
+
         right_nullable = self.join_type in ("left outer", "full outer")
         left_nullable = self.join_type in ("right outer", "full outer")
         fields = []
@@ -234,16 +271,28 @@ class HashJoin:
 
         jt = self.join_type
         if jt in ("left semi", "left anti"):
-            sel = (cnt > 0) if jt == "left semi" else \
-                (in_range & (cnt == 0))
+            if self.residual is None:
+                sel = (cnt > 0) if jt == "left semi" else \
+                    (in_range & (cnt == 0))
+            else:
+                # a probe row matches only if >=1 pair passes the filter
+                pass_any, err = self._pass_any(bs, left, gids, cnt,
+                                               fanout_capacity)
+                bs = bs._with_error(err)
+                sel = pass_any if jt == "left semi" else \
+                    (in_range & ~pass_any)
             out = filter_batch(left,
                                Array(dt.bool_, sel, None, length=left.length))
             out = out.select(self.left_out)
             return self._rename(out), bs
 
         if jt in ("right semi", "right anti", "right outer"):
-            # only update the matched bitmap; emission happens at finish
-            bs = self._update_matched(bs, gids, cnt)
+            if self.residual is None:
+                # only update the matched bitmap; emission at finish
+                bs = self._update_matched(bs, gids, cnt)
+            else:
+                bs = self._update_matched_residual(bs, left, gids, cnt,
+                                                   fanout_capacity)
             if jt == "right outer":
                 outb, bs2 = self._expand(bs, left, gids, cnt,
                                          fanout_capacity,
@@ -272,9 +321,15 @@ class HashJoin:
 
 
     # ------------------------------------------------------------------
-    def _expand(self, bs: BuildState, left: Batch, gids, cnt,
-                fanout_capacity, emit_unmatched_probe: bool,
-                update_matched: bool):
+    def _pair_geometry(self, bs: BuildState, left: Batch, gids, cnt,
+                       fanout_capacity, emit_unmatched_probe: bool):
+        """Expand (probe row, gid) matches into flat pair slots.
+
+        Returns (r, o, brow, has_match, valid_j, pass_, total, overflow):
+        ``r`` probe row per slot, ``o`` the match ordinal within the row,
+        ``brow`` the build row, ``pass_`` = has_match AND the residual
+        filter (``swiss_join.cc`` JoinResidualFilter semantics: a
+        false/null filter pair is a non-match)."""
         cap = left.capacity
         T = fanout_capacity or self.options.fanout_capacity or cap
         in_range = row_mask(cap, left.length)
@@ -283,7 +338,7 @@ class HashJoin:
             emit = jnp.where(in_range & (cnt == 0), 1, cnt)
         offsets = jnp.cumsum(emit) - emit          # exclusive prefix sum
         total = jnp.sum(emit).astype(jnp.int32)
-        error = bs.error | jnp.int32(total > T)
+        overflow = jnp.int32(total > T)
 
         iota_c = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0).reshape(
             (cap,))
@@ -307,13 +362,83 @@ class HashJoin:
         brow = bs.perm[jnp.clip(brow_sorted_pos, 0, bs.batch.capacity - 1)]
         brow = jnp.where(has_match, brow, 0)
 
+        pass_ = has_match
+        if self.residual is not None:
+            pass_ = has_match & self._residual_pass(
+                bs, left, r, brow, has_match, total)
+        return r, o, brow, has_match, valid_j, pass_, total, overflow
+
+    def _residual_pass(self, bs: BuildState, left: Batch, r, brow,
+                       has_match, total) -> jax.Array:
+        """Evaluate the residual filter on the materialized pairs; null
+        results count as false (Arrow filter-null semantics)."""
+        from ..compute.expressions import execute_scalar_expression
+        from ..compute.scalar import Scalar
+        T = r.shape[0]
+        left_idx = Array(dt.int32, r, None, length=total)
+        right_idx = Array(dt.int32, brow, None, length=total)
+        fields = []
+        arrays = []
+        for n in self._resid_left:
+            fields.append(self.left_schema.field(n))
+            arrays.append(take_array(left.column(n), left_idx))
+        for n in self._resid_right:
+            fields.append(self.right_schema.field(n))
+            a = take_array(bs.batch.column(n), right_idx)
+            v = a.validity
+            v = has_match if v is None else (v & has_match)
+            arrays.append(a.with_validity(v))
+        pb = Batch(Schema(tuple(fields)), arrays, total)
+        res = execute_scalar_expression(self.residual, pb)
+        if isinstance(res, Scalar):
+            ok = bool(res.is_valid) and bool(res.as_py())
+            return jnp.full((T,), ok, jnp.bool_)
+        pv = res.values.astype(jnp.bool_)
+        if res.validity is not None:
+            pv = pv & res.validity
+        return pv
+
+    def _pass_any(self, bs: BuildState, left: Batch, gids, cnt,
+                  fanout_capacity):
+        """(probe row -> any pair passes the residual filter, overflow)."""
+        cap = left.capacity
+        r, o, brow, has_match, valid_j, pass_, total, overflow = \
+            self._pair_geometry(bs, left, gids, cnt, fanout_capacity,
+                                emit_unmatched_probe=False)
+        pass_any = jnp.zeros((cap,), jnp.bool_).at[
+            jnp.where(pass_, r, cap)].max(
+            jnp.ones_like(r, dtype=jnp.bool_), mode="drop")
+        return pass_any, overflow
+
+    def _update_matched_residual(self, bs: BuildState, left: Batch, gids,
+                                 cnt, fanout_capacity) -> BuildState:
+        """Per-pair matched update: with a residual filter a build ROW is
+        matched only if one of its own pairs passed (group-level hit
+        tracking is not enough)."""
+        r, o, brow, has_match, valid_j, pass_, total, overflow = \
+            self._pair_geometry(bs, left, gids, cnt, fanout_capacity,
+                                emit_unmatched_probe=False)
+        bcap = bs.batch.capacity
+        matched = bs.matched.at[jnp.where(pass_, brow, bcap)].max(
+            jnp.ones_like(brow, dtype=jnp.bool_), mode="drop")
+        return bs._with_matched(matched, overflow)
+
+    def _expand(self, bs: BuildState, left: Batch, gids, cnt,
+                fanout_capacity, emit_unmatched_probe: bool,
+                update_matched: bool):
+        cap = left.capacity
+        r, o, brow, has_match, valid_j, pass_, total, overflow = \
+            self._pair_geometry(bs, left, gids, cnt, fanout_capacity,
+                                emit_unmatched_probe)
+        error = bs.error | overflow
+
         # gather output columns
         arrays = []
         left_idx = Array(dt.int32, r, None, length=total)
         for n in self.left_out:
             a = take_array(left.column(n), left_idx)
             arrays.append(a)
-        bvalid = has_match
+        bvalid = pass_
         right_idx = Array(dt.int32, brow, None, length=total)
         for n in self.right_out:
             a = take_array(bs.batch.column(n), right_idx)
@@ -322,17 +447,27 @@ class HashJoin:
             arrays.append(a.with_validity(v))
         out = Batch(self.out_schema, arrays, total)
 
+        if self.residual is not None:
+            # drop pairs the filter rejected; probe rows whose every pair
+            # failed fall back to a single null-right emission for
+            # left/full outer (JoinResidualFilter outer semantics)
+            keep = pass_ | (valid_j & ~has_match)
+            if emit_unmatched_probe:
+                pass_any = jnp.zeros((cap,), jnp.bool_).at[
+                    jnp.where(pass_, r, cap)].max(
+                    jnp.ones_like(r, dtype=jnp.bool_), mode="drop")
+                keep = keep | (valid_j & has_match & (o == 0) &
+                               ~pass_any[r])
+            out = filter_batch(out, Array(dt.bool_, keep, None,
+                                          length=total))
+
         if update_matched:
             bcap = bs.batch.capacity
-            matched = bs.matched.at[jnp.where(has_match, brow, bcap)].max(
-                jnp.ones((T,), jnp.bool_), mode="drop")
-            bs = BuildState(bs.grouper_state, bs.batch, bs.counts,
-                            bs.starts, bs.perm, matched, bs.num_rows,
-                            error, bs.key_lanes, bs.bgids)
+            matched = bs.matched.at[jnp.where(pass_, brow, bcap)].max(
+                jnp.ones_like(brow, dtype=jnp.bool_), mode="drop")
+            bs = bs._with_matched(matched, overflow)
         else:
-            bs = BuildState(bs.grouper_state, bs.batch, bs.counts,
-                            bs.starts, bs.perm, bs.matched, bs.num_rows,
-                            error, bs.key_lanes, bs.bgids)
+            bs = bs._with_error(overflow)
         return out, bs
 
     # ------------------------------------------------------------------

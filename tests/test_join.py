@@ -165,3 +165,88 @@ def test_join_empty_build(rng):
     expected = oracle_join(left, right, "left outer", ["k"], ["k"])
     got = got.rename_columns(expected.schema.names)
     assert_join_equal(got, expected, msg="empty build")
+
+
+# ----------------------------------------------------------------------
+# Residual (non-equi) filter — acero/options.h:571 filter expression,
+# evaluated on matched key pairs (swiss_join.cc JoinResidualFilter).
+# ----------------------------------------------------------------------
+
+def run_join_filtered(left, right, join_type, expr):
+    from arrow_tpu.compute.expressions import call, field
+    return run_join(left, right, join_type, ["k"], ["k"],
+                    output_suffix_for_left="_l",
+                    output_suffix_for_right="_r",
+                    fanout_capacity=1 << 15,
+                    filter=expr)
+
+
+def oracle_join_filtered(left, right, join_type, expr):
+    decl = pac.Declaration("hashjoin", pac.HashJoinNodeOptions(
+        join_type, ["k"], ["k"], output_suffix_for_left="_l",
+        output_suffix_for_right="_r", filter_expression=expr), [
+        pac.Declaration("table_source", pac.TableSourceNodeOptions(left)),
+        pac.Declaration("table_source", pac.TableSourceNodeOptions(right)),
+    ])
+    return decl.to_table()
+
+
+@pytest.mark.parametrize("join_type", JOIN_TYPES)
+def test_join_residual_filter_oracle(rng, join_type):
+    import pyarrow.compute as pc
+    from arrow_tpu.compute.expressions import call, field
+    left, right = make_tables(rng, nl=400, nr=150, kmax=40)
+    expr = call("less", [field("lv"), call("multiply",
+                                           [field("rv"), literal_i64(3)])])
+    oexpr = pc.field("lv") < (pc.field("rv") * pa.scalar(3, pa.int64()))
+    got = run_join_filtered(left, right, join_type, expr)
+    expected = oracle_join_filtered(left, right, join_type, oexpr)
+    got = pa.table(got).rename_columns(expected.schema.names)
+    assert_join_equal(got, expected, msg=f"residual {join_type}")
+
+
+def literal_i64(v):
+    from arrow_tpu.compute.expressions import literal
+    import arrow_tpu.core.datatype as adt
+    return literal(v, adt.int64)
+
+
+@pytest.mark.parametrize("join_type", ["inner", "left outer", "full outer",
+                                       "right outer", "left anti"])
+def test_join_residual_filter_nulls(rng, join_type):
+    """Null filter results count as non-matches."""
+    import pyarrow.compute as pc
+    from arrow_tpu.compute.expressions import call, field
+    left = pa.table({"k": [1, 1, 2, 3, None],
+                     "lv": [10, None, 5, 7, 0]})
+    right = pa.table({"k": [1, 1, 2, 4],
+                      "rv": [8, 20, None, 1]})
+    expr = call("less", [field("lv"), field("rv")])
+    oexpr = pc.field("lv") < pc.field("rv")
+    got = run_join_filtered(left, right, join_type, expr)
+    expected = oracle_join_filtered(left, right, join_type, oexpr)
+    got = pa.table(got).rename_columns(expected.schema.names)
+    assert_join_equal(got, expected, msg=f"residual-null {join_type}")
+
+
+def test_join_residual_literal_true_noop(rng):
+    from arrow_tpu.compute.expressions import literal
+    import arrow_tpu.core.datatype as adt
+    left, right = make_tables(rng, nl=100, nr=60)
+    got = run_join(left, right, "inner", ["k"], ["k"],
+                   output_suffix_for_left="_l",
+                   output_suffix_for_right="_r",
+                   fanout_capacity=1 << 14,
+                   filter=literal(True, adt.bool_))
+    expected = oracle_join(left, right, "inner", ["k"], ["k"])
+    got = pa.table(got).rename_columns(expected.schema.names)
+    assert_join_equal(got, expected, msg="literal-true")
+
+
+def test_join_residual_ambiguous_field_raises(rng):
+    from arrow_tpu.compute.expressions import call, field
+    left = pa.table({"k": [1], "v": [1]})
+    right = pa.table({"k": [1], "v": [2]})
+    with pytest.raises((ValueError, KeyError)):
+        run_join(left, right, "inner", ["k"], ["k"],
+                 filter=call("less", [field("v"), field("v")]))

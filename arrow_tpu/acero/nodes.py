@@ -108,6 +108,39 @@ def cached_stage(key: tuple, make):
     return obj
 
 
+def checked_jit(fn):
+    """``jax.jit`` for expression-bearing stages: carries deferred
+    data-dependent errors (``*_checked`` overflow, divide-by-zero — the
+    ArrowInvalid aborts of ``scalar_arithmetic.cc:339``) out of the
+    compiled program.
+
+    The traced body runs under an ``errors.collect()`` scope; the scope's
+    encoded error code becomes an extra jit output. Stages with no checked
+    kernels record no flags and pay NOTHING — no extra output is read and
+    async dispatch is untouched. Stages with flags sync one scalar per
+    batch and raise host-side, matching pyarrow's error timing."""
+    from ..utils import errors
+
+    msgs: list = []
+
+    def traced(*a, **k):
+        with errors.collect() as scope:
+            out = fn(*a, **k)
+            msgs.clear()
+            msgs.extend(scope.messages())
+            return out, scope.encode()
+
+    jitted = jax.jit(traced)
+
+    def call(*a, **k):
+        out, code = jitted(*a, **k)
+        if msgs and not isinstance(code, jax.core.Tracer):
+            errors.raise_code(code, msgs)
+        return out
+
+    return call
+
+
 def maybe_compact(b: Batch) -> Batch:
     """Shrink a sparsely-filled batch to its capacity bucket.
 
@@ -284,7 +317,7 @@ class FilterNode(ExecNode):
 
         self._pure = run
         self._sig = ("filter", plan_sig(expr))
-        self._run = cached_stage(self._sig, lambda: jax.jit(run))
+        self._run = cached_stage(self._sig, lambda: checked_jit(run))
 
     def output_schema(self) -> Schema:
         return self.inputs[0].output_schema()
@@ -326,7 +359,7 @@ class ProjectNode(ExecNode):
 
         self._pure = run
         self._sig = ("project", plan_sig(self.exprs), tuple(self.names))
-        self._run = cached_stage(self._sig, lambda: jax.jit(run))
+        self._run = cached_stage(self._sig, lambda: checked_jit(run))
         self._out_schema: Optional[Schema] = None
 
     def output_schema(self) -> Schema:
@@ -367,7 +400,7 @@ def materialized_stream(input_node) -> Iterator[Batch]:
         for b in base:
             yield maybe_compact(b)
         return
-    tj = cached_stage(("mat",) + tuple(tsig), lambda: jax.jit(t))
+    tj = cached_stage(("mat",) + tuple(tsig), lambda: checked_jit(t))
     for b in base:
         yield maybe_compact(tj(b))
 
@@ -550,7 +583,7 @@ class HashJoinNode(ExecNode):
         key = ("hashjoin", inputs[0].output_schema(),
                inputs[1].output_schema(), plan_sig(options))
         self.join, self._build, self._probe, self._finish = cached_stage(
-            key, lambda: (lambda j: (j, jax.jit(j.build), jax.jit(j.probe),
+            key, lambda: (lambda j: (j, jax.jit(j.build), checked_jit(j.probe),
                                      jax.jit(j.finish)))(
                 HashJoin(inputs[0].output_schema(),
                          inputs[1].output_schema(), options)))

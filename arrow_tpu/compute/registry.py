@@ -94,7 +94,7 @@ _KERNEL_MODULES = [
     "scalar_arithmetic", "scalar_compare", "scalar_cast", "selection",
     "sorting", "aggregates", "vector_hash", "set_lookup",
     "aggregates_order", "vector_misc", "strings", "temporal", "ree", "nested",
-    "pivot", "strings_regex",
+    "pivot", "strings_regex", "scalar_checked",
 ]
 _kernels_loaded = False
 

@@ -236,6 +236,12 @@ def array_to_pyarrow(arr: Array):
     if t.is_varlen:
         off = np.asarray(jax.device_get(arr.offsets))[:n + 1].astype(np.int32)
         nbytes = int(off[-1]) if len(off) else 0
+        if nbytes > arr.values.shape[0]:
+            raise ValueError(
+                f"varlen byte-pool overflow: rows span {nbytes} bytes but "
+                f"the pool holds {arr.values.shape[0]} — a take/join fanout "
+                f"repeated long rows beyond the static capacity; re-run "
+                f"with a larger fanout/byte capacity")
         data = np.asarray(jax.device_get(arr.values))[:nbytes]
         return pa.Array.from_buffers(
             pa_type, n,

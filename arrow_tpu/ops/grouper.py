@@ -38,16 +38,113 @@ from ..core import datatype as dt
 from ..core.array import Array, row_mask
 from .bits import value_lanes32
 
-__all__ = ["Grouper", "GrouperState", "group_key_lanes"]
+__all__ = ["Grouper", "GrouperState", "SlotStrings", "group_key_lanes"]
+
+
+@jax.tree_util.register_pytree_node_class
+class SlotStrings:
+    """Per-group varlen key uniques in fixed byte slots (pytree).
+
+    The TPU-shape analog of the reference row table's varbinary region
+    (``cpp/src/arrow/compute/row/row_internal.h:33``): each group's key
+    bytes live in a static ``(G, W)`` slot; true lengths are kept
+    separately and ``to_array`` compacts to a proper varlen Array at
+    finalize. Strings longer than W set the deferred ``error`` flag
+    (the resize the reference would do is a host-side re-run with a
+    larger ``varlen_slot_bytes``)."""
+
+    __slots__ = ("slots", "lens", "valid", "error")
+
+    def __init__(self, slots, lens, valid, error):
+        self.slots = slots          # (G, W) uint8
+        self.lens = lens            # (G,) int32 true byte length
+        self.valid = valid          # (G,) bool
+        self.error = error          # int32 scalar, nonzero = slot overflow
+
+    def tree_flatten(self):
+        return ((self.slots, self.lens, self.valid, self.error), None)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @classmethod
+    def init(cls, num_groups: int, slot_bytes: int) -> "SlotStrings":
+        return cls(jnp.zeros((num_groups, slot_bytes), dtype=jnp.uint8),
+                   jnp.zeros((num_groups,), dtype=jnp.int32),
+                   jnp.zeros((num_groups,), dtype=jnp.bool_),
+                   jnp.int32(0))
+
+    def scatter_from(self, src: Array, rows: jax.Array, pos: jax.Array,
+                     unique_indices: bool = False) -> "SlotStrings":
+        """Write src[rows[i]]'s bytes into slot pos[i] (pos >= G drops)."""
+        G, W = self.slots.shape
+        cap = src.offsets.shape[0] - 1
+        rows = jnp.clip(rows, 0, cap - 1)
+        starts = src.offsets[rows]
+        lens = (src.offsets[rows + 1] - starts).astype(jnp.int32)
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
+        bcap = src.values.shape[0]
+        if bcap == 0:
+            block = jnp.zeros((rows.shape[0], W), dtype=jnp.uint8)
+        else:
+            idx = jnp.clip(starts[:, None] + col, 0, bcap - 1)
+            block = jnp.where(col < lens[:, None], src.values[idx],
+                              jnp.uint8(0))
+        sv = src.validity if src.validity is not None else \
+            jnp.ones((cap,), dtype=jnp.bool_)
+        slots = self.slots.at[pos].set(block, mode="drop",
+                                       unique_indices=unique_indices)
+        new_lens = self.lens.at[pos].set(lens, mode="drop",
+                                         unique_indices=unique_indices)
+        valid = self.valid.at[pos].set(sv[rows], mode="drop",
+                                       unique_indices=unique_indices)
+        written = pos < G
+        error = self.error | jnp.where(
+            jnp.any(written & (lens > W)), 2, 0).astype(jnp.int32)
+        return SlotStrings(slots, new_lens, valid, error)
+
+    def to_array(self, type: dt.DataType, length=None) -> Array:
+        """Compact slots to a varlen Array (byte pool capacity G*W)."""
+        G, W = self.slots.shape
+        lens = jnp.minimum(self.lens, W)
+        offsets = jnp.concatenate([
+            jnp.zeros((1,), jnp.int32), jnp.cumsum(lens, dtype=jnp.int32)])
+        P = G * W
+        flat = self.slots.reshape((P,))
+        j = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0).reshape((P,))
+        r = jnp.clip(jnp.searchsorted(offsets, j, side="right") - 1,
+                     0, G - 1).astype(jnp.int32)
+        src = r * W + (j - offsets[r])
+        pool = jnp.where(j < offsets[G],
+                         flat[jnp.clip(src, 0, P - 1)], jnp.uint8(0))
+        return Array(type, pool, jnp.asarray(self.valid),
+                     offsets=offsets, length=length)
 
 def _raw_lanes(a: Array) -> List[jax.Array]:
     """Key column -> uint32 lanes of the raw storage bits (bit equality).
     Delegates to ops.bits (TPU-safe: no 64-bit bitcasts; f64 handled per
-    platform — see bits.py header)."""
+    platform — see bits.py header).
+
+    Varlen (string/binary) keys normalize to 5 lanes: byte length + two
+    independent 64-bit full-content polynomial fingerprints
+    (ops/hashing.string_fingerprint_exact) — the TPU-native replacement
+    for the reference row table's varbinary key region
+    (``row_internal.h:33``): equal content => equal lanes, and distinct
+    content collides only with ~2^-128 probability (the same confidence
+    class as the reference's full byte re-compare after a SwissTable
+    stamp match)."""
     if a.type.is_varlen:
-        raise NotImplementedError(
-            "grouper on raw strings: dictionary-encode first "
-            "(the engine does this at ingest)")
+        from .hashing import string_fingerprint_exact
+        off = a.offsets
+        lens = (off[1:] - off[:-1]).astype(jnp.uint32)
+        fp1 = string_fingerprint_exact(a)
+        fp2 = string_fingerprint_exact(a, mult=0xC2B2AE3D27D4EB4F)
+        return [lens,
+                fp1.astype(jnp.uint32),
+                (fp1 >> jnp.uint64(32)).astype(jnp.uint32),
+                fp2.astype(jnp.uint32),
+                (fp2 >> jnp.uint64(32)).astype(jnp.uint32)]
     return value_lanes32(a.values, a.type)
 
 
@@ -110,17 +207,27 @@ class Grouper:
 
     def __init__(self, key_types: Sequence[dt.DataType],
                  key_nullable: Sequence[bool],
-                 max_groups: int = 1 << 16):
+                 max_groups: int = 1 << 16,
+                 varlen_slot_bytes: int = 64):
         self.key_types = tuple(key_types)
         self.key_nullable = tuple(key_nullable)
         self.max_groups = max_groups
+        # fixed byte-slot width for varlen key uniques (row-table
+        # varbinary-region analog); strings longer than this overflow
+        # with a deferred error
+        self.varlen_slot_bytes = varlen_slot_bytes
         # sorted-table state: exactly max_groups slots (no load factor)
         self.table_size = max_groups
         # lane count is static given types+nullability
         self.num_lanes = 0
         for t, nb in zip(self.key_types, self.key_nullable):
-            width = 2 if (t.is_primitive and t.bit_width == 64) else 1
-            if isinstance(t, dt.DictionaryType):
+            if t.is_varlen:
+                width = 5          # length + 2x 64-bit fingerprints
+            elif isinstance(t, dt.DictionaryType):
+                width = 1
+            elif t.is_primitive and t.bit_width == 64:
+                width = 2
+            else:
                 width = 1
             self.num_lanes += width + (1 if nb else 0)
 
@@ -260,7 +367,11 @@ class Grouper:
         for i, k in enumerate(keys):
             t = k.type
             if t.is_varlen:
-                raise NotImplementedError("string uniques via dictionary")
+                ss = uniques[i] if uniques is not None else \
+                    SlotStrings.init(G, self.varlen_slot_bytes)
+                out.append(ss.scatter_from(k, rep_rows, pos,
+                                           unique_indices=True))
+                continue
             if uniques is None:
                 vals = jnp.zeros((G,) + k.values.shape[1:],
                                  dtype=k.values.dtype)
@@ -290,7 +401,14 @@ class Grouper:
         for i, k in enumerate(keys):
             t = k.type
             if t.is_varlen:
-                raise NotImplementedError("string uniques via dictionary")
+                ss = uniques[i] if uniques is not None else \
+                    SlotStrings.init(G, self.varlen_slot_bytes)
+                cap = k.offsets.shape[0] - 1
+                rows = jax.lax.broadcasted_iota(
+                    jnp.int32, (cap, 1), 0).reshape((cap,))
+                pos = jnp.where(group_ids >= 0, group_ids, G)
+                out.append(ss.scatter_from(k, rows, pos))
+                continue
             pos = jnp.where(group_ids >= 0, group_ids, G)
             if uniques is None:
                 vals = jnp.zeros((G,) + k.values.shape[1:],

@@ -10,9 +10,11 @@ emits ``finalize`` at end-of-stream. The same consume/merge protocol serves
 the distributed combine: per-shard HashAggregate states are merged after an
 all-to-all re-key (arrow_tpu.parallel).
 
-String group keys are dictionary-encoded at ingest (SURVEY.md §7: "most
-kernels operate on dictionary-encoded or padded forms"), so device-side
-keys are always fixed-width.
+String group keys work in BOTH forms: dictionary-encoded (codes are the
+key lanes) and raw varlen (full-content fingerprint lanes + fixed-slot
+uniques — ops/grouper.SlotStrings, the row-table varbinary-region analog
+of ``row_internal.h:33``). Dictionary-encoding at ingest remains the fast
+path for low-cardinality keys (SURVEY.md §7).
 """
 
 from __future__ import annotations
@@ -28,7 +30,7 @@ from ..core.array import Array
 from ..core.batch import Batch
 from ..core.schema import Field, Schema
 from .aggregates import make_grouped_aggregator
-from .grouper import Grouper, GrouperState
+from .grouper import Grouper, GrouperState, SlotStrings
 
 __all__ = ["AggregateSpec", "HashAggregate"]
 
@@ -61,6 +63,20 @@ class AggregateSpec:
             else self.function
         ts = self.targets
         return "_".join(ts + (fn,)) if ts else fn
+
+
+class _SlotOverflow:
+    """Error carrier for varlen key-slot overflow (quacks like an
+    aggregator for the node's error-reporting path)."""
+
+    def __init__(self, key: str, slot_bytes: int):
+        self.name = f"key '{key}'"
+        self._slot_bytes = slot_bytes
+
+    def error_message(self, flag: int) -> str:
+        return (f"group key string in {self.name} exceeds the "
+                f"{self._slot_bytes}-byte unique slot; raise "
+                f"varlen_slot_bytes (or dictionary-encode the key)")
 
 
 class HashAggregate:
@@ -164,11 +180,15 @@ class HashAggregate:
         grouper_state, agg_states, uniques = state
         o_grouper_state, o_agg_states, o_uniques = other_state
         o_count = o_grouper_state.num_groups
-        # other's uniques (capacity = max_groups) are consumed as keys
+        # other's uniques (capacity = max_groups) are consumed as keys;
+        # varlen slot-form uniques compact to real varlen Arrays first so
+        # the grouper fingerprints actual content bytes
+        o_keys = [u.to_array(f.type) if isinstance(u, SlotStrings) else u
+                  for u, f in zip(o_uniques, self.key_fields)]
         grouper_state, mapping = self.grouper.consume(
-            grouper_state, list(o_uniques), length=o_count)
+            grouper_state, o_keys, length=o_count)
         uniques = tuple(self.grouper.uniques_scatter(
-            list(o_uniques), mapping, uniques))
+            o_keys, mapping, uniques))
         new_agg_states = []
         for agg, st, ost in zip(self._aggregators, agg_states,
                                 o_agg_states):
@@ -179,11 +199,18 @@ class HashAggregate:
         grouper_state, agg_states, uniques = state
         n = grouper_state.num_groups
         arrays = []
-        for u in (uniques or
-                  [Array(f.type, jnp.zeros((self.max_groups,),
-                                           dtype=f.type.storage_np), None)
-                   for f in self.key_fields]):
-            arrays.append(u.with_length(n))
+        for u, f in zip(
+                uniques or
+                [SlotStrings.init(self.max_groups,
+                                  self.grouper.varlen_slot_bytes)
+                 if f.type.is_varlen else
+                 Array(f.type, jnp.zeros((self.max_groups,),
+                                         dtype=f.type.storage_np), None)
+                 for f in self.key_fields], self.key_fields):
+            if isinstance(u, SlotStrings):
+                arrays.append(u.to_array(f.type, length=n))
+            else:
+                arrays.append(u.with_length(n))
         for agg, st in zip(self._aggregators, agg_states):
             arrays.append(agg.finalize(st, n))
         return Batch(self.out_schema, arrays, n)
@@ -192,12 +219,18 @@ class HashAggregate:
         """Host-side deferred per-aggregator error flags:
         [(aggregator, nonzero flag)] (e.g. pivot duplicate detection)."""
         out = []
-        _, agg_states, _ = state
+        _, agg_states, uniques = state
         for agg, st in zip(self._aggregators, agg_states):
             if hasattr(agg, "error_flag"):
                 flag = int(jax.device_get(agg.error_flag(st)))
                 if flag:
                     out.append((agg, flag))
+        for u, f in zip(uniques or (), self.key_fields):
+            if isinstance(u, SlotStrings) and \
+                    int(jax.device_get(u.error)):
+                out.append((_SlotOverflow(f.name,
+                                          self.grouper.varlen_slot_bytes),
+                            2))
         return out
 
     @property

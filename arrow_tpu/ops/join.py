@@ -377,14 +377,16 @@ class HashJoin:
         T = r.shape[0]
         left_idx = Array(dt.int32, r, None, length=total)
         right_idx = Array(dt.int32, brow, None, length=total)
+        lgrow = -(-T // max(left.capacity, 1))
+        rgrow = -(-T // max(bs.batch.capacity, 1))
         fields = []
         arrays = []
         for n in self._resid_left:
             fields.append(self.left_schema.field(n))
-            arrays.append(take_array(left.column(n), left_idx))
+            arrays.append(take_array(left.column(n), left_idx, grow=lgrow))
         for n in self._resid_right:
             fields.append(self.right_schema.field(n))
-            a = take_array(bs.batch.column(n), right_idx)
+            a = take_array(bs.batch.column(n), right_idx, grow=rgrow)
             v = a.validity
             v = has_match if v is None else (v & has_match)
             arrays.append(a.with_validity(v))
@@ -432,16 +434,20 @@ class HashJoin:
                                 emit_unmatched_probe)
         error = bs.error | overflow
 
-        # gather output columns
+        # gather output columns; fanout repeats rows, so varlen pools
+        # scale by ceil(T / source capacity) (see take_array grow)
+        T = r.shape[0]
         arrays = []
         left_idx = Array(dt.int32, r, None, length=total)
+        lgrow = -(-T // max(cap, 1))
         for n in self.left_out:
-            a = take_array(left.column(n), left_idx)
+            a = take_array(left.column(n), left_idx, grow=lgrow)
             arrays.append(a)
         bvalid = pass_
         right_idx = Array(dt.int32, brow, None, length=total)
+        rgrow = -(-T // max(bs.batch.capacity, 1))
         for n in self.right_out:
-            a = take_array(bs.batch.column(n), right_idx)
+            a = take_array(bs.batch.column(n), right_idx, grow=rgrow)
             v = a.validity
             v = bvalid if v is None else (v & bvalid)
             arrays.append(a.with_validity(v))

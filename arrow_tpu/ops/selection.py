@@ -162,11 +162,20 @@ def _gather_validity(values: Array, idx: jax.Array,
     return validity
 
 
-def take_array(values: Array, indices: Array) -> Array:
+def take_array(values: Array, indices: Array, grow: int = 1) -> Array:
     """Gather rows of `values` at `indices` (Arrow `take`).
 
     Indices must be in [0, values.capacity); padding index rows must also be
     in-range (the compaction above guarantees zeros).
+
+    ``grow`` scales the output byte-pool / child-row capacity of varlen
+    and list columns (static): a take whose indices REPEAT rows (join
+    fanout) can need more output bytes than the input pool holds. The
+    caller picks ``grow = ceil(out_rows / in_rows)`` — the exact bound
+    when indices repeat whole permutations, a heuristic otherwise; a
+    pathological take (all indices at the longest string) still
+    overflows, detected at materialization (core/interop raises with
+    recovery advice, the engine's capacity+deferred-error discipline).
     """
     t = values.type
     idx = indices.values.astype(jnp.int32)
@@ -179,10 +188,11 @@ def take_array(values: Array, indices: Array) -> Array:
                      length=out_len)
 
     if t.is_varlen:
-        return _take_varlen(values, idx, indices, out_len)
+        return _take_varlen(values, idx, indices, out_len, grow)
 
     if isinstance(t, dt.StructType):
-        children = tuple(take_array(c, indices) for c in values.children)
+        children = tuple(take_array(c, indices, grow)
+                         for c in values.children)
         validity = _gather_validity(values, idx, indices.validity)
         return Array(t, values.values[idx], validity, length=out_len,
                      children=children)
@@ -201,7 +211,7 @@ def take_array(values: Array, indices: Array) -> Array:
         return Array(t, codes, None, length=out_len, children=children)
 
     if isinstance(t, dt.ListType):
-        return _take_list(values, idx, indices, out_len)
+        return _take_list(values, idx, indices, out_len, grow)
 
     if isinstance(t, dt.RunEndEncodedType):
         # decode -> take -> re-encode keeps the column type stable
@@ -214,7 +224,8 @@ def take_array(values: Array, indices: Array) -> Array:
     return Array(t, out_vals, validity, length=out_len)
 
 
-def _take_list(values: Array, idx: jax.Array, indices: Array, out_len):
+def _take_list(values: Array, idx: jax.Array, indices: Array, out_len,
+               grow: int = 1):
     """list<T> gather: new offsets from gathered run lengths, then the
     child rows gather through a searchsorted row map (same two-phase shape
     as ``_take_varlen`` but over child rows instead of bytes)."""
@@ -229,11 +240,12 @@ def _take_list(values: Array, idx: jax.Array, indices: Array, out_len):
     lens = jnp.where(sel_ok, off[idx + 1] - off[idx], 0)
     new_off = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(lens).astype(jnp.int32)])
-    ccap = max(child.capacity, 1)
+    in_ccap = max(child.capacity, 1)
+    ccap = in_ccap * max(int(grow), 1)
     total = new_off[-1]
     cidx = jax.lax.broadcasted_iota(jnp.int32, (ccap, 1), 0).reshape((ccap,))
     r = jnp.clip(rows_of_positions(new_off, ccap), 0, ocap - 1)
-    src = jnp.clip(off[idx[r]] + (cidx - new_off[r]), 0, ccap - 1)
+    src = jnp.clip(off[idx[r]] + (cidx - new_off[r]), 0, in_ccap - 1)
     child_idx = Array(dt.int32, src, None, length=total)
     new_child = take_array(child, child_idx)
     validity = _gather_validity(values, idx, indices.validity)
@@ -241,13 +253,16 @@ def _take_list(values: Array, idx: jax.Array, indices: Array, out_len):
                  dictionary=new_child, length=out_len)
 
 
-def _take_varlen(values: Array, idx: jax.Array, indices: Array, out_len):
+def _take_varlen(values: Array, idx: jax.Array, indices: Array, out_len,
+                 grow: int = 1):
     """Variable-length (string/binary) gather.
 
     Two-phase: (1) gather per-row byte lengths, prefix-sum into new offsets;
     (2) map every output byte position back to its source byte via a
     searchsorted over the new offsets. O(B log N) — later a Pallas kernel
-    with row-parallel DMA copies.
+    with row-parallel DMA copies. Output pool = ``grow`` x input pool
+    (see ``take_array``); an overflowing take keeps true offsets so
+    materialization can detect and report it.
     """
     t = values.type
     ocap = idx.shape[0]
@@ -260,13 +275,14 @@ def _take_varlen(values: Array, idx: jax.Array, indices: Array, out_len):
     lens = jnp.where(sel_ok, off[idx + 1] - off[idx], 0)
     new_off = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(lens).astype(jnp.int32)])
-    bcap = values.values.shape[0]
+    in_bcap = max(values.values.shape[0], 1)
+    bcap = in_bcap * max(int(grow), 1)
     total = new_off[-1]
     # output byte j -> row r -> source byte (scatter+cummax row map)
     bidx = jax.lax.broadcasted_iota(jnp.int32, (bcap, 1), 0).reshape((bcap,))
     r = jnp.clip(rows_of_positions(new_off, bcap), 0, ocap - 1)
     src = off[idx[r]] + (bidx - new_off[r])
-    src = jnp.clip(src, 0, bcap - 1)
+    src = jnp.clip(src, 0, in_bcap - 1)
     out_bytes = jnp.where(bidx < total, values.values[src], 0).astype(
         jnp.uint8)
     validity = _gather_validity(values, idx, indices.validity)

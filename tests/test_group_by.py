@@ -334,3 +334,66 @@ def test_group_by_approximate_median(rng):
         groups[k].append(v)
     for k, m in zip(got["k"].to_pylist(), got["v_approximate_median"].to_pylist()):
         assert m == pytest.approx(float(np.median(groups[k])), rel=1e-12)
+
+
+def test_raw_string_keys(rng):
+    """Raw (non-dictionary) string keys: fingerprint lanes + SlotStrings
+    uniques (the row-table varbinary-region analog, row_internal.h:33)."""
+    n = 1000
+    words = np.array(["alpha", "beta", "gamma", "delta",
+                      "a-much-longer-key-string", "z", ""])
+    t = pa.table({"k": pa.array(words[rng.integers(0, len(words), n)],
+                                pa.string()),
+                  "v": pa.array(rng.integers(0, 100, n))})
+    got = run_group_by(t, ["k"], [AggregateSpec("sum", "v"),
+                                  AggregateSpec("count", "v")])
+    expected = t.group_by("k").aggregate([("v", "sum"), ("v", "count")])
+    assert got.sort_by("k").to_pydict() == \
+        expected.sort_by("k").to_pydict()
+
+
+def test_raw_string_keys_with_nulls(rng):
+    n = 300
+    k = pa.array([None if i % 7 == 0 else str(i % 13) for i in range(n)],
+                 pa.string())
+    t = pa.table({"k": k, "v": pa.array(np.arange(n))})
+    got = run_group_by(t, ["k"], [AggregateSpec("sum", "v")])
+    expected = t.group_by("k").aggregate([("v", "sum")])
+    assert got.sort_by("k").to_pydict() == \
+        expected.sort_by("k").to_pydict()
+
+
+def test_raw_string_key_multibatch_merge(rng):
+    """Streaming consume + merge with SlotStrings uniques: two shards'
+    states merge through to_array -> re-consume (hash_aggregate.merge)."""
+    n = 1200
+    words = np.array(["x", "yy", "zzz", "wwww", "v5"])
+    t = pa.table({"k": pa.array(words[rng.integers(0, 5, n)], pa.string()),
+                  "v": pa.array(rng.integers(-50, 50, n))})
+    schema = Schema.from_pyarrow(t.schema)
+    aggs = [AggregateSpec("sum", "v"), AggregateSpec("min", "v")]
+    ha = HashAggregate(schema, ["k"], aggs, max_groups=64)
+    half = n // 2
+    b1 = at.Batch.from_pyarrow(t.slice(0, half).to_batches()[0])
+    b2 = at.Batch.from_pyarrow(t.slice(half).to_batches()[0])
+    s1 = ha.consume(ha.init_state(), b1)
+    s2 = ha.consume(ha.init_state(), b2)
+    merged = ha.merge(s1, s2)
+    got = pa.table(ha.finalize(merged).to_pyarrow())
+    expected = t.group_by("k").aggregate([("v", "sum"), ("v", "min")])
+    assert got.sort_by("k").to_pydict() == \
+        expected.sort_by("k").to_pydict()
+
+
+def test_raw_string_key_slot_overflow():
+    """Strings longer than varlen_slot_bytes set a deferred error
+    (reported through HashAggregate.errors, the node's raise path)."""
+    t = pa.table({"k": pa.array(["a" * 200, "b"], pa.string()),
+                  "v": pa.array([1, 2])})
+    tt = at.Table.from_pyarrow(t)
+    ha = HashAggregate(tt.schema, ["k"], [AggregateSpec("sum", "v")],
+                       max_groups=16)
+    state = ha.consume(ha.init_state(), tt.batches[0])
+    errs = ha.aggregator_errors(state)
+    assert errs, "slot overflow not reported"
+    assert "slot" in errs[0][0].error_message(errs[0][1])

@@ -250,3 +250,24 @@ def test_join_residual_ambiguous_field_raises(rng):
     with pytest.raises((ValueError, KeyError)):
         run_join(left, right, "inner", ["k"], ["k"],
                  filter=call("less", [field("v"), field("v")]))
+
+
+@pytest.mark.parametrize("join_type", JOIN_TYPES)
+def test_join_raw_string_keys(rng, join_type):
+    """Raw (non-dictionary) string join keys + string payloads: keys match
+    via full-content fingerprint lanes; payload takes scale the byte pool
+    by the fanout grow factor."""
+    words = ["apple", "pear", "plum", "kiwi", "mango", "fig", None]
+    lk = [words[i] for i in rng.integers(0, len(words), 300)]
+    rk = [words[i] for i in rng.integers(0, len(words), 40)]
+    left = pa.table({"k": pa.array(lk, pa.string()),
+                     "lv": pa.array(np.arange(300))})
+    right = pa.table({"k": pa.array(rk, pa.string()),
+                      "rs": pa.array([None if w is None else w.upper()
+                                      for w in rk], pa.string())})
+    got = run_join(left, right, join_type, ["k"], ["k"],
+                   output_suffix_for_left="_l", output_suffix_for_right="_r",
+                   max_build_rows=1 << 8, fanout_capacity=1 << 13)
+    expected = oracle_join(left, right, join_type, ["k"], ["k"])
+    got = got.rename_columns(expected.schema.names)
+    assert_join_equal(got, expected, msg=join_type)

@@ -95,6 +95,12 @@ class GroupedAggregator:
     """Base class. Subclasses define init/consume/merge/finalize."""
 
     name: str = ""
+    # True when every state leaf is a (G, ...) per-group row array, so a
+    # distributed combine can all_to_all state ROWS by key hash and fold
+    # them with `merge` (parallel/context pre-aggregated exchange).
+    # Aggregators with packed/global buffers (tdigest, count_distinct,
+    # list, pivot) opt out and force the raw-row shuffle path.
+    dist_rows: bool = True
 
     def __init__(self, in_type: Optional[dt.DataType], G: int, options=None):
         self.in_type = in_type
@@ -628,6 +634,8 @@ class GroupedCountDistinct(GroupedAggregator):
     replays the other table's occupied slots with remapped group-id lanes.
     """
 
+    dist_rows = False
+
     name = "count_distinct"
     out_type = dt.int64
 
@@ -770,6 +778,8 @@ class GroupedTDigest(GroupedAggregator):
     Output divergence: Arrow emits fixed_size_list<double>[#q]; this engine
     emits one float64 column for scalar q (the common case).
     """
+
+    dist_rows = False
 
     name = "tdigest"
     out_type = dt.float64

@@ -177,23 +177,43 @@ class HashAggregate:
         grouper to build the group-id mapping, then Merge each aggregator
         (the reference's Merge-with-group_id_mapping,
         ``groupby_aggregate_node.cc:255``)."""
-        grouper_state, agg_states, uniques = state
         o_grouper_state, o_agg_states, o_uniques = other_state
-        o_count = o_grouper_state.num_groups
         # other's uniques (capacity = max_groups) are consumed as keys;
         # varlen slot-form uniques compact to real varlen Arrays first so
         # the grouper fingerprints actual content bytes
         o_keys = [u.to_array(f.type) if isinstance(u, SlotStrings) else u
                   for u, f in zip(o_uniques, self.key_fields)]
+        return self.merge_rows(state, o_keys, o_agg_states,
+                               o_grouper_state.num_groups)
+
+    def merge_rows(self, state, o_keys, o_agg_states, o_count):
+        """Fold per-group state ROWS (keys + one state row per group) into
+        this state. The rows may come from another state's capacity-G
+        buffers (``merge``) or from an all_to_all exchange of pre-aggregated
+        shard states (parallel/context) — any capacity works; rows past
+        ``o_count`` are dropped."""
+        grouper_state, agg_states, uniques = state
         grouper_state, mapping = self.grouper.consume(
             grouper_state, o_keys, length=o_count)
         uniques = tuple(self.grouper.uniques_scatter(
             o_keys, mapping, uniques))
+        # inactive rows get gid -1; JAX scatters WRAP negative indices
+        # even under mode="drop", so route them to the truly-OOB index G
+        # (exchange buffers are zero-filled, not identity-filled)
+        mapping = jnp.where(mapping < 0, jnp.int32(self.max_groups),
+                            mapping)
         new_agg_states = []
         for agg, st, ost in zip(self._aggregators, agg_states,
                                 o_agg_states):
             new_agg_states.append(agg.merge(st, ost, mapping))
         return (grouper_state, tuple(new_agg_states), uniques)
+
+    @property
+    def supports_state_exchange(self) -> bool:
+        """True when every aggregator's state is per-group row-shaped, so
+        the distributed combine can exchange pre-aggregated state rows
+        (skew-immune) instead of raw input rows."""
+        return all(a.dist_rows for a in self._aggregators)
 
     def finalize(self, state) -> Batch:
         grouper_state, agg_states, uniques = state

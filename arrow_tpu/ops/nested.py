@@ -144,6 +144,8 @@ class GroupedList(GroupedAggregator):
     materializes with one lexsort at finalize — output is a list<T> column
     whose child rides the Array child slot."""
 
+    dist_rows = False
+
     name = "list"
     default_rows = 1 << 16
 

@@ -41,6 +41,8 @@ ERR_NULL_KEY = 4        # null pivot key (always an error, pivot_internal.cc
 class GroupedPivotWider(GroupedAggregator):
     """hash_pivot_wider: per group, one struct{key_names...: value_type}."""
 
+    dist_rows = False
+
     name = "pivot_wider"
 
     def __init__(self, in_type: Tuple[dt.DataType, dt.DataType], G: int,

@@ -101,15 +101,27 @@ class DistContext:
                  aggregates: Sequence, max_groups_per_shard: int = 1 << 14,
                  pre_filter: Optional[Expression] = None,
                  bucket_factor: int = 2) -> Table:
-        """Distributed grouped aggregation:
-        local (filter) -> hash shuffle by key (all_to_all) -> local grouped
-        aggregation -> per-shard disjoint group tables, host-concatenated.
+        """Distributed grouped aggregation.
+
+        Fast path (all aggregator states row-shaped): local
+        pre-aggregation + state-row exchange + Merge — skew-immune, one
+        exchanged row per (shard, distinct key) (parallel/dist_agg).
+        Fallback (tdigest/count_distinct/list/pivot): raw-row hash
+        shuffle (all_to_all) then local aggregation — subject to
+        bucket_factor capacity under key skew.
         """
         b = self.shard_batch(b) if not self._is_sharded(b) else b
         aggs = [a if isinstance(a, AggregateSpec) else AggregateSpec(*a)
                 for a in aggregates]
         ha = HashAggregate(b.schema, keys, aggs,
                            max_groups=max_groups_per_shard)
+        if ha.supports_state_exchange:
+            from .dist_agg import DistGroupBy
+            dgb = DistGroupBy(self, b.schema, keys, aggs,
+                              max_groups_per_shard=max_groups_per_shard,
+                              pre_filter=pre_filter)
+            state = dgb.consume(dgb.init_state(), b)
+            return dgb.finalize_table(state)
         schema = b.schema
         dictionaries = [b.column(i).dictionary
                         for i in range(b.num_columns)]

@@ -38,7 +38,66 @@ from ..core.schema import Schema
 from ..ops.hashing import hash32
 
 __all__ = ["partition_for_exchange", "exchange", "flatten_received",
-           "shuffle_batch"]
+           "shuffle_batch", "shuffle_rows"]
+
+
+def shuffle_rows(leaves: Sequence[Optional[jax.Array]], dest: jax.Array,
+                 num_partitions: int, bucket_capacity: int,
+                 axis_name: str):
+    """all_to_all arbitrary per-row leaves by explicit destination.
+
+    The leaf-level core of the exchange, shared by batch shuffles and the
+    pre-aggregated state-row exchange (parallel/context): rows whose
+    ``dest`` is in [0, P) are bucket-sorted into a fixed (P, B) send
+    buffer per leaf, swapped with ``all_to_all``, and front-compacted on
+    the receiving side. ``dest >= P`` drops the row (padding).
+
+    Returns (recv_leaves: list of (P*B, ...) arrays (None passes
+    through), total: int32 received-row count, error: int32 nonzero when
+    some bucket overflowed B).
+    """
+    P, B = num_partitions, bucket_capacity
+    cap = dest.shape[0]
+    dest = jnp.where(dest < P, dest, P)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0).reshape((cap,))
+    sorted_dest, perm = jax.lax.sort([dest.astype(jnp.int32), iota],
+                                     num_keys=1, is_stable=True)
+    from ..ops.pallas_kernels import partition_histogram
+    counts = partition_histogram(dest, P)
+    starts = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                              jnp.cumsum(counts)[:-1].astype(jnp.int32)])
+    pos_in_run = iota - starts[jnp.clip(sorted_dest, 0, P - 1)]
+    error = jnp.int32(jnp.any(counts > B))
+    flat_pos = jnp.where((sorted_dest < P) & (pos_in_run < B),
+                         sorted_dest * B + pos_in_run, P * B)
+    send = []
+    for leaf in leaves:
+        if leaf is None:
+            send.append(None)
+            continue
+        src = leaf[perm]
+        buf = jnp.zeros((P * B,) + leaf.shape[1:], dtype=leaf.dtype)
+        buf = buf.at[flat_pos].set(src, mode="drop", unique_indices=True)
+        send.append(buf.reshape((P, B) + leaf.shape[1:]))
+    recv, recv_counts = exchange(send, jnp.minimum(counts, B), axis_name)
+    total = jnp.sum(recv_counts).astype(jnp.int32)
+    rstarts = jnp.concatenate([
+        jnp.zeros((1,), jnp.int32),
+        jnp.cumsum(recv_counts)[:-1].astype(jnp.int32)])
+    pi = jax.lax.broadcasted_iota(jnp.int32, (P, B), 0)
+    ii = jax.lax.broadcasted_iota(jnp.int32, (P, B), 1)
+    outpos = jnp.where(ii < recv_counts[:, None],
+                       rstarts[:, None] + ii, P * B).reshape((P * B,))
+    out_leaves = []
+    for buf in recv:
+        if buf is None:
+            out_leaves.append(None)
+            continue
+        flat = buf.reshape((P * B,) + buf.shape[2:])
+        out = jnp.zeros_like(flat).at[outpos].set(
+            flat, mode="drop", unique_indices=True)
+        out_leaves.append(out)
+    return out_leaves, total, error
 
 
 def _column_leaves(b: Batch) -> List[jax.Array]:

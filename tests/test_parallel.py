@@ -90,3 +90,98 @@ def test_dist_sort_descending_primary(ctx, rng):
     got = ctx.sort_by(b, [("a", "descending")]).to_pyarrow()
     exp = t.sort_by([("a", "descending")])
     np.testing.assert_allclose(got["a"].to_pylist(), exp["a"].to_pylist())
+
+
+def test_dist_group_by_zipf_skew(ctx, rng):
+    """Zipf(1.5) keys: the state-row exchange moves one row per
+    (shard, distinct key) so data skew cannot overflow any bucket
+    (parallel/dist_agg — the combiner argument)."""
+    n = 1 << 15
+    z = rng.zipf(1.5, n).astype(np.int64) % 1000
+    t = pa.table({"k": pa.array(z), "v": pa.array(rng.integers(0, 10, n))})
+    b = at.Batch.from_pyarrow(t.to_batches()[0])
+    out = ctx.group_by(b, ["k"], [("sum", "v"), ("min", "v"),
+                                  ("max", "v"), ("mean", "v")],
+                       max_groups_per_shard=512)
+    got = out.to_pyarrow().sort_by([("k", "ascending")])
+    exp = t.group_by("k").aggregate(
+        [("v", "sum"), ("v", "min"), ("v", "max"),
+         ("v", "mean")]).sort_by([("k", "ascending")])
+    assert got["k"].to_pylist() == exp["k"].to_pylist()
+    assert got["v_sum"].to_pylist() == exp["v_sum"].to_pylist()
+    assert got["v_min"].to_pylist() == exp["v_min"].to_pylist()
+    assert got["v_max"].to_pylist() == exp["v_max"].to_pylist()
+    np.testing.assert_allclose(got["v_mean"].to_pylist(),
+                               exp["v_mean"].to_pylist(), rtol=1e-12)
+
+
+def test_dist_group_by_single_hot_key(ctx, rng):
+    """Degenerate skew: every row the same key."""
+    n = 1 << 14
+    t = pa.table({"k": pa.array(np.zeros(n, np.int64)),
+                  "v": pa.array(rng.integers(0, 100, n))})
+    b = at.Batch.from_pyarrow(t.to_batches()[0])
+    out = ctx.group_by(b, ["k"], [("sum", "v"), ("count_all",)],
+                       max_groups_per_shard=16)
+    got = out.to_pyarrow()
+    assert got.num_rows == 1
+    assert got["v_sum"][0].as_py() == int(t["v"].to_numpy().sum())
+    assert got["count_all"][0].as_py() == n
+
+
+def test_dist_group_by_streaming(ctx, rng):
+    """Streaming consume over several morsels, then one exchange+merge."""
+    from arrow_tpu.parallel import DistGroupBy
+    n = 1 << 14
+    t = pa.table({"k": pa.array(rng.integers(0, 200, n)),
+                  "v": pa.array(rng.integers(-50, 50, n))})
+    tt = at.Table.from_pyarrow(t, max_rows_per_batch=1 << 12)
+    assert len(tt.batches) > 1
+    dgb = DistGroupBy(ctx, tt.schema, ["k"],
+                      [("sum", "v"), ("count", "v"), ("variance", "v")],
+                      max_groups_per_shard=256)
+    state = dgb.init_state()
+    for bb in tt.batches:
+        state = dgb.consume(state, bb)
+    got = dgb.finalize_table(state).to_pyarrow().sort_by(
+        [("k", "ascending")])
+    exp = t.group_by("k").aggregate(
+        [("v", "sum"), ("v", "count"), ("v", "variance")]).sort_by(
+        [("k", "ascending")])
+    assert got["k"].to_pylist() == exp["k"].to_pylist()
+    assert got["v_sum"].to_pylist() == exp["v_sum"].to_pylist()
+    assert got["v_count"].to_pylist() == exp["v_count"].to_pylist()
+    np.testing.assert_allclose(got["v_variance"].to_pylist(),
+                               exp["v_variance"].to_pylist(), rtol=1e-9)
+
+
+def test_dist_group_by_fallback_count_distinct(ctx, rng):
+    """count_distinct state is not row-shaped -> raw-row shuffle path."""
+    t = pa.table({"k": pa.array(rng.integers(0, 20, 4096)),
+                  "v": pa.array(rng.integers(0, 5, 4096))})
+    b = at.Batch.from_pyarrow(t.to_batches()[0])
+    out = ctx.group_by(b, ["k"], [("count_distinct", "v")],
+                       max_groups_per_shard=64)
+    got = out.to_pyarrow().sort_by([("k", "ascending")])
+    exp = t.group_by("k").aggregate([("v", "count_distinct")]).sort_by(
+        [("k", "ascending")])
+    assert got["k"].to_pylist() == exp["k"].to_pylist()
+    assert got["v_count_distinct"].to_pylist() == \
+        exp["v_count_distinct"].to_pylist()
+
+
+def test_dist_group_by_dict_keys(ctx, rng):
+    """Dictionary-typed keys through the state exchange: codes travel,
+    the replicated dictionary reattaches at collect."""
+    words = np.array(["alpha", "beta", "gamma", "delta"])
+    raw = pa.array(words[rng.integers(0, 4, 4096)])
+    t = pa.table({"k": raw.dictionary_encode(),
+                  "v": pa.array(rng.integers(0, 100, 4096))})
+    b = at.Batch.from_pyarrow(t.to_batches()[0])
+    out = ctx.group_by(b, ["k"], [("sum", "v")], max_groups_per_shard=16)
+    got = out.to_pyarrow()
+    got = pa.table({"k": got["k"].cast(pa.string()), "v_sum": got["v_sum"]})
+    exp = pa.table({"k": raw, "v": t["v"]}).group_by("k").aggregate(
+        [("v", "sum")])
+    assert got.sort_by("k").to_pydict() == \
+        exp.rename_columns(["k", "v_sum"]).sort_by("k").to_pydict()

@@ -414,7 +414,12 @@ class AggregateNode(ExecNode):
     def __init__(self, options: opts.AggregateNodeOptions, inputs):
         super().__init__(options, inputs)
         self._in_schema = self.inputs[0].output_schema()
-        if options.keys:
+        self._dist = getattr(options, "dist", None)
+        if options.keys and self._dist is not None:
+            self.ha = HashAggregate(self._in_schema, options.keys,
+                                    options.aggregates,
+                                    max_groups=options.max_groups)
+        elif options.keys:
             key = ("aggregate", self._in_schema, tuple(options.keys),
                    plan_sig(options.aggregates), options.max_groups)
             self.ha, self._consume, self._finalize = cached_stage(
@@ -447,6 +452,9 @@ class AggregateNode(ExecNode):
         return Schema(tuple(fields))
 
     def batches(self) -> Iterator[Batch]:
+        if self.ha is not None and self._dist is not None:
+            yield from self._batches_dist()
+            return
         if self.ha is not None:
             ha = self.ha
             state = ha.init_state()
@@ -465,6 +473,34 @@ class AggregateNode(ExecNode):
                 raise RuntimeError(f"aggregate: {msg}")
             yield maybe_compact(self._finalize(state).with_index(0))
             return
+        yield from self._batches_scalar()
+
+    def _batches_dist(self) -> Iterator[Batch]:
+        """SPMD over the mesh: streaming local pre-aggregation per shard
+        + one skew-immune state-row exchange (parallel/dist_agg); falls
+        back to the raw-row shuffle for aggregators whose state is not
+        row-shaped (DistContext.group_by handles both)."""
+        o = self.options
+        if self.ha.supports_state_exchange:
+            from ..parallel.dist_agg import DistGroupBy
+            dgb = DistGroupBy(self._dist, self._in_schema, o.keys,
+                              o.aggregates,
+                              max_groups_per_shard=o.max_groups)
+            state = dgb.init_state()
+            for b in materialized_stream(self.inputs[0]):
+                state = dgb.consume(state, b)
+            table = dgb.finalize_table(state)
+        else:
+            accumulated = [b for b in materialized_stream(self.inputs[0])]
+            if not accumulated:
+                accumulated = [empty_batch(self._in_schema)]
+            big = concat_batches(accumulated)
+            table = self._dist.group_by(big, o.keys, o.aggregates,
+                                        max_groups_per_shard=o.max_groups)
+        for i, b in enumerate(table.batches):
+            yield b.with_index(i)
+
+    def _batches_scalar(self) -> Iterator[Batch]:
         # scalar aggregation: accumulate then reduce once
         accumulated = [b for b in self.inputs[0].batches()]
         if not accumulated:
@@ -580,6 +616,15 @@ class HashJoinNode(ExecNode):
     def __init__(self, options: opts.HashJoinNodeOptions, inputs):
         super().__init__(options, inputs)
         from ..ops.join import HashJoin
+        self._dist = getattr(options, "dist", None)
+        if self._dist is not None:
+            from ..parallel.dist_join import DistHashJoin
+            self._dhj = DistHashJoin(
+                self._dist, inputs[0].output_schema(),
+                inputs[1].output_schema(), options,
+                fanout_per_shard=options.fanout_capacity)
+            self.join = self._dhj.hj
+            return
         key = ("hashjoin", inputs[0].output_schema(),
                inputs[1].output_schema(), plan_sig(options))
         self.join, self._build, self._probe, self._finish = cached_stage(
@@ -593,6 +638,9 @@ class HashJoinNode(ExecNode):
         return self.join.out_schema
 
     def batches(self) -> Iterator[Batch]:
+        if self._dist is not None:
+            yield from self._batches_dist()
+            return
         build_batches = [b for b in materialized_stream(self.inputs[1])]
         if not build_batches:
             bs = self._build(empty_batch(self.inputs[1].output_schema()))
@@ -614,6 +662,25 @@ class HashJoinNode(ExecNode):
         tail = self._finish(bs)
         if tail is not None:
             yield tail.with_index(i)
+
+    def _batches_dist(self) -> Iterator[Batch]:
+        """SPMD over the mesh: build batches shuffle+accumulate per
+        shard, one per-shard build, probe batches stream through the
+        co-partitioning shuffle (parallel/dist_join)."""
+        dhj = self._dhj
+        bs = dhj.init_build()
+        for b in materialized_stream(self.inputs[1]):
+            bs = dhj.consume_build(bs, b)
+        ps = dhj.finish_build(bs)
+        i = 0
+        for b in materialized_stream(self.inputs[0]):
+            outs, ps = dhj.probe(ps, b)
+            for ob in outs:
+                yield maybe_compact(ob.with_index(i))
+                i += 1
+        for ob in dhj.finish(ps):
+            yield ob.with_index(i)
+            i += 1
 
 
 @register_node_factory("union")

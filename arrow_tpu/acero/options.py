@@ -75,7 +75,8 @@ class AggregateNodeOptions(ExecNodeOptions):
 
     def __init__(self, aggregates: Sequence, keys: Sequence[str] = (),
                  segment_keys: Sequence[str] = (),
-                 max_groups: int = 1 << 16):
+                 max_groups: int = 1 << 16,
+                 dist=None):
         self.aggregates = [
             a if isinstance(a, AggregateSpec) else AggregateSpec(*a)
             for a in aggregates]
@@ -88,6 +89,10 @@ class AggregateNodeOptions(ExecNodeOptions):
         self.keys = list(segment_keys) + [k for k in keys
                                           if k not in set(segment_keys)]
         self.max_groups = max_groups
+        # DistContext: run the keyed aggregation SPMD over the mesh
+        # (streaming local pre-aggregation + state-row exchange + Merge,
+        # parallel/dist_agg). max_groups then bounds PER-SHARD groups.
+        self.dist = dist
 
 
 class OrderByNodeOptions(ExecNodeOptions):
@@ -119,7 +124,8 @@ class HashJoinNodeOptions(ExecNodeOptions):
                  output_suffix_for_right: str = "",
                  max_build_rows: int = 1 << 20,
                  fanout_capacity: Optional[int] = None,
-                 filter=None):
+                 filter=None,
+                 dist=None):
         assert join_type in ("inner", "left outer", "right outer",
                              "full outer", "left semi", "right semi",
                              "left anti", "right anti")
@@ -143,6 +149,11 @@ class HashJoinNodeOptions(ExecNodeOptions):
         # then the right input schema; a name present in both is an
         # error (acero resolves ambiguity the same way: bind fails).
         self.filter = filter
+        # DistContext: run this join SPMD over the mesh (co-partitioning
+        # all_to_all shuffle + per-shard build/probe, parallel/dist_join;
+        # the exchange-operator role Acero lacks — overview.rst:99-110).
+        # max_build_rows then bounds the PER-SHARD build side.
+        self.dist = dist
 
 
 class TpchGenNodeOptions(ExecNodeOptions):

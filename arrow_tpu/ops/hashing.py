@@ -194,6 +194,13 @@ def hash32(columns: Sequence[Array],
 
     Null rows: a null key value hashes as value-bits with a null marker
     mixed in (so null == null groups together, distinct from zero).
+
+    The hash is a pure function of each row's (value, is_null) pair —
+    NOT of whether the column carries a validity buffer. A column with
+    validity=None must hash identically to the same column with an
+    all-true validity mask: co-partitioning (dist join/group_by) hashes
+    build and probe sides independently, and one side materializing its
+    validity while the other omits it must not desync the partitions.
     """
     cap = columns[0].capacity
     h = jnp.full((cap,), jnp.uint32(seed ^ 0x9747B28C), dtype=jnp.uint32)
@@ -206,10 +213,14 @@ def hash32(columns: Sequence[Array],
                 lane = jnp.where(c.validity, lane, jnp.uint32(0))
             h = _mix32(h, lane ^ jnp.uint32((col_seed * (ci + 1)) &
                                             0xFFFFFFFF))
+        # marker round runs unconditionally (0 for valid / absent
+        # validity) so validity-buffer presence never changes the hash
         if c.validity is not None:
             null_marker = jnp.where(c.validity, jnp.uint32(0),
                                     jnp.uint32(0x7FB5D329))
-            h = _mix32(h, null_marker)
+        else:
+            null_marker = jnp.zeros((cap,), dtype=jnp.uint32)
+        h = _mix32(h, null_marker)
     return _fmix32(h)
 
 

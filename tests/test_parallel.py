@@ -185,3 +185,114 @@ def test_dist_group_by_dict_keys(ctx, rng):
         [("v", "sum")])
     assert got.sort_by("k").to_pydict() == \
         exp.rename_columns(["k", "v_sum"]).sort_by("k").to_pydict()
+
+
+# ---------------------------------------------------------------------------
+# plan-integrated distribution: dist= on HashJoinNodeOptions /
+# AggregateNodeOptions runs the node SPMD inside a Declaration pipeline
+# ---------------------------------------------------------------------------
+
+def _sorted_dict(t):
+    u = [f"c{i}" for i in range(t.num_columns)]
+    return t.rename_columns(u).sort_by(
+        [(x, "ascending") for x in u]).to_pydict()
+
+
+@pytest.mark.parametrize("join_type", ["inner", "left outer", "full outer",
+                                       "left anti", "right semi"])
+def test_plan_dist_join_streaming(ctx, rng, join_type):
+    """Declaration hashjoin with dist=ctx: build batches shuffle+
+    accumulate, probe batches stream; matches the single-chip plan."""
+    from arrow_tpu.acero import (Declaration, FilterNodeOptions,
+                                 TableSourceNodeOptions)
+    from arrow_tpu.compute.expressions import field
+    nl, nr = 5000, 800
+    lt = pa.table({"k": pa.array(rng.integers(0, 400, nl)),
+                   "lv": pa.array(rng.integers(0, 1000, nl))})
+    rt = pa.table({"k": pa.array(rng.integers(0, 400, nr)),
+                   "rv": pa.array(rng.integers(0, 1000, nr))})
+
+    def run(dist):
+        left = Declaration("table_source",
+                           TableSourceNodeOptions(lt, max_batch_rows=1024))
+        right = Declaration("table_source",
+                            TableSourceNodeOptions(rt, max_batch_rows=256))
+        left = Declaration("filter",
+                           FilterNodeOptions(field("lv") < 700), [left])
+        d = Declaration("hashjoin", HashJoinNodeOptions(
+            join_type, ["k"], ["k"], max_build_rows=1 << 11,
+            fanout_capacity=1 << 13, output_suffix_for_left="_l",
+            output_suffix_for_right="_r", dist=dist), [left, right])
+        return d.to_pyarrow()
+
+    assert _sorted_dict(run(None)) == _sorted_dict(run(ctx))
+
+
+def test_plan_dist_join_chained(ctx, rng):
+    """Two chained dist joins: the second consumes the first's emitted
+    batches directly. Regression: hash32 once depended on validity-buffer
+    PRESENCE, desyncing build/probe co-partitioning between a dist-join
+    output (materialized validity) and a table source (validity=None)."""
+    from arrow_tpu.acero import Declaration, TableSourceNodeOptions
+    na, nb, nc = 4000, 900, 700
+    ta_ = pa.table({"k": pa.array(rng.integers(0, 300, na)),
+                    "av": pa.array(rng.integers(0, 1000, na))})
+    tb_ = pa.table({"k": pa.array(rng.integers(0, 300, nb)),
+                    "j": pa.array(rng.integers(0, 200, nb)),
+                    "bv": pa.array(rng.integers(0, 1000, nb))})
+    tc_ = pa.table({"j": pa.array(rng.integers(0, 200, nc)),
+                    "cv": pa.array(rng.integers(0, 1000, nc))})
+
+    def run(d1, d2):
+        bc = Declaration("hashjoin", HashJoinNodeOptions(
+            "inner", ["j"], ["j"], max_build_rows=1 << 11,
+            fanout_capacity=1 << 14, output_suffix_for_left="_b",
+            output_suffix_for_right="_c", dist=d1),
+            [Declaration("table_source",
+                         TableSourceNodeOptions(tb_, max_batch_rows=256)),
+             Declaration("table_source",
+                         TableSourceNodeOptions(tc_, max_batch_rows=256))])
+        abc = Declaration("hashjoin", HashJoinNodeOptions(
+            "inner", ["k"], ["k"], max_build_rows=1 << 13,
+            fanout_capacity=1 << 16, output_suffix_for_left="_a",
+            output_suffix_for_right="_bc", dist=d2),
+            [Declaration("table_source",
+                         TableSourceNodeOptions(ta_, max_batch_rows=512)),
+             bc])
+        return abc.to_pyarrow()
+
+    exp = _sorted_dict(run(None, None))
+    assert _sorted_dict(run(ctx, ctx)) == exp
+
+
+def test_plan_dist_aggregate_streaming(ctx, rng):
+    """Declaration aggregate with dist=ctx: streaming per-shard
+    pre-aggregation + state-row exchange through the plan API."""
+    from arrow_tpu.acero import (AggregateNodeOptions, Declaration,
+                                 TableSourceNodeOptions)
+    n = 8192
+    t = pa.table({"k": pa.array(rng.integers(0, 97, n)),
+                  "v": pa.array(rng.integers(0, 1000, n))})
+
+    def run(dist):
+        d = Declaration("aggregate", AggregateNodeOptions(
+            [("sum", "v"), ("count_all",)], keys=["k"],
+            max_groups=256, dist=dist),
+            [Declaration("table_source",
+                         TableSourceNodeOptions(t, max_batch_rows=1024))])
+        return d.to_pyarrow().sort_by([("k", "ascending")])
+
+    assert run(None).to_pydict() == run(ctx).to_pydict()
+
+
+def test_hash32_validity_presence_invariant(rng):
+    """hash32(col with validity=None) == hash32(col with all-true mask)."""
+    import jax.numpy as jnp
+    from arrow_tpu.core import datatype as dt
+    from arrow_tpu.core.array import Array
+    from arrow_tpu.ops.hashing import hash32
+    vals = jnp.asarray(rng.integers(0, 1000, 257))
+    a = Array(dt.int64, vals, None, length=257)
+    b = Array(dt.int64, vals, jnp.ones((257,), jnp.bool_), length=257)
+    np.testing.assert_array_equal(np.asarray(hash32([a], seed=7)),
+                                  np.asarray(hash32([b], seed=7)))

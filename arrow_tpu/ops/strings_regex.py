@@ -253,18 +253,9 @@ class Utf8NormalizeOptions:
         self.form = form
 
 
-@register_function("utf8_reverse", Kind.SCALAR, 1,
-                   null_handling=NullHandling.COMPUTED)
-def _utf8_reverse(args, options):
-    import pyarrow as pa
-    return _host_elementwise(args[0], lambda s: s[::-1], pa.string())
-
-
-@register_function("utf8_swapcase", Kind.SCALAR, 1,
-                   null_handling=NullHandling.COMPUTED)
-def _utf8_swapcase(args, options):
-    import pyarrow as pa
-    return _host_elementwise(args[0], str.swapcase, pa.string())
+# utf8_reverse / utf8_swapcase moved to ops/strings.py: both now run on
+# device (codepoint scatter / oracle-derived case LUT) — str.swapcase
+# here even disagreed with utf8proc (full vs simple mapping of U+00DF).
 
 
 @register_function("utf8_zero_fill", Kind.SCALAR, 1,

@@ -485,6 +485,24 @@ class UnionType(DataType):
         return self.type_codes.index(code)
 
 
+@dataclass(frozen=True)
+class MonthIntervalType(DataType):
+    """Calendar month interval (``type.h`` MonthIntervalType): one int32
+    month count per row — plain primitive storage."""
+
+    @property
+    def id(self) -> str:
+        return "month_interval"
+
+    @property
+    def storage_np(self) -> np.dtype:
+        return np.dtype(np.int32)
+
+    @property
+    def is_primitive(self) -> bool:
+        return True
+
+
 # ---- canonical singletons -------------------------------------------------
 int8 = IntegerType(8, True)
 int16 = IntegerType(16, True)
@@ -507,6 +525,88 @@ date64 = Date64Type()
 ALL_INTEGER = (int8, int16, int32, int64, uint8, uint16, uint32, uint64)
 ALL_FLOATING = (float16, float32, float64)
 ALL_NUMERIC = ALL_INTEGER + ALL_FLOATING
+
+
+# ---- derived layouts (subclasses share their base's array machinery) -------
+
+@dataclass(frozen=True)
+class DayTimeIntervalType(StructType):
+    """Interval of (days int32, milliseconds int32) (``type.h``
+    DayTimeIntervalType). Engine layout: a StructType subclass — the
+    components ride as struct children so every nested kernel (take,
+    filter, concat) applies unchanged; only interop repacks the 8-byte
+    pairs."""
+
+    fields: tuple = (("days", int32), ("milliseconds", int32))
+
+    @property
+    def id(self) -> str:
+        return "day_time_interval"
+
+
+@dataclass(frozen=True)
+class MonthDayNanoIntervalType(StructType):
+    """Interval of (months int32, days int32, nanoseconds int64)
+    (``type.h`` MonthDayNanoIntervalType); struct-subclass layout like
+    DayTimeIntervalType."""
+
+    fields: tuple = (("months", int32), ("days", int32),
+                     ("nanoseconds", int64))
+
+    @property
+    def id(self) -> str:
+        return "month_day_nano_interval"
+
+
+@dataclass(frozen=True)
+class MapType(ListType):
+    """map<K, V> (``type.h`` MapType) = list<struct<key, value>> with the
+    entries struct in the list child slot — the physical layout Arrow
+    itself uses (Columnar.rst map layout), so list kernels apply as-is."""
+
+    keys_sorted: bool = False
+
+    @property
+    def id(self) -> str:
+        kt, it = self.key_type, self.item_type
+        return f"map<{kt}, {it}{', keys_sorted' if self.keys_sorted else ''}>"
+
+    @property
+    def key_type(self) -> DataType:
+        return self.value_type.fields[0][1]
+
+    @property
+    def item_type(self) -> DataType:
+        return self.value_type.fields[1][1]
+
+
+@dataclass(frozen=True)
+class FixedSizeListType(ListType):
+    """fixed_size_list<T, k> (``type.h`` FixedSizeListType). Engine
+    layout: identical to list<T> with offsets synthesized as
+    ``arange(cap+1) * k`` at ingest — one int32 per row buys every list
+    kernel unchanged."""
+
+    list_size: int = 0
+
+    @property
+    def id(self) -> str:
+        return f"fixed_size_list<{self.value_type}, {self.list_size}>"
+
+
+month_interval = MonthIntervalType()
+day_time_interval = DayTimeIntervalType()
+month_day_nano_interval = MonthDayNanoIntervalType()
+
+
+def map_(key_type: DataType, item_type: DataType,
+         keys_sorted: bool = False) -> MapType:
+    return MapType(StructType((("key", key_type), ("value", item_type))),
+                   keys_sorted)
+
+
+def fixed_size_list(value_type: DataType, list_size: int) -> FixedSizeListType:
+    return FixedSizeListType(value_type, list_size)
 
 
 def timestamp(unit: str = "us", tz: Optional[str] = None) -> TimestampType:
@@ -591,9 +691,29 @@ def to_pyarrow_type(t: DataType):
         return pa.duration(t.unit)
     if isinstance(t, DecimalType):
         return pa.decimal128(t.precision, t.scale)
+    if isinstance(t, MonthIntervalType):
+        # pyarrow<=25 exposes NO python constructor/wrapper for
+        # month_interval (pc.month_interval_between's own result cannot
+        # be wrapped: KeyError 21) — materialize as the storage type
+        if hasattr(pa, "month_interval"):
+            return pa.month_interval()
+        return pa.int32()
+    if isinstance(t, DayTimeIntervalType):
+        if hasattr(pa, "day_time_interval"):
+            return pa.day_time_interval()
+        return pa.struct([("days", pa.int32()),
+                          ("milliseconds", pa.int32())])
+    if isinstance(t, MonthDayNanoIntervalType):
+        return pa.month_day_nano_interval()
     if isinstance(t, DictionaryType):
         return pa.dictionary(to_pyarrow_type(t.index_type),
                              to_pyarrow_type(t.value_type), t.ordered)
+    if isinstance(t, MapType):
+        return pa.map_(to_pyarrow_type(t.key_type),
+                       to_pyarrow_type(t.item_type),
+                       keys_sorted=t.keys_sorted)
+    if isinstance(t, FixedSizeListType):
+        return pa.list_(to_pyarrow_type(t.value_type), t.list_size)
     if isinstance(t, ListType):
         return pa.list_(to_pyarrow_type(t.value_type))
     if isinstance(t, StructType):
@@ -641,9 +761,26 @@ def from_pyarrow_type(pt) -> DataType:
         return DurationType(pt.unit)
     if pat.is_decimal(pt):
         return DecimalType(pt.precision, pt.scale)
+    if pat.is_interval(pt):
+        if pt.equals(pa.month_day_nano_interval()):
+            return month_day_nano_interval
+        # month_interval / day_time_interval have no python-API
+        # constructors in pyarrow<=25; match on the type string
+        if str(pt) == "month_interval":
+            return month_interval
+        if str(pt) == "day_time_interval":
+            return day_time_interval
+        raise NotImplementedError(f"interval type {pt}")
     if pat.is_dictionary(pt):
         return DictionaryType(from_pyarrow_type(pt.index_type),
                               from_pyarrow_type(pt.value_type), pt.ordered)
+    if pat.is_map(pt):
+        return map_(from_pyarrow_type(pt.key_type),
+                    from_pyarrow_type(pt.item_type),
+                    keys_sorted=bool(pt.keys_sorted))
+    if pat.is_fixed_size_list(pt):
+        return FixedSizeListType(from_pyarrow_type(pt.value_type),
+                                 pt.list_size)
     if pat.is_list(pt) or pat.is_large_list(pt):
         return ListType(from_pyarrow_type(pt.value_type))
     if pat.is_struct(pt):

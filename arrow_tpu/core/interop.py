@@ -135,10 +135,23 @@ def array_from_pyarrow(pa_arr, capacity: Optional[int] = None,
         return Array(t, jnp.asarray(data), validity,
                      offsets=jnp.asarray(offsets), length=n)
 
+    if isinstance(t, dt.FixedSizeListType):
+        # fixed_size_list<T, k>: offsets synthesized as arange*k (see
+        # datatype.FixedSizeListType) so list kernels apply unchanged
+        k = t.list_size
+        child = array_from_pyarrow(pa_arr.values.slice(pa_arr.offset * k,
+                                                       n * k))
+        offsets = np.full((cap + 1,), n * k, dtype=np.int32)
+        offsets[:n + 1] = np.arange(n + 1, dtype=np.int32) * k
+        return Array(t, jnp.zeros((0,), jnp.uint8), validity,
+                     offsets=jnp.asarray(offsets), dictionary=child,
+                     length=n)
+
     if isinstance(t, dt.ListType):
-        # list<T>: offsets into CHILD ROWS; the child Array rides in the
-        # `dictionary` child slot (one child slot serves dictionary AND
-        # list layouts — they are mutually exclusive)
+        # list<T> (and map<K,V>, a ListType subclass whose child is the
+        # entries struct): offsets into CHILD ROWS; the child Array rides
+        # in the `dictionary` child slot (one child slot serves
+        # dictionary AND list layouts — they are mutually exclusive)
         import pyarrow as pa_mod
         if pa.types.is_large_list(pa_arr.type):
             pa_arr = pa_arr.cast(pa_mod.list_(pa_arr.type.value_type))
@@ -180,6 +193,23 @@ def array_from_pyarrow(pa_arr, capacity: Optional[int] = None,
                 for i in range(pa_arr.type.num_fields))
         return Array(t, jnp.asarray(codes), None, offsets=offsets,
                      length=n, children=children)
+
+    if isinstance(t, (dt.DayTimeIntervalType, dt.MonthDayNanoIntervalType)):
+        # intervals are StructType subclasses (datatype.py): unpack the
+        # packed (i32,i32[,i64]) records into component children
+        packed = np.dtype([(nm, ft.storage_np) for nm, ft in t.fields])
+        children = []
+        rec = None
+        if pa_arr.buffers()[1] is not None and n:
+            raw = np.frombuffer(pa_arr.buffers()[1], dtype=packed)
+            rec = raw[pa_arr.offset:pa_arr.offset + n]
+        for nm, ft in t.fields:
+            buf = np.zeros((cap,), dtype=ft.storage_np)
+            if rec is not None:
+                buf[:n] = rec[nm]
+            children.append(Array(ft, jnp.asarray(buf), None, length=n))
+        return Array(t, jnp.zeros((cap,), jnp.uint8), validity,
+                     length=n, children=tuple(children))
 
     if isinstance(t, dt.StructType):
         # struct<...>: same-length children ride in the ``children`` slot;
@@ -249,12 +279,29 @@ def array_to_pyarrow(arr: Array):
              pa.py_buffer(data.tobytes())],
             null_count=null_count if validity_buf else 0)
 
+    if isinstance(t, dt.FixedSizeListType):
+        off = np.asarray(jax.device_get(arr.offsets))[:n + 1].astype(
+            np.int32)
+        nchild = int(off[-1]) if len(off) else 0
+        child = array_to_pyarrow(arr.dictionary.with_length(nchild))
+        return pa.Array.from_buffers(
+            pa_type, n, [validity_buf],
+            null_count=null_count if validity_buf else 0, children=[child])
+
     if isinstance(t, dt.ListType):
         off = np.asarray(jax.device_get(arr.offsets))[:n + 1].astype(
             np.int32)
         nchild = int(off[-1]) if len(off) else 0
         child = array_to_pyarrow(arr.dictionary.with_length(nchild))
-        lists = pa.ListArray.from_buffers(
+        if isinstance(t, dt.MapType):
+            # the map's entries struct requires a non-nullable key field;
+            # rebuild the child with the exact entries type
+            entries = pa.struct([
+                pa.field("key", dt.to_pyarrow_type(t.key_type),
+                         nullable=False),
+                pa.field("value", dt.to_pyarrow_type(t.item_type))])
+            child = child.cast(entries)
+        lists = pa.Array.from_buffers(
             pa_type, n, [validity_buf, pa.py_buffer(off.tobytes())],
             null_count=null_count if validity_buf else 0,
             children=[child])
@@ -275,6 +322,19 @@ def array_to_pyarrow(arr: Array):
             pa.array(codes, type=pa.int8()),
             pa.array(off, type=pa.int32()), children,
             field_names=names, type_codes=list(t.type_codes))
+
+    if isinstance(t, (dt.DayTimeIntervalType, dt.MonthDayNanoIntervalType)) \
+            and pa.types.is_interval(pa_type):
+        # pa_type degrades to a plain struct when pyarrow's python API
+        # lacks the interval (see datatype.to_pyarrow_type) — that case
+        # falls through to the StructType branch below
+        packed = np.dtype([(nm, ft.storage_np) for nm, ft in t.fields])
+        rec = np.zeros(n, dtype=packed)
+        for (nm, _ft), c in zip(t.fields, arr.children or ()):
+            rec[nm] = np.asarray(jax.device_get(c.values))[:n]
+        return pa.Array.from_buffers(
+            pa_type, n, [validity_buf, pa.py_buffer(rec.tobytes())],
+            null_count=null_count if validity_buf else 0)
 
     if isinstance(t, dt.StructType):
         children = [array_to_pyarrow(c.with_length(n))

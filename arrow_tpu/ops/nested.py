@@ -311,3 +311,69 @@ def _list_slice(args, options):
     new_child = take_array(child, Array(dt.int32, src, None, length=total))
     return Array(a.type, jnp.zeros((0,), jnp.uint8), a.validity,
                  offsets=new_off, dictionary=new_child, length=a.length)
+
+
+# ---- map_lookup ----------------------------------------------------------------
+
+class MapLookupOptions:
+    def __init__(self, query_key=None, occurrence: str = "first"):
+        assert occurrence in ("first", "last", "all")
+        self.query_key = query_key
+        self.occurrence = occurrence
+
+
+@register_function("map_lookup", Kind.SCALAR, 1,
+                   null_handling=NullHandling.COMPUTED,
+                   options_class=MapLookupOptions)
+def _map_lookup(args, options):
+    """scalar_nested.cc MapLookupFunctor (:734): per-map-row value(s)
+    whose entry key equals ``query_key``. first/last emit the item type,
+    all emits list<item>; no match (or null map) emits null — never an
+    empty list (matches the oracle)."""
+    from ..compute.registry import call_function
+    from .selection import filter_array, rows_of_positions
+    a = args[0]
+    if not isinstance(a.type, dt.MapType):
+        raise TypeError("map_lookup expects a map array")
+    if options is None or options.query_key is None:
+        raise ValueError("map_lookup: query_key can't be empty or null")
+    entries = a.dictionary
+    keys, items = entries.children
+    ccap = max(keys.capacity, 1)
+    qk = options.query_key
+    if hasattr(qk, "as_py"):            # pyarrow scalar -> python value
+        qk = qk.as_py()
+    eq = call_function("equal", [keys, qk])
+    hit = eq.values.astype(jnp.bool_) & eq.validity_or_true()
+    # bound child rows to their owning map row
+    r = jnp.clip(rows_of_positions(a.offsets, ccap), 0, a.capacity - 1)
+    cidx = jax.lax.broadcasted_iota(jnp.int32, (ccap, 1), 0).reshape((ccap,))
+    in_child = cidx < a.offsets[a.capacity]
+    hit = hit & in_child
+    present = a.present_mask()
+
+    if options.occurrence == "all":
+        lens = jnp.zeros((a.capacity,), jnp.int32).at[
+            jnp.where(in_child, r, a.capacity)].add(
+            hit.astype(jnp.int32), mode="drop")
+        new_off = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                                   jnp.cumsum(lens).astype(jnp.int32)])
+        picked = filter_array(items, Array(dt.bool_, hit, None,
+                                           length=a.offsets[a.capacity]))
+        validity = present & (lens > 0)
+        return Array(dt.ListType(a.type.item_type),
+                     jnp.zeros((0,), jnp.uint8), validity,
+                     offsets=new_off, dictionary=picked, length=a.length)
+
+    reduce_at = jnp.where(hit, r, a.capacity)
+    if options.occurrence == "first":
+        pos = jnp.full((a.capacity,), ccap, jnp.int32).at[reduce_at].min(
+            cidx, mode="drop")
+        found = pos < ccap
+    else:
+        pos = jnp.full((a.capacity,), -1, jnp.int32).at[reduce_at].max(
+            cidx, mode="drop")
+        found = pos >= 0
+    src = jnp.where(found, pos, 0)
+    out = take_array(items, Array(dt.int32, src, None, length=a.length))
+    return out.with_validity(out.validity_or_true() & found & present)

@@ -132,3 +132,19 @@ def _is_in(args, options):
                    options_class=SetLookupOptions)
 def _index_in(args, options):
     return index_in_array(args[0], options)
+
+
+@register_function("is_in_meta_binary", Kind.SCALAR, 2,
+                   null_handling=NullHandling.COMPUTED)
+def _is_in_meta_binary(args, options):
+    """Binary (2-arg) convenience variant of is_in: the value set rides
+    as the second argument instead of options (api_scalar.cc IsIn meta)."""
+    return is_in_array(args[0], SetLookupOptions(value_set=args[1],
+                                                 skip_nulls=False))
+
+
+@register_function("index_in_meta_binary", Kind.SCALAR, 2,
+                   null_handling=NullHandling.COMPUTED)
+def _index_in_meta_binary(args, options):
+    return index_in_array(args[0], SetLookupOptions(value_set=args[1],
+                                                    skip_nulls=False))

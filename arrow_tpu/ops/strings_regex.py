@@ -287,3 +287,35 @@ def _utf8_normalize(args, options):
     form = options.form
     return _host_elementwise(
         args[0], lambda s: unicodedata.normalize(form, s), pa.string())
+
+
+@register_function("extract_regex_span", Kind.SCALAR, 1,
+                   null_handling=NullHandling.COMPUTED,
+                   options_class=ExtractRegexOptions)
+def _extract_regex_span(args, options):
+    """Named groups -> struct<group: fixed_size_list<int32, 2>, ...> of
+    (byte offset, byte length) spans; null on no match. The pattern runs
+    over UTF-8 BYTES (python re in bytes mode) so offsets match RE2's
+    byte spans (scalar_string*.cc extract_regex_span)."""
+    import pyarrow as pa
+    rx = _compile(options.pattern)
+    names = [n for n, _ in sorted(rx.groupindex.items(),
+                                  key=lambda kv: kv[1])]
+    if not names:
+        raise ValueError("extract_regex_span requires named groups "
+                         "(?P<name>...)")
+    brx = re.compile(options.pattern.encode("utf-8"))
+
+    def ext(s):
+        m = brx.search(s.encode("utf-8"))
+        if m is None:
+            return None
+        out = {}
+        for n in names:
+            st, en = m.span(n)
+            out[n] = None if st < 0 else [st, en - st]
+        return out
+    out = [None if v is None else ext(v) for v in _pylist(args[0])]
+    return _from_py(
+        out, pa.struct([(n, pa.list_(pa.int32(), 2)) for n in names]),
+        args[0].capacity)

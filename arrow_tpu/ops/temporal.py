@@ -407,6 +407,73 @@ def _register_between():
 _register_between()
 
 
+# ---- interval-producing *_between (scalar_temporal_binary.cc:178-275) ------
+
+def _between_validity(a: Array, b: Array):
+    validity = None
+    for x in (a, b):
+        if x.validity is not None:
+            validity = x.validity if validity is None else \
+                (validity & x.validity)
+    return validity
+
+
+def _interval_struct(t, comps, validity, length, cap):
+    children = tuple(
+        Array(ft, v.astype(ft.storage_np), None, length=length)
+        for (_n, ft), v in zip(t.fields, comps))
+    return Array(t, jnp.zeros((cap,), jnp.uint8), validity, length=length,
+                 children=children)
+
+
+@register_function("month_interval_between", Kind.SCALAR, 2,
+                   null_handling=NullHandling.COMPUTED)
+def _month_interval_between(args, options):
+    """MonthsBetween (scalar_temporal_binary.cc:178): calendar month
+    index difference as a month_interval."""
+    a, b = args
+    da, _ = _days_and_tod_ns(a)
+    db, _ = _days_and_tod_ns(b)
+    ya, ma, _ = civil_from_days(da)
+    yb, mb, _ = civil_from_days(db)
+    out = (yb * 12 + mb) - (ya * 12 + ma)
+    return Array(dt.month_interval, out.astype(jnp.int32),
+                 _between_validity(a, b), length=a.length)
+
+
+@register_function("day_time_interval_between", Kind.SCALAR, 2,
+                   null_handling=NullHandling.COMPUTED)
+def _day_time_interval_between(args, options):
+    """DayTimeBetween (scalar_temporal_binary.cc:253): whole-day
+    difference + time-of-day millisecond difference."""
+    a, b = args
+    da, ta = _days_and_tod_ns(a)
+    db, tb = _days_and_tod_ns(b)
+    days = (db - da).astype(jnp.int32)
+    millis = (tb // 1_000_000 - ta // 1_000_000).astype(jnp.int32)
+    return _interval_struct(dt.day_time_interval, (days, millis),
+                            _between_validity(a, b), a.length, a.capacity)
+
+
+@register_function("month_day_nano_interval_between", Kind.SCALAR, 2,
+                   null_handling=NullHandling.COMPUTED)
+def _month_day_nano_interval_between(args, options):
+    """MonthDayNanoBetween (scalar_temporal_binary.cc:224): calendar
+    month difference, day-of-month difference, time-of-day nanosecond
+    difference."""
+    a, b = args
+    da, ta = _days_and_tod_ns(a)
+    db, tb = _days_and_tod_ns(b)
+    ya, ma, dda = civil_from_days(da)
+    yb, mb, ddb = civil_from_days(db)
+    months = ((yb * 12 + mb) - (ya * 12 + ma)).astype(jnp.int32)
+    days = (ddb - dda).astype(jnp.int32)
+    nanos = (tb - ta).astype(jnp.int64)
+    return _interval_struct(dt.month_day_nano_interval,
+                            (months, days, nanos),
+                            _between_validity(a, b), a.length, a.capacity)
+
+
 @register_function("iso_calendar", Kind.SCALAR, 1,
                    null_handling=NullHandling.COMPUTED)
 def _iso_calendar(args, options):

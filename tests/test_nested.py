@@ -65,3 +65,78 @@ def test_group_by_list(rng):
     gd = dict(zip(got["k"].to_pylist(), got["v_list"].to_pylist()))
     ed = dict(zip(exp["k"].to_pylist(), exp["v_list"].to_pylist()))
     assert gd == ed
+
+
+# ---- map / fixed_size_list / interval types (VERDICT r1 #10) ----------------
+
+def test_map_roundtrip_and_take(rng):
+    m = pa.array([[('a', 1), ('b', 2), ('a', 3)], [], None, [('c', 9)]],
+                 type=pa.map_(pa.string(), pa.int64()))
+    b = at.Batch.from_pyarrow(pa.record_batch({"m": m}))
+    assert b.to_pyarrow()["m"].to_pylist() == m.to_pylist()
+    idx = at.array(pa.array([3, 0, 1], type=pa.int32()))
+    got = atc.call_function("take", [b["m"], idx]).to_pyarrow().to_pylist()
+    assert got == pc.take(m, pa.array([3, 0, 1])).to_pylist()
+
+
+def test_fixed_size_list_roundtrip_and_filter():
+    f = pa.array([[1, 2], [3, 4], None, [5, 6]], type=pa.list_(pa.int64(), 2))
+    b = at.Batch.from_pyarrow(pa.record_batch({"f": f}))
+    assert b.to_pyarrow()["f"].to_pylist() == f.to_pylist()
+    mask = pa.array([True, False, True, True])
+    got = atc.call_function("filter", [b["f"], at.array(mask)])
+    assert got.to_pyarrow().to_pylist() == f.filter(mask).to_pylist()
+
+
+@pytest.mark.parametrize("occurrence", ["first", "last", "all"])
+def test_map_lookup(occurrence):
+    from arrow_tpu.ops.nested import MapLookupOptions
+    m = pa.array([[('a', 1), ('b', 2), ('a', 3)], [], None, [('c', 9)],
+                  [('a', 7)]],
+                 type=pa.map_(pa.string(), pa.int64()))
+    got = atc.call_function(
+        "map_lookup", [at.array(m)],
+        options=MapLookupOptions(pa.scalar('a'), occurrence)
+    ).to_pyarrow().to_pylist()
+    assert got == pc.map_lookup(m, pa.scalar('a'), occurrence).to_pylist()
+
+
+def test_month_day_nano_interval_between():
+    import datetime as dtm
+    a = pa.array([dtm.datetime(2020, 1, 31, 23, 30),
+                  dtm.datetime(2020, 6, 1), None])
+    b = pa.array([dtm.datetime(2020, 3, 1, 1, 15),
+                  dtm.datetime(2019, 1, 2, 5), dtm.datetime(2020, 1, 1)])
+    got = atc.call_function("month_day_nano_interval_between",
+                            [at.array(a), at.array(b)])
+    assert got.to_pyarrow().to_pylist() == \
+        pc.month_day_nano_interval_between(a, b).to_pylist()
+    # roundtrip of the interval column itself
+    m = pc.month_day_nano_interval_between(a, b)
+    rb = at.Batch.from_pyarrow(pa.record_batch({"i": m}))
+    assert rb.to_pyarrow()["i"].to_pylist() == m.to_pylist()
+
+
+def test_month_and_day_time_interval_between():
+    """pyarrow's python API cannot wrap its own month_interval /
+    day_time_interval results (KeyError 21), so these check hand-computed
+    values per scalar_temporal_binary.cc:178,253."""
+    import datetime as dtm
+    a = pa.array([dtm.date(2020, 1, 31), dtm.date(2021, 3, 1)])
+    b = pa.array([dtm.date(2021, 3, 2), dtm.date(2021, 1, 15)])
+    got = atc.call_function("month_interval_between",
+                            [at.array(a), at.array(b)])
+    assert got.to_pylist() == [14, -2]
+    ts = pa.array([dtm.datetime(2020, 1, 31, 23, 30)])
+    ts2 = pa.array([dtm.datetime(2020, 3, 1, 1, 15)])
+    got = atc.call_function("day_time_interval_between",
+                            [at.array(ts), at.array(ts2)])
+    assert got.to_pylist() == [{"days": 30, "milliseconds": -80100000}]
+
+
+def test_registry_covers_all_pyarrow_functions():
+    """The full pc.list_functions() surface is registered (306/306)."""
+    from arrow_tpu.compute.registry import registry, ensure_kernels_loaded
+    ensure_kernels_loaded()
+    missing = set(pc.list_functions()) - set(registry.list_functions())
+    assert not missing, sorted(missing)

@@ -174,3 +174,19 @@ def test_scatter_round_binary_winsorize_utf8_extras():
     assert cf("utf8_normalize", [at.array(n)],
               options=Utf8NormalizeOptions("NFD")).to_pylist() == \
         pc.utf8_normalize(n, form="NFD").to_pylist()
+
+
+def test_extract_regex_span():
+    s = pa.array(['héllo12', None, 'x', 'a1b22', ''])
+    got = cf("extract_regex_span", [at.array(s)],
+             pattern=r'(?P<d>\d+)').to_pyarrow().to_pylist()
+    assert got == pc.extract_regex_span(s, pattern=r'(?P<d>\d+)').to_pylist()
+
+
+def test_meta_binary_set_lookup():
+    v = pa.array([1, 2, 3, None])
+    vs = pa.array([2, 9])
+    got = cf("is_in_meta_binary", [at.array(v), at.array(vs)])
+    assert got.to_pylist() == pc.is_in_meta_binary(v, vs).to_pylist()
+    got = cf("index_in_meta_binary", [at.array(v), at.array(vs)])
+    assert got.to_pylist() == pc.index_in_meta_binary(v, vs).to_pylist()

@@ -108,7 +108,7 @@ def cached_stage(key: tuple, make):
     return obj
 
 
-def checked_jit(fn):
+def checked_jit(fn, static_argnums=()):
     """``jax.jit`` for expression-bearing stages: carries deferred
     data-dependent errors (``*_checked`` overflow, divide-by-zero — the
     ArrowInvalid aborts of ``scalar_arithmetic.cc:339``) out of the
@@ -130,7 +130,7 @@ def checked_jit(fn):
             msgs.extend(scope.messages())
             return out, scope.encode()
 
-    jitted = jax.jit(traced)
+    jitted = jax.jit(traced, static_argnums=static_argnums)
 
     def call(*a, **k):
         out, code = jitted(*a, **k)
@@ -628,11 +628,49 @@ class HashJoinNode(ExecNode):
         key = ("hashjoin", inputs[0].output_schema(),
                inputs[1].output_schema(), plan_sig(options))
         self.join, self._build, self._probe, self._finish = cached_stage(
-            key, lambda: (lambda j: (j, jax.jit(j.build), checked_jit(j.probe),
+            key, lambda: (lambda j: (j, jax.jit(j.build),
+                                     checked_jit(j.probe,
+                                                 static_argnums=(2,)),
                                      jax.jit(j.finish)))(
                 HashJoin(inputs[0].output_schema(),
                          inputs[1].output_schema(), options)))
         self._key = key
+        # Bloom pushdown (``hash_join_node.cc:499``; options.h:682
+        # disable_bloom_filter). Probe rows whose keys cannot be in the
+        # build side are dropped — or, for left anti, emitted directly —
+        # BEFORE the probe, and the host re-bucket (maybe_compact) shrinks
+        # the probe sort's static capacity. Outer-left joins skip it
+        # (negatives would still need null-extended emission).
+        jt = options.join_type
+        self._bloom_kind = None
+        if not getattr(options, "disable_bloom_filter", False) \
+                and self._dist is None:
+            if jt in ("inner", "left semi", "right semi", "right anti",
+                      "right outer"):
+                self._bloom_kind = "drop"
+            elif jt == "left anti":
+                self._bloom_kind = "split"
+        if self._bloom_kind is not None:
+            self._bloom_build, self._bloom_split = cached_stage(
+                key + ("bloom",),
+                lambda: (jax.jit(self.join.bloom_build),
+                         jax.jit(self._make_bloom_split())))
+
+    def _make_bloom_split(self):
+        join, kind = self.join, self._bloom_kind
+        from ..core.array import row_mask
+
+        def run(bits, b: Batch):
+            hit = join.bloom_mask(bits, b)
+            pos = filter_batch(b, hit)
+            if kind == "split":
+                neg_vals = row_mask(b.capacity, b.length) & ~hit.values
+                neg = filter_batch(
+                    b, Array(dt.bool_, neg_vals, None, length=b.length))
+                return pos, join._rename(neg.select(join.left_out))
+            return pos, None
+
+        return run
 
     def output_schema(self) -> Schema:
         return self.join.out_schema
@@ -648,9 +686,32 @@ class HashJoinNode(ExecNode):
             bs = self._build(build_batches[0])
         else:
             bs = self._build(concat_batches(build_batches))
+        bits = self._bloom_build(bs) if self._bloom_kind is not None \
+            else None
+        seen = passed = 0
         i = 0
         for b in materialized_stream(self.inputs[0]):
-            out, bs = self._probe(bs, b)
+            fanout = None
+            if bits is not None:
+                pos, neg = self._bloom_split(bits, b)
+                if neg is not None:
+                    yield maybe_compact(neg.with_index(i))
+                    i += 1
+                n_in = int(np.asarray(jax.device_get(b.length)))
+                n_pos = int(np.asarray(jax.device_get(pos.length)))
+                seen += n_in
+                passed += n_pos
+                if seen >= (1 << 17) and passed * 10 > seen * 9:
+                    bits = None   # not selective enough to pay for itself
+                if n_pos == 0:
+                    continue      # nothing can match; no state to update
+                # default fanout stays sized by the PRE-compaction batch:
+                # shrinking the probe bucket must never shrink the output
+                # capacity the un-bloomed plan would have had
+                if self.join.options.fanout_capacity is None:
+                    fanout = b.capacity
+                b = maybe_compact(pos)
+            out, bs = self._probe(bs, b, fanout)
             if out is not None:
                 yield maybe_compact(out.with_index(i))
                 i += 1

@@ -125,7 +125,8 @@ class HashJoinNodeOptions(ExecNodeOptions):
                  max_build_rows: int = 1 << 20,
                  fanout_capacity: Optional[int] = None,
                  filter=None,
-                 dist=None):
+                 dist=None,
+                 disable_bloom_filter: bool = False):
         assert join_type in ("inner", "left outer", "right outer",
                              "full outer", "left semi", "right semi",
                              "left anti", "right anti")
@@ -154,6 +155,9 @@ class HashJoinNodeOptions(ExecNodeOptions):
         # the exchange-operator role Acero lacks — overview.rst:99-110).
         # max_build_rows then bounds the PER-SHARD build side.
         self.dist = dist
+        # ``options.h:682``: whether to disable Bloom pushdown (the
+        # probe-side pre-filter + host re-bucket; ops/bloom.py).
+        self.disable_bloom_filter = disable_bloom_filter
 
 
 class TpchGenNodeOptions(ExecNodeOptions):

@@ -213,6 +213,30 @@ class HashJoin:
                           error, key_lanes, bgids)
 
     # ------------------------------------------------------------------
+    def bloom_build(self, bs: BuildState) -> jax.Array:
+        """Bloom bitset over the build side's distinct key lanes
+        (``bloom_filter.h:42`` BlockedBloomFilter; see ops/bloom.py for
+        the TPU redesign)."""
+        from .bloom import bloom_m_log2, build_bloom
+        G = self.max_build_rows
+        gidx = jax.lax.broadcasted_iota(jnp.int32, (G, 1), 0).reshape((G,))
+        active = gidx < bs.grouper_state
+        return build_bloom(bs.key_lanes, active, bloom_m_log2(G))
+
+    def bloom_mask(self, bits: jax.Array, left: Batch) -> Array:
+        """bool mask: True where the probe row's key MAY match the build
+        side. Null-key / out-of-range rows -> False (they never key-match
+        any build row, for every join type)."""
+        from .bloom import query_bloom
+        from .grouper import group_key_lanes
+        cap = left.capacity
+        keys = [left.column(k) for k in self.left_keys]
+        ok = _all_valid(keys, cap) & row_mask(cap, left.length)
+        lanes = group_key_lanes(keys, self.grouper.key_nullable)
+        hit = query_bloom(bits, lanes, ok)
+        return Array(dt.bool_, hit, None, length=left.length)
+
+    # ------------------------------------------------------------------
     def _probe_gids(self, bs: BuildState, left: Batch,
                     keys: Sequence[Array], ok: jax.Array) -> jax.Array:
         """Sort-merge find: concat (unique build key lanes ++ probe keys),

@@ -271,3 +271,52 @@ def test_join_raw_string_keys(rng, join_type):
     expected = oracle_join(left, right, join_type, ["k"], ["k"])
     got = got.rename_columns(expected.schema.names)
     assert_join_equal(got, expected, msg=join_type)
+
+
+# ---- Bloom pushdown (ops/bloom.py; reference bloom_filter.h:42) ----------
+
+def test_bloom_unit_no_false_negatives(rng):
+    """Every inserted key queries True; disjoint keys mostly query False."""
+    import jax.numpy as jnp
+    from arrow_tpu.ops.bloom import bloom_m_log2, build_bloom, query_bloom
+    n = 1 << 10
+    keys = jnp.arange(n, dtype=jnp.uint32).reshape(n, 1) * 2654435761
+    lanes = keys.astype(jnp.uint32)
+    active = jnp.ones((n,), jnp.bool_)
+    bits = build_bloom(lanes, active, bloom_m_log2(n))
+    hit = query_bloom(bits, lanes, active)
+    assert bool(hit.all()), "false negative"
+    other = (jnp.arange(n, dtype=jnp.uint32) + n).reshape(n, 1) * 2654435761
+    fp = query_bloom(bits, other.astype(jnp.uint32), active)
+    fpr = float(fp.sum()) / n
+    assert fpr < 0.12, f"FPR {fpr} too high (expect ~3% at 8 slots/key)"
+
+
+@pytest.mark.parametrize("join_type",
+                         ["inner", "left semi", "left anti", "right outer"])
+def test_bloom_selective_join_oracle(rng, join_type):
+    """~2% selective probe side: bloom drops (or anti-emits) most rows
+    before the probe; output must still match pyarrow exactly."""
+    lk = rng.integers(0, 100_000, 5000)
+    rk = rng.integers(0, 100, 64)          # tiny build side
+    left = pa.table({"k": pa.array(lk), "lv": pa.array(np.arange(5000))})
+    right = pa.table({"k": pa.array(rk), "rv": pa.array(np.arange(64))})
+    got = run_join(left, right, join_type, ["k"], ["k"],
+                   max_build_rows=1 << 8, batch_rows=1 << 10)
+    expected = oracle_join(left, right, join_type, ["k"], ["k"])
+    got = got.rename_columns(expected.schema.names)
+    assert_join_equal(got, expected, msg=f"bloom {join_type}")
+
+
+def test_bloom_disable_flag_matches(rng):
+    lk = rng.integers(0, 10_000, 2000)
+    rk = rng.integers(0, 50, 32)
+    left = pa.table({"k": pa.array(lk), "lv": pa.array(np.arange(2000))})
+    right = pa.table({"k": pa.array(rk), "rv": pa.array(np.arange(32))})
+    a = run_join(left, right, "inner", ["k"], ["k"],
+                 disable_bloom_filter=True)
+    b = run_join(left, right, "inner", ["k"], ["k"],
+                 disable_bloom_filter=False)
+    expected = oracle_join(left, right, "inner", ["k"], ["k"])
+    assert_join_equal(a.rename_columns(expected.schema.names), expected)
+    assert_join_equal(b.rename_columns(expected.schema.names), expected)

@@ -625,16 +625,6 @@ class HashJoinNode(ExecNode):
                 fanout_per_shard=options.fanout_capacity)
             self.join = self._dhj.hj
             return
-        key = ("hashjoin", inputs[0].output_schema(),
-               inputs[1].output_schema(), plan_sig(options))
-        self.join, self._build, self._probe, self._finish = cached_stage(
-            key, lambda: (lambda j: (j, jax.jit(j.build),
-                                     checked_jit(j.probe,
-                                                 static_argnums=(2,)),
-                                     jax.jit(j.finish)))(
-                HashJoin(inputs[0].output_schema(),
-                         inputs[1].output_schema(), options)))
-        self._key = key
         # Bloom pushdown (``hash_join_node.cc:499``; options.h:682
         # disable_bloom_filter). Probe rows whose keys cannot be in the
         # build side are dropped — or, for left anti, emitted directly —
@@ -650,6 +640,23 @@ class HashJoinNode(ExecNode):
                 self._bloom_kind = "drop"
             elif jt == "left anti":
                 self._bloom_kind = "split"
+        self._make_stages(options)
+
+    def _make_stages(self, options):
+        """(Re)build the jitted join stack for `options` — also the
+        build-overflow recovery path (a larger ``max_build_rows`` is a new
+        static shape, hence a new compile, cached per capacity)."""
+        from ..ops.join import HashJoin
+        key = ("hashjoin", self.inputs[0].output_schema(),
+               self.inputs[1].output_schema(), plan_sig(options))
+        self.join, self._build, self._probe, self._finish = cached_stage(
+            key, lambda: (lambda j: (j, jax.jit(j.build),
+                                     checked_jit(j.probe,
+                                                 static_argnums=(2,)),
+                                     jax.jit(j.finish)))(
+                HashJoin(self.inputs[0].output_schema(),
+                         self.inputs[1].output_schema(), options)))
+        self._key = key
         if self._bloom_kind is not None:
             self._bloom_build, self._bloom_split = cached_stage(
                 key + ("bloom",),
@@ -681,11 +688,26 @@ class HashJoinNode(ExecNode):
             return
         build_batches = [b for b in materialized_stream(self.inputs[1])]
         if not build_batches:
-            bs = self._build(empty_batch(self.inputs[1].output_schema()))
+            build_in = empty_batch(self.inputs[1].output_schema())
         elif len(build_batches) == 1:
-            bs = self._build(build_batches[0])
+            build_in = build_batches[0]
         else:
-            bs = self._build(concat_batches(build_batches))
+            build_in = concat_batches(build_batches)
+        del build_batches
+        # build-overflow recovery: more distinct keys than max_build_rows
+        # -> double the group capacity and rebuild (the host-side bucketed
+        # re-execution promised by ops/join.py's deferred-error design)
+        bs = self._build(build_in)
+        while int(np.asarray(jax.device_get(bs.error))):
+            g = self.join.options.max_build_rows * 2
+            if g > (1 << 27):
+                raise RuntimeError(
+                    "hashjoin build overflow beyond 2^27 distinct keys")
+            import copy as _copy
+            o2 = _copy.copy(self.join.options)
+            o2.max_build_rows = g
+            self._make_stages(o2)
+            bs = self._build(build_in)
         bits = self._bloom_build(bs) if self._bloom_kind is not None \
             else None
         seen = passed = 0
@@ -711,15 +733,24 @@ class HashJoinNode(ExecNode):
                 if self.join.options.fanout_capacity is None:
                     fanout = b.capacity
                 b = maybe_compact(pos)
-            out, bs = self._probe(bs, b, fanout)
+            # fanout-overflow recovery: a batch whose match expansion
+            # exceeds the static slot count retries (from the SAME pre-
+            # probe state — probe is pure) at doubled fanout; probe is
+            # jitted with static fanout so each doubling is one new
+            # cached compile per bucket.
+            out, bs2 = self._probe(bs, b, fanout)
+            while int(np.asarray(jax.device_get(bs2.error))):
+                fanout = 2 * (fanout or self.join.options.fanout_capacity
+                              or b.capacity)
+                if fanout > (1 << 27):
+                    raise RuntimeError(
+                        "hashjoin fanout overflow beyond 2^27 pair slots "
+                        "in one batch; reduce max_batch_rows upstream")
+                out, bs2 = self._probe(bs, b, fanout)
+            bs = bs2
             if out is not None:
                 yield maybe_compact(out.with_index(i))
                 i += 1
-        err = int(np.asarray(jax.device_get(bs.error)))
-        if err:
-            raise RuntimeError(
-                f"hashjoin overflow (error={err}): raise max_build_rows/"
-                "fanout_capacity in HashJoinNodeOptions")
         tail = self._finish(bs)
         if tail is not None:
             yield tail.with_index(i)

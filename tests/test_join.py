@@ -149,11 +149,29 @@ def test_join_output_projection(rng):
         expected.sort_by(srt).to_pydict()
 
 
-def test_join_fanout_overflow_raises(rng):
+def test_join_fanout_overflow_recovers(rng):
+    """100x100 fanout (10k pairs) with a 64-slot fanout capacity: the
+    node retries the batch at doubled capacities until it fits (the
+    host-side bucketed re-execution of ops/join.py's deferred-error
+    design) instead of raising."""
     left = pa.table({"k": [1] * 100, "lv": list(range(100))})
     right = pa.table({"k": [1] * 100, "rv": list(range(100))})
-    with pytest.raises(RuntimeError, match="overflow"):
-        run_join(left, right, "inner", ["k"], ["k"], fanout_capacity=64)
+    got = run_join(left, right, "inner", ["k"], ["k"], fanout_capacity=64,
+                   output_suffix_for_left="_l", output_suffix_for_right="_r")
+    assert got.num_rows == 10_000
+
+
+def test_join_build_overflow_recovers(rng):
+    """More distinct build keys (100) than max_build_rows (16): the node
+    rebuilds at doubled group capacities until the build side fits."""
+    ks = list(range(100))
+    left = pa.table({"k": ks * 3, "lv": list(range(300))})
+    right = pa.table({"k": ks, "rv": [k * 10 for k in ks]})
+    got = run_join(left, right, "inner", ["k"], ["k"], max_build_rows=16,
+                   output_suffix_for_left="_l", output_suffix_for_right="_r")
+    expected = oracle_join(left, right, "inner", ["k"], ["k"])
+    got = got.rename_columns(expected.schema.names)
+    assert_join_equal(got, expected, msg="build overflow recovery")
 
 
 def test_join_empty_build(rng):

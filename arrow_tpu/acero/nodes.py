@@ -141,19 +141,134 @@ def checked_jit(fn, static_argnums=()):
     return call
 
 
+def _compact_sliceable(t) -> bool:
+    """Types whose prefix compaction is pure slicing (no gathers)."""
+    if isinstance(t, (dt.UnionType, dt.RunEndEncodedType,
+                      dt.FixedSizeListType)):
+        return False
+    if isinstance(t, dt.ListType):
+        return _compact_sliceable(t.value_type)
+    if isinstance(t, dt.StructType):
+        return all(_compact_sliceable(ft) for _, ft in t.fields)
+    return True
+
+
+def _usage_scalars(a: Array, n, acc: list) -> None:
+    """Device scalars sizing a column's slice spec, in traversal order:
+    varlen -> used bytes; list -> used child rows, then the child's own
+    spec recursively; struct -> each child's spec."""
+    t = a.type
+    if t.is_varlen:
+        acc.append(a.offsets[n])
+    elif isinstance(t, dt.ListType):
+        used = a.offsets[n]
+        acc.append(used)
+        _usage_scalars(a.dictionary, used, acc)
+    elif isinstance(t, dt.StructType):
+        for c in (a.children or ()):
+            _usage_scalars(c, n, acc)
+
+
+def _slice_targets(a: Array, vals: list, j: int, targets: list) -> tuple:
+    """Map the synced usage scalars to static slice targets (same
+    traversal order as ``_usage_scalars``). Returns (next j, any shrink)."""
+    from ..core.interop import pad_capacity
+    t = a.type
+    if t.is_varlen:
+        used, cur = vals[j], a.values.shape[0]
+        pt = min(pad_capacity(max(used, 1)), cur)
+        targets.append(pt)
+        return j + 1, pt * 2 <= cur
+    if isinstance(t, dt.ListType):
+        used, cur = vals[j], a.dictionary.capacity
+        ct = min(pad_capacity(max(used, 1)), cur)
+        targets.append(ct)
+        j2, s = _slice_targets(a.dictionary, vals, j + 1, targets)
+        return j2, s or ct * 2 <= cur
+    if isinstance(t, dt.StructType):
+        shrink = False
+        for c in (a.children or ()):
+            j, s = _slice_targets(c, vals, j, targets)
+            shrink = shrink or s
+        return j, shrink
+    return j, False
+
+
+def _slice_array(a: Array, target: int, targets) -> Array:
+    """Prefix-slice to `target` rows; `targets` iterates pool/child row
+    targets in ``_usage_scalars`` order."""
+    t = a.type
+    validity = None if a.validity is None else a.validity[:target]
+    if t.is_varlen:
+        pt = next(targets)
+        return Array(t, a.values[:pt], validity,
+                     offsets=a.offsets[:target + 1], length=a.length)
+    if isinstance(t, dt.ListType):
+        ct = next(targets)
+        child = _slice_array(a.dictionary, ct, targets)
+        return Array(t, jnp.zeros((0,), jnp.uint8), validity,
+                     offsets=a.offsets[:target + 1], dictionary=child,
+                     length=a.length)
+    if isinstance(t, dt.StructType):
+        children = tuple(_slice_array(c, target, targets)
+                         for c in (a.children or ()))
+        return Array(t, a.values[:target], validity, length=a.length,
+                     children=children)
+    if isinstance(t, dt.DictionaryType):
+        return Array(t, a.values[:target], validity,
+                     dictionary=a.dictionary, length=a.length)
+    return Array(t, a.values[:target], validity, length=a.length)
+
+
 def maybe_compact(b: Batch) -> Batch:
-    """Shrink a sparsely-filled batch to its capacity bucket.
+    """Shrink a sparsely-filled batch to its capacity bucket — rows AND
+    varlen byte pools / list child rows.
 
     Pipeline-breaker outputs (join fanout, aggregate finalize) carry
     worst-case static capacities; when the dynamic length lands far
     below, every downstream sort/scan would still pay the full capacity.
     The pull engine is host-driven between stages anyway, so one scalar
-    sync + a bucketed gather rebases the batch (the TPU-shape analog of
-    Acero re-slicing accumulated batches to 32Ki outputs,
-    ``light_array_internal.h:420``). Off: ARROW_TPU_NO_COMPACT=1."""
+    sync + pure prefix SLICES rebase the batch (live rows are always a
+    prefix here; the TPU-shape analog of Acero re-slicing accumulated
+    batches to 32Ki outputs, ``light_array_internal.h:420``). Pool
+    shrinking matters independently of row count: a filtered string
+    batch otherwise drags its full input byte pool through every
+    downstream stage. Off: ARROW_TPU_NO_COMPACT=1."""
     import os
     if os.environ.get("ARROW_TPU_NO_COMPACT"):
         return b
+    from ..core.interop import pad_capacity
+    if not all(_compact_sliceable(b.column(i).type)
+               for i in range(b.num_columns)):
+        return _compact_take(b)
+    acc = [jnp.asarray(b.length)]
+    for i in range(b.num_columns):
+        _usage_scalars(b.column(i), b.length, acc)
+    vals = [int(np.asarray(v)) for v in jax.device_get(acc)]
+    n = vals[0]
+    target = min(pad_capacity(max(n, 1)), b.capacity)
+    targets: list = []
+    j, pool_shrink = 1, False
+    for i in range(b.num_columns):
+        j, s = _slice_targets(b.column(i), vals, j, targets)
+        pool_shrink = pool_shrink or s
+    if target * 2 > b.capacity and not pool_shrink:
+        return b
+
+    def run(bb: Batch) -> Batch:
+        it = iter(targets)
+        arrays = [_slice_array(bb.column(i), target, it)
+                  for i in range(bb.num_columns)]
+        return Batch(bb.schema, arrays, bb.length)
+
+    fn = cached_stage(("compact", b.schema, b.capacity, target,
+                       tuple(targets)), lambda: jax.jit(run))
+    return fn(b).with_index(b.index)
+
+
+def _compact_take(b: Batch) -> Batch:
+    """Gather-based compaction for layouts slicing can't rebase
+    (union/REE/fixed-size-list columns)."""
     from ..core.interop import pad_capacity
     n = int(np.asarray(jax.device_get(b.length)))
     target = pad_capacity(max(n, 1))
@@ -166,7 +281,7 @@ def maybe_compact(b: Batch) -> Batch:
                           bb.capacity - 1)
         return _take(bb, Array(dt.int32, idx, None, length=ln))
 
-    fn = cached_stage(("compact", b.schema, b.capacity, target),
+    fn = cached_stage(("compact_take", b.schema, b.capacity, target),
                       lambda: jax.jit(run))
     return fn(b, np.int32(n)).with_index(b.index)
 
@@ -820,14 +935,28 @@ class TpchGenNode(ExecNode):
 class SortedMergeNode(ExecNode):
     """``sorted_merge_node.cc:256``: k-way merge of ordered inputs.
 
-    TPU-native: the CPU's streaming heap-merge is a serial per-row loop;
-    here the accumulated inputs concat and one device sort re-establishes
-    the order (the sort unit outruns a heap by orders of magnitude at
-    engine batch sizes). Semantically identical for materialized outputs.
+    TPU-native STREAMING merge: the CPU's heap-merge is a serial per-row
+    loop; here each round device-sorts (carry ++ newly pulled batch) —
+    both already sorted, so the sort is cheap comparator work — and emits
+    the prefix at or below the *bound*: the lexicographic minimum of the
+    per-input tail keys (the last row of each input's latest batch). Rows
+    <= bound can never be preceded by unseen input, so they stream out;
+    the remainder carries to the next round. Memory is bounded by ~k
+    batches (each non-minimum input holds at most one outstanding batch),
+    matching the reference's streaming O(n) shape without its row loop.
+
+    Cross-batch key comparison needs batch-independent lane encodings, so
+    dictionary/varlen sort keys fall back to accumulate + one device sort
+    (their lane maps are per-batch); payload columns can be anything.
     """
 
     def __init__(self, options: opts.SortedMergeNodeOptions, inputs):
         super().__init__(options, inputs)
+        schema = inputs[0].output_schema()
+        key_types = [schema.field(k.name).type for k in options.sort_keys]
+        self._streaming = len(inputs) >= 2 and all(
+            not t.is_varlen and not isinstance(t, dt.DictionaryType)
+            for t in key_types)
 
         def run(big: Batch) -> Batch:
             idx = sort_indices_batch(big, SortOptions(
@@ -844,11 +973,99 @@ class SortedMergeNode(ExecNode):
         return self.inputs[0].output_schema()
 
     def batches(self) -> Iterator[Batch]:
+        if self._streaming:
+            yield from self._batches_streaming()
+            return
         acc = [b for inp in self.inputs for b in inp.batches()]
         if not acc:
             return
         big = concat_batches(acc) if len(acc) > 1 else acc[0]
         yield self._run(big).with_index(0)
+
+    # -- streaming path ------------------------------------------------
+    def _make_tail(self):
+        from ..ops.sorting import batch_key_lanes
+        keys, npl = self.options.sort_keys, self.options.null_placement
+
+        def tail(b: Batch):
+            lanes = batch_key_lanes(b, keys, npl)
+            i = jnp.maximum(jnp.asarray(b.length, jnp.int32) - 1, 0)
+            return tuple(l[i] for l in lanes)
+
+        return tail
+
+    def _make_round(self):
+        from ..core.array import row_mask
+        from ..ops.sorting import (_composite_sort_perm, batch_key_lanes,
+                                   lex_leq)
+        keys, npl = self.options.sort_keys, self.options.null_placement
+        orders = [k.order for k in keys]
+
+        def rnd(bound, carry: Batch, *pending: Batch):
+            working = concat_batches([carry] + list(pending)) \
+                if pending else carry
+            cap = working.capacity
+            perm = _composite_sort_perm(
+                [working.column(k.name) for k in keys], orders, npl,
+                cap, working.length)
+            sb = take_batch(working, Array(
+                dt.int32, perm.astype(jnp.int32), None,
+                length=working.length))
+            leq = lex_leq(batch_key_lanes(sb, keys, npl), bound)
+            live = row_mask(cap, sb.length)
+            n_emit = jnp.sum((leq & live).astype(jnp.int32))
+            iota = jax.lax.broadcasted_iota(
+                jnp.int32, (cap, 1), 0).reshape((cap,))
+            emit = take_batch(sb, Array(dt.int32, iota, None,
+                                        length=n_emit))
+            rest = take_batch(sb, Array(
+                dt.int32, jnp.minimum(iota + n_emit, cap - 1), None,
+                length=sb.length - n_emit))
+            return emit, rest
+
+        return rnd
+
+    def _batches_streaming(self) -> Iterator[Batch]:
+        schema = self.output_schema()
+        sig = (schema, plan_sig(self.options.sort_keys),
+               self.options.null_placement)
+        tailj = cached_stage(("smerge_tail",) + sig,
+                             lambda: jax.jit(self._make_tail()))
+        its = [materialized_stream(inp) for inp in self.inputs]
+        k = len(its)
+        tails: list = [None] * k
+        pending: list = []
+
+        def pull(i):
+            for b in its[i]:
+                if int(np.asarray(jax.device_get(b.length))) == 0:
+                    continue
+                tails[i] = tuple(jax.device_get(tailj(b)))
+                pending.append(b)
+                return
+            tails[i] = None
+
+        for i in range(k):
+            pull(i)
+        carry = empty_batch(schema)
+        out_i = 0
+        while True:
+            alive = [i for i in range(k) if tails[i] is not None]
+            if not alive:
+                break
+            bound = min(tuple(tails[i]) for i in alive)
+            caps = (carry.capacity,) + tuple(b.capacity for b in pending)
+            rnd = cached_stage(("smerge_round",) + sig + (caps,),
+                               lambda: jax.jit(self._make_round()))
+            emit, carry = rnd(bound, carry, *pending)
+            pending = []
+            if int(np.asarray(jax.device_get(emit.length))):
+                yield maybe_compact(emit.with_index(out_i))
+                out_i += 1
+            carry = maybe_compact(carry)
+            pull(min(alive, key=lambda i: tuple(tails[i])))
+        if int(np.asarray(jax.device_get(carry.length))):
+            yield carry.with_index(out_i)
 
 
 @register_node_factory("asofjoin")

@@ -40,7 +40,8 @@ from ..compute.registry import Kind, NullHandling, register_function
 
 __all__ = ["SortKey", "SortOptions", "ArraySortOptions", "SelectKOptions",
            "RankOptions", "PartitionNthOptions", "sort_indices_batch",
-           "sort_indices_array", "sortable_lanes"]
+           "sort_indices_array", "sortable_lanes", "batch_key_lanes",
+           "lex_leq"]
 
 
 @dataclass(frozen=True)
@@ -182,6 +183,26 @@ def _composite_sort_perm(columns: Sequence[Array],
         (capacity,))
     out = jax.lax.sort(lanes + [iota], num_keys=len(lanes), is_stable=True)
     return out[-1]
+
+
+def batch_key_lanes(b: Batch, sort_keys, null_placement: str):
+    """Flat per-row lane list for a batch's sort keys — the total order
+    used by sort/merge. Lanes from the SAME key spec compare across
+    batches (the streaming sorted_merge's cross-batch bound test)."""
+    lanes = []
+    for sk in sort_keys:
+        lanes.extend(_key_lanes(b.column(sk.name), sk.order,
+                                null_placement, b.capacity))
+    return lanes
+
+
+def lex_leq(lanes, bound):
+    """Rowwise lexicographic ``row <= bound`` over parallel lane lists
+    (bound entries are scalars)."""
+    res = lanes[-1] <= bound[-1]
+    for i in range(len(lanes) - 2, -1, -1):
+        res = (lanes[i] < bound[i]) | ((lanes[i] == bound[i]) & res)
+    return res
 
 
 def sort_indices_array(a: Array, order: str = "ascending",

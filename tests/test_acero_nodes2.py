@@ -134,3 +134,41 @@ def test_record_batch_source_variants():
     d2 = Declaration("record_batch_reader_source",
                      RecordBatchReaderSourceNodeOptions(reader))
     assert d2.to_table().to_pyarrow()["x"].to_pylist() == list(range(10))
+
+
+def test_sorted_merge_streaming_multibatch(rng):
+    """Many small batches per input force many streaming rounds; keys
+    include a descending secondary and nulls (at_end)."""
+    srt = [("k", "ascending"), ("v", "descending")]
+    parts = []
+    for i in range(4):
+        n = int(rng.integers(300, 600))
+        k = rng.integers(0, 50, n).astype(np.int64)
+        v = rng.integers(0, 1000, n).astype(np.int64)
+        vm = rng.random(n) < 0.1
+        t = pa.table({"k": pa.array(k),
+                      "v": pa.array(v, mask=vm)}).sort_by(srt)
+        parts.append(t)
+    decl = Declaration("sorted_merge", SortedMergeNodeOptions(srt),
+        inputs=[Declaration("table_source",
+                            TableSourceNodeOptions(p, max_batch_rows=64))
+                for p in parts])
+    got = decl.to_pyarrow()
+    expected = pa.concat_tables(parts).sort_by(srt)
+    assert got["k"].to_pylist() == expected["k"].to_pylist()
+    assert got["v"].to_pylist() == expected["v"].to_pylist()
+
+
+def test_sorted_merge_uneven_exhaustion(rng):
+    """One input far longer than the others; another empty."""
+    srt = [("k", "ascending")]
+    a = pa.table({"k": pa.array(np.sort(rng.integers(0, 10_000, 3000)))})
+    b = pa.table({"k": pa.array(np.sort(rng.integers(0, 100, 50)))})
+    c = pa.table({"k": pa.array([], type=pa.int64())})
+    decl = Declaration("sorted_merge", SortedMergeNodeOptions(srt),
+        inputs=[Declaration("table_source",
+                            TableSourceNodeOptions(p, max_batch_rows=256))
+                for p in (a, b, c)])
+    got = decl.to_pyarrow()
+    expected = pa.concat_tables([a, b, c]).sort_by(srt)
+    assert got["k"].to_pylist() == expected["k"].to_pylist()

@@ -656,7 +656,13 @@ class AggregateNode(ExecNode):
 
 @register_node_factory("order_by")
 class OrderByNode(ExecNode):
-    """``order_by_node.cc:45``: accumulate -> SortIndices -> take."""
+    """``order_by_node.cc:45``: accumulate -> SortIndices -> take.
+
+    With a fused limit (a downstream ``fetch`` — see plan.fuse_topk) the
+    node STREAMS top-k instead: per batch, sort (running-best ++ batch)
+    and keep the first ``limit`` rows. Memory is bounded by
+    ``limit + batch`` rows regardless of input size — the analog of the
+    reference's ``select_k_unstable`` path."""
 
     def __init__(self, options: opts.OrderByNodeOptions, inputs):
         super().__init__(options, inputs)
@@ -672,17 +678,53 @@ class OrderByNode(ExecNode):
         self._key = ("order_by", plan_sig(self.options.sort_keys),
                      self.options.null_placement)
         self._run = cached_stage(self._key, lambda: jax.jit(run))
+        self._limit = getattr(options, "_limit", None)
 
     def output_schema(self) -> Schema:
         return self.inputs[0].output_schema()
 
+    def _make_topk(self, limit: int):
+        from ..core.interop import pad_capacity
+
+        def run_topk(big: Batch) -> Batch:
+            idx = sort_indices_batch(big, SortOptions(
+                self.options.sort_keys, self.options.null_placement))
+            L = min(pad_capacity(limit), big.capacity)
+            n = jnp.minimum(jnp.asarray(big.length, jnp.int32), limit)
+            idxL = jax.lax.slice(idx.values, (0,), (L,)).astype(jnp.int32)
+            return take_batch(big, Array(dt.int32, idxL, None, length=n))
+
+        return run_topk
+
     def batches(self) -> Iterator[Batch]:
+        if self._limit is not None:
+            yield from self._batches_topk(self._limit)
+            return
         accumulated = [b for b in materialized_stream(self.inputs[0])]
         if not accumulated:
             return
         big = accumulated[0] if len(accumulated) == 1 \
             else concat_batches(accumulated)
         yield self._run(big).with_index(0)
+
+    def _batches_topk(self, limit: int) -> Iterator[Batch]:
+        topk = self._make_topk(limit)
+        best = None
+        for b in materialized_stream(self.inputs[0]):
+            if best is None:
+                fn = cached_stage(
+                    self._key + ("topk1", limit, b.schema, b.capacity),
+                    lambda: jax.jit(topk))
+                best = maybe_compact(fn(b))
+            else:
+                fn = cached_stage(
+                    self._key + ("topk2", limit, b.schema, best.capacity,
+                                 b.capacity),
+                    lambda: jax.jit(
+                        lambda x, y: topk(concat_batches([x, y]))))
+                best = maybe_compact(fn(best, b))
+        if best is not None:
+            yield best.with_index(0)
 
 
 @register_node_factory("fetch")

@@ -60,6 +60,7 @@ class Declaration:
         decl = self
         if not os.environ.get("ARROW_TPU_NO_PRUNE"):
             decl = prune_columns(self)
+        decl = fuse_topk(decl)
         return decl._build_raw()
 
     def _build_raw(self) -> "_nodes.ExecNode":
@@ -171,6 +172,30 @@ def declaration_to_table(decl: Declaration) -> Table:
 # rides every filter/take as a byte-pool gather), so the engine prunes
 # plans itself: sources emit only the columns some ancestor reads.
 # ``needed=None`` means "everything" (unknown consumer — safe default).
+
+def fuse_topk(decl: Declaration) -> Declaration:
+    """Rewrite ``fetch(offset, count)`` over ``order_by`` into an
+    order_by with an internal row limit (offset+count): the node then
+    streams top-k in bounded memory instead of accumulating the whole
+    input (``order_by_node.cc`` + ``fetch_node.cc`` run unfused in the
+    reference; acero's SelectK declaration is the same fusion by hand).
+    The fetch node stays (it applies the offset)."""
+    inputs = [fuse_topk(d) for d in decl.inputs]
+    d = decl if all(a is b for a, b in zip(inputs, decl.inputs)) \
+        else Declaration(decl.factory_name, decl.options, inputs)
+    if (d.factory_name == "fetch" and d.inputs
+            and d.inputs[0].factory_name == "order_by"
+            and getattr(d.options, "count", -1) >= 0
+            and getattr(d.options, "offset", 0) >= 0):
+        import copy
+        ob = d.inputs[0]
+        o2 = copy.copy(ob.options)
+        o2._limit = d.options.offset + d.options.count
+        d = Declaration(d.factory_name, d.options,
+                        [Declaration("order_by", o2, ob.inputs)]
+                        + d.inputs[1:])
+    return d
+
 
 def _expr_fields(e) -> set:
     return set(e.field_names()) if e is not None else set()

@@ -253,3 +253,25 @@ def test_stage_cache_stable_across_plan_rebuilds():
     assert len(_STAGE_CACHE) == n_entries, (
         "stage cache missed on identical plan rebuild")
     assert out1.equals(out2)
+
+
+def test_order_by_fetch_topk_fused(rng):
+    """fetch(limit) over order_by streams top-k (plan.fuse_topk); result
+    must equal the unfused full sort + slice."""
+    from arrow_tpu.acero.options import (FetchNodeOptions,
+                                         OrderByNodeOptions,
+                                         TableSourceNodeOptions)
+    n = 20_000
+    t = pa.table({"k": pa.array(rng.integers(0, 1_000_000, n)),
+                  "s": pa.array([f"s{i % 97}" for i in range(n)])})
+    for offset, count in [(0, 10), (5, 25), (100, 1)]:
+        d = Declaration("fetch", FetchNodeOptions(offset, count), [
+            Declaration("order_by", OrderByNodeOptions(
+                [("k", "descending")]), [
+                Declaration("table_source",
+                            TableSourceNodeOptions(t, max_batch_rows=1024)),
+            ])])
+        got = d.to_pyarrow()
+        exp = t.sort_by([("k", "descending")]).slice(offset, count)
+        assert got["k"].to_pylist() == exp["k"].to_pylist(), (offset, count)
+        assert got["s"].to_pylist() == exp["s"].to_pylist(), (offset, count)

@@ -254,9 +254,18 @@ def _rel(rel: dict, ctx: _Ctx) -> Declaration:
 
 def substrait_to_declaration(plan, named_tables: Optional[Dict] = None
                              ) -> Declaration:
-    """Substrait plan (JSON string / dict / bytes) -> Declaration."""
+    """Substrait plan (binary protobuf / JSON string / dict / bytes)
+    -> Declaration. Binary wire-format plans (the ecosystem's native
+    encoding, ``serde.cc`` DeserializePlan) decode through
+    engine/substrait_pb.py into the same JSON form."""
+    if isinstance(plan, memoryview):
+        plan = bytes(plan)
     if isinstance(plan, (bytes, bytearray)):
-        plan = plan.decode()
+        if plan.lstrip()[:1] == b"{":
+            plan = plan.decode()
+        else:
+            from .substrait_pb import decode_plan
+            plan = decode_plan(bytes(plan))
     if isinstance(plan, str):
         plan = json.loads(plan)
     ctx = _Ctx(plan, named_tables)

@@ -700,7 +700,37 @@ class OrderByNode(ExecNode):
         if self._limit is not None:
             yield from self._batches_topk(self._limit)
             return
-        accumulated = [b for b in materialized_stream(self.inputs[0])]
+        from .spill import (SpillSorter, batch_device_bytes,
+                            spill_budget_bytes, spill_supported)
+        budget = spill_budget_bytes(self.options)
+        can_spill = budget is not None and \
+            spill_supported(self.output_schema())
+        accumulated: list = []
+        acc_bytes = 0
+        spill = None
+        try:
+            for b in materialized_stream(self.inputs[0]):
+                if spill is not None:
+                    spill.add(b)
+                    continue
+                accumulated.append(b)
+                acc_bytes += batch_device_bytes(b)
+                if can_spill and acc_bytes > budget:
+                    # switch to the external sort: drain the accumulated
+                    # batches to sorted disk runs, free HBM
+                    spill = SpillSorter(
+                        self.output_schema(), self._run,
+                        self.options.sort_keys,
+                        self.options.null_placement)
+                    for bb in accumulated:
+                        spill.add(bb)
+                    accumulated = []
+            if spill is not None:
+                yield from spill.finish()
+                return
+        finally:
+            if spill is not None:
+                spill.close()
         if not accumulated:
             return
         big = accumulated[0] if len(accumulated) == 1 \
@@ -973,6 +1003,88 @@ class TpchGenNode(ExecNode):
             yield b.with_index(i)
 
 
+def streaming_sorted_merge(iters, schema: Schema, sort_keys,
+                           null_placement: str) -> Iterator[Batch]:
+    """Bounded-memory k-way merge of internally-sorted batch iterators
+    (the engine core behind SortedMergeNode and the external-sort spill
+    finalize — see that node's docstring for the algorithm)."""
+    keys, npl = sort_keys, null_placement
+    orders = [k.order for k in keys]
+    sig = (schema, plan_sig(keys), npl)
+
+    def tail(b: Batch):
+        from ..ops.sorting import batch_key_lanes
+        lanes = batch_key_lanes(b, keys, npl)
+        i = jnp.maximum(jnp.asarray(b.length, jnp.int32) - 1, 0)
+        return tuple(l[i] for l in lanes)
+
+    def make_round():
+        from ..core.array import row_mask
+        from ..ops.sorting import (_composite_sort_perm, batch_key_lanes,
+                                   lex_leq)
+
+        def rnd(bound, carry: Batch, *pending: Batch):
+            working = concat_batches([carry] + list(pending)) \
+                if pending else carry
+            cap = working.capacity
+            perm = _composite_sort_perm(
+                [working.column(k.name) for k in keys], orders, npl,
+                cap, working.length)
+            sb = take_batch(working, Array(
+                dt.int32, perm.astype(jnp.int32), None,
+                length=working.length))
+            leq = lex_leq(batch_key_lanes(sb, keys, npl), bound)
+            live = row_mask(cap, sb.length)
+            n_emit = jnp.sum((leq & live).astype(jnp.int32))
+            iota = jax.lax.broadcasted_iota(
+                jnp.int32, (cap, 1), 0).reshape((cap,))
+            emit = take_batch(sb, Array(dt.int32, iota, None,
+                                        length=n_emit))
+            rest = take_batch(sb, Array(
+                dt.int32, jnp.minimum(iota + n_emit, cap - 1), None,
+                length=sb.length - n_emit))
+            return emit, rest
+
+        return rnd
+
+    tailj = cached_stage(("smerge_tail",) + sig, lambda: jax.jit(tail))
+    its = list(iters)
+    k = len(its)
+    tails: list = [None] * k
+    pending: list = []
+
+    def pull(i):
+        for b in its[i]:
+            if int(np.asarray(jax.device_get(b.length))) == 0:
+                continue
+            tails[i] = tuple(jax.device_get(tailj(b)))
+            pending.append(b)
+            return
+        tails[i] = None
+
+    for i in range(k):
+        pull(i)
+    carry = empty_batch(schema)
+    out_i = 0
+    while True:
+        alive = [i for i in range(k) if tails[i] is not None]
+        if not alive:
+            break
+        bound = min(tuple(tails[i]) for i in alive)
+        caps = (carry.capacity,) + tuple(b.capacity for b in pending)
+        rnd = cached_stage(("smerge_round",) + sig + (caps,),
+                           lambda: jax.jit(make_round()))
+        emit, carry = rnd(bound, carry, *pending)
+        pending = []
+        if int(np.asarray(jax.device_get(emit.length))):
+            yield maybe_compact(emit.with_index(out_i))
+            out_i += 1
+        carry = maybe_compact(carry)
+        pull(min(alive, key=lambda i: tuple(tails[i])))
+    if int(np.asarray(jax.device_get(carry.length))):
+        yield carry.with_index(out_i)
+
+
 @register_node_factory("sorted_merge")
 class SortedMergeNode(ExecNode):
     """``sorted_merge_node.cc:256``: k-way merge of ordered inputs.
@@ -1025,89 +1137,11 @@ class SortedMergeNode(ExecNode):
         yield self._run(big).with_index(0)
 
     # -- streaming path ------------------------------------------------
-    def _make_tail(self):
-        from ..ops.sorting import batch_key_lanes
-        keys, npl = self.options.sort_keys, self.options.null_placement
-
-        def tail(b: Batch):
-            lanes = batch_key_lanes(b, keys, npl)
-            i = jnp.maximum(jnp.asarray(b.length, jnp.int32) - 1, 0)
-            return tuple(l[i] for l in lanes)
-
-        return tail
-
-    def _make_round(self):
-        from ..core.array import row_mask
-        from ..ops.sorting import (_composite_sort_perm, batch_key_lanes,
-                                   lex_leq)
-        keys, npl = self.options.sort_keys, self.options.null_placement
-        orders = [k.order for k in keys]
-
-        def rnd(bound, carry: Batch, *pending: Batch):
-            working = concat_batches([carry] + list(pending)) \
-                if pending else carry
-            cap = working.capacity
-            perm = _composite_sort_perm(
-                [working.column(k.name) for k in keys], orders, npl,
-                cap, working.length)
-            sb = take_batch(working, Array(
-                dt.int32, perm.astype(jnp.int32), None,
-                length=working.length))
-            leq = lex_leq(batch_key_lanes(sb, keys, npl), bound)
-            live = row_mask(cap, sb.length)
-            n_emit = jnp.sum((leq & live).astype(jnp.int32))
-            iota = jax.lax.broadcasted_iota(
-                jnp.int32, (cap, 1), 0).reshape((cap,))
-            emit = take_batch(sb, Array(dt.int32, iota, None,
-                                        length=n_emit))
-            rest = take_batch(sb, Array(
-                dt.int32, jnp.minimum(iota + n_emit, cap - 1), None,
-                length=sb.length - n_emit))
-            return emit, rest
-
-        return rnd
-
     def _batches_streaming(self) -> Iterator[Batch]:
-        schema = self.output_schema()
-        sig = (schema, plan_sig(self.options.sort_keys),
-               self.options.null_placement)
-        tailj = cached_stage(("smerge_tail",) + sig,
-                             lambda: jax.jit(self._make_tail()))
-        its = [materialized_stream(inp) for inp in self.inputs]
-        k = len(its)
-        tails: list = [None] * k
-        pending: list = []
-
-        def pull(i):
-            for b in its[i]:
-                if int(np.asarray(jax.device_get(b.length))) == 0:
-                    continue
-                tails[i] = tuple(jax.device_get(tailj(b)))
-                pending.append(b)
-                return
-            tails[i] = None
-
-        for i in range(k):
-            pull(i)
-        carry = empty_batch(schema)
-        out_i = 0
-        while True:
-            alive = [i for i in range(k) if tails[i] is not None]
-            if not alive:
-                break
-            bound = min(tuple(tails[i]) for i in alive)
-            caps = (carry.capacity,) + tuple(b.capacity for b in pending)
-            rnd = cached_stage(("smerge_round",) + sig + (caps,),
-                               lambda: jax.jit(self._make_round()))
-            emit, carry = rnd(bound, carry, *pending)
-            pending = []
-            if int(np.asarray(jax.device_get(emit.length))):
-                yield maybe_compact(emit.with_index(out_i))
-                out_i += 1
-            carry = maybe_compact(carry)
-            pull(min(alive, key=lambda i: tuple(tails[i])))
-        if int(np.asarray(jax.device_get(carry.length))):
-            yield carry.with_index(out_i)
+        yield from streaming_sorted_merge(
+            [materialized_stream(inp) for inp in self.inputs],
+            self.output_schema(), self.options.sort_keys,
+            self.options.null_placement)
 
 
 @register_node_factory("asofjoin")

@@ -96,10 +96,15 @@ class AggregateNodeOptions(ExecNodeOptions):
 
 
 class OrderByNodeOptions(ExecNodeOptions):
-    def __init__(self, sort_keys: Sequence, null_placement: str = "at_end"):
+    def __init__(self, sort_keys: Sequence, null_placement: str = "at_end",
+                 spill_bytes: Optional[int] = None):
         self.sort_keys = [k if isinstance(k, SortKey) else SortKey(*k)
                           for k in sort_keys]
         self.null_placement = null_placement
+        # device-byte budget before switching to the external sort
+        # (acero/spill.py); None -> ARROW_TPU_SPILL_BYTES env, else
+        # unbounded in-memory accumulation
+        self.spill_bytes = spill_bytes
 
 
 class FetchNodeOptions(ExecNodeOptions):

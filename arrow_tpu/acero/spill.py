@@ -1,0 +1,176 @@
+"""Spill-to-disk external sort for pipeline breakers.
+
+The reference acknowledges its own spill gap
+(``acero/aggregate_internal.h:297-302`` — "spilling is not yet
+implemented"); this module goes past parity for the breaker where HBM
+pressure bites first: ``order_by``. When the accumulated device bytes
+exceed a budget, the node switches to an EXTERNAL SORT:
+
+  * each batch is sorted on device (one jitted sort per capacity bucket)
+    and written as a sorted *run* to an ATB file (the native mmap
+    columnar format, ``native/arrow_tpu_native.cc``) — HBM never holds
+    more than one batch;
+  * finalize streams the runs back as morsels through the bounded-memory
+    k-way ``streaming_sorted_merge`` (acero/nodes.py), so peak device
+    memory during the merge is ~(runs x morsel) rows.
+
+Budget: ``OrderByNodeOptions.spill_bytes`` if set, else the
+``ARROW_TPU_SPILL_BYTES`` env var, else unbounded (no spill).
+
+Supported column layouts: fixed-width (numeric/bool/temporal/decimal
+storage) and varlen (string/binary), with validity. Nested / dictionary /
+REE columns fall back to the in-memory path.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+from typing import Iterator, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import datatype as dt
+from ..core.array import Array
+from ..core.batch import Batch
+from ..core.schema import Schema
+
+__all__ = ["spill_budget_bytes", "spill_supported", "batch_device_bytes",
+           "SpillSorter", "write_run", "read_run"]
+
+
+def spill_budget_bytes(options=None) -> Optional[int]:
+    v = getattr(options, "spill_bytes", None)
+    if v is not None:
+        return int(v)
+    env = os.environ.get("ARROW_TPU_SPILL_BYTES")
+    return int(env) if env else None
+
+
+def spill_supported(schema: Schema) -> bool:
+    for f in schema.fields:
+        t = f.type
+        if t.is_varlen:
+            continue
+        if (t.is_nested or isinstance(t, (dt.DictionaryType,
+                                          dt.RunEndEncodedType,
+                                          dt.FixedSizeBinaryType))):
+            return False
+    return True
+
+
+def batch_device_bytes(b: Batch) -> int:
+    total = 0
+    for leaf in jax.tree_util.tree_leaves(b):
+        if hasattr(leaf, "nbytes"):
+            total += int(leaf.nbytes)
+    return total
+
+
+def write_run(path: str, b: Batch) -> None:
+    """Device batch -> one ATB run file (live prefix only)."""
+    from .. import native
+    n = int(np.asarray(jax.device_get(b.length)))
+    cols = {}
+    for i in range(b.num_columns):
+        a = b.column(i)
+        name = b.schema.names[i]
+        if a.type.is_varlen:
+            off = np.asarray(jax.device_get(a.offsets))[:n + 1]
+            used = int(off[-1]) if n else 0
+            data = np.asarray(jax.device_get(a.values))[:used]
+            col = {"data": data, "offsets": off.astype(np.int32)}
+        else:
+            col = {"data": np.asarray(jax.device_get(a.values))[:n]}
+        if a.validity is not None:
+            col["validity"] = np.asarray(jax.device_get(a.validity))[:n]
+        cols[name] = col
+    native.write_atb(path, cols, n)
+
+
+def read_run(path: str, schema: Schema,
+             morsel_rows: int = 1 << 16) -> Iterator[Batch]:
+    """Stream one ATB run back as device batches of <= morsel_rows."""
+    from .. import native
+    from ..core.interop import pad_capacity
+    cols, nrows = native.read_atb(path)
+    start = 0
+    idx = 0
+    while start < nrows or (nrows == 0 and idx == 0):
+        n = min(morsel_rows, nrows - start)
+        cap = pad_capacity(max(n, 1))
+        arrays: List[Array] = []
+        for f in schema.fields:
+            c = cols[f.name]
+            validity = None
+            if "validity" in c:
+                v = np.zeros((cap,), np.bool_)
+                v[:n] = c["validity"][start:start + n]
+                validity = jnp.asarray(v)
+            if f.type.is_varlen:
+                off = c["offsets"][start:start + n + 1].astype(np.int64)
+                base = int(off[0]) if n else 0
+                used = int(off[-1]) - base if n else 0
+                bcap = pad_capacity(max(used, 1))
+                data = np.zeros((bcap,), np.uint8)
+                data[:used] = c["data"][base:base + used]
+                offs = np.zeros((cap + 1,), np.int32)
+                offs[:n + 1] = (off - base).astype(np.int32)
+                offs[n + 1:] = used
+                arrays.append(Array(f.type, jnp.asarray(data), validity,
+                                    offsets=jnp.asarray(offs),
+                                    length=np.int32(n)))
+            else:
+                src = c["data"][start:start + n]
+                buf = np.zeros((cap,), src.dtype)
+                buf[:n] = src
+                arrays.append(Array(f.type, jnp.asarray(buf), validity,
+                                    length=np.int32(n)))
+        yield Batch(schema, arrays, np.int32(n), idx)
+        idx += 1
+        start += n
+        if nrows == 0:
+            break
+
+
+class SpillSorter:
+    """Per-node external-sort state: add sorted runs, then merge."""
+
+    def __init__(self, schema: Schema, sort_batch_fn, sort_keys,
+                 null_placement: str, morsel_rows: int = 1 << 16):
+        self.schema = schema
+        self._sort = sort_batch_fn      # jitted Batch -> sorted Batch
+        self._keys = sort_keys
+        self._npl = null_placement
+        self._morsel = morsel_rows
+        self._dir = tempfile.mkdtemp(prefix="arrow_tpu_spill_")
+        self._runs: List[str] = []
+
+    def add(self, b: Batch) -> None:
+        path = os.path.join(self._dir, f"run{len(self._runs)}.atb")
+        write_run(path, self._sort(b))
+        self._runs.append(path)
+
+    def finish(self) -> Iterator[Batch]:
+        from .nodes import streaming_sorted_merge
+        try:
+            if not self._runs:
+                return
+            its = [read_run(p, self.schema, self._morsel)
+                   for p in self._runs]
+            yield from streaming_sorted_merge(its, self.schema,
+                                              self._keys, self._npl)
+        finally:
+            self.close()
+
+    def close(self) -> None:
+        shutil.rmtree(self._dir, ignore_errors=True)
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass

@@ -275,3 +275,29 @@ def test_order_by_fetch_topk_fused(rng):
         exp = t.sort_by([("k", "descending")]).slice(offset, count)
         assert got["k"].to_pylist() == exp["k"].to_pylist(), (offset, count)
         assert got["s"].to_pylist() == exp["s"].to_pylist(), (offset, count)
+
+
+def test_order_by_spill_external_sort(rng):
+    """A tiny spill budget forces the external sort (device-sorted ATB
+    runs + streaming k-way merge back); result must equal the in-memory
+    sort exactly, including string payloads and nulls."""
+    from arrow_tpu.acero.options import (OrderByNodeOptions,
+                                         TableSourceNodeOptions)
+    from arrow_tpu import native
+    if not native.available():
+        import pytest as _pytest
+        _pytest.skip("native runtime unavailable")
+    n = 30_000
+    k = rng.integers(0, 1_000_000, n)
+    km = rng.random(n) < 0.05
+    t = pa.table({"k": pa.array(k, mask=km),
+                  "s": pa.array([f"v{i % 1013}" for i in range(n)])})
+    d = Declaration("order_by", OrderByNodeOptions(
+        [("k", "ascending")], spill_bytes=200_000), [
+        Declaration("table_source",
+                    TableSourceNodeOptions(t, max_batch_rows=4096))])
+    got = d.to_pyarrow()
+    exp = t.sort_by([("k", "ascending")])
+    assert got["k"].to_pylist() == exp["k"].to_pylist()
+    # equal keys: order among ties unspecified; compare multiset per key
+    assert sorted(got["s"].to_pylist()) == sorted(exp["s"].to_pylist())

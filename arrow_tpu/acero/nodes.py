@@ -535,18 +535,22 @@ class AggregateNode(ExecNode):
                                     options.aggregates,
                                     max_groups=options.max_groups)
         elif options.keys:
-            key = ("aggregate", self._in_schema, tuple(options.keys),
-                   plan_sig(options.aggregates), options.max_groups)
-            self.ha, self._consume, self._finalize = cached_stage(
-                key, lambda: (
-                    lambda ha: (ha, jax.jit(ha.consume),
-                                jax.jit(ha.finalize)))(
-                    HashAggregate(self._in_schema, options.keys,
-                                  options.aggregates,
-                                  max_groups=options.max_groups)))
-            self._key = key
+            self._make_agg_stages(options.max_groups)
         else:
             self.ha = None
+
+    def _make_agg_stages(self, max_groups: int):
+        key = ("aggregate", self._in_schema, tuple(self.options.keys),
+               plan_sig(self.options.aggregates), max_groups)
+        self.ha, self._consume, self._finalize = cached_stage(
+            key, lambda: (
+                lambda ha: (ha, jax.jit(ha.consume),
+                            jax.jit(ha.finalize)))(
+                HashAggregate(self._in_schema, self.options.keys,
+                              self.options.aggregates,
+                              max_groups=max_groups)))
+        self._max_groups = max_groups
+        self._key = key
 
     def output_schema(self) -> Schema:
         if self.ha is not None:
@@ -571,16 +575,36 @@ class AggregateNode(ExecNode):
             yield from self._batches_dist()
             return
         if self.ha is not None:
-            ha = self.ha
-            state = ha.init_state()
+            import os
+            from .spill import batch_device_bytes
+            # replay buffer for group-overflow recovery: batches are kept
+            # (refs, no copies) up to a byte budget so an overflow can
+            # re-execute at doubled group capacity instead of raising
+            budget = int(os.environ.get("ARROW_TPU_AGG_REPLAY_BYTES",
+                                        str(2 << 30)))
+            kept: Optional[list] = []
+            kept_bytes = 0
+            state = self.ha.init_state()
             for b in materialized_stream(self.inputs[0]):
                 state = self._consume(state, b)
+                if kept is not None:
+                    kept.append(b)
+                    kept_bytes += batch_device_bytes(b)
+                    if kept_bytes > budget:
+                        kept = None   # too big to replay; raise on overflow
             err = int(np.asarray(jax.device_get(state[0].error)))
+            while err and kept is not None and \
+                    self._max_groups * 2 <= (1 << 26):
+                self._make_agg_stages(self._max_groups * 2)
+                state = self.ha.init_state()
+                for b in kept:
+                    state = self._consume(state, b)
+                err = int(np.asarray(jax.device_get(state[0].error)))
             if err:
                 raise RuntimeError(
                     f"aggregate: group table overflow (error={err}); "
                     f"raise AggregateNodeOptions.max_groups "
-                    f"(currently {self.options.max_groups})")
+                    f"(currently {self._max_groups})")
             for agg, flag in self.ha.aggregator_errors(state):
                 msg = agg.error_message(flag) if \
                     hasattr(agg, "error_message") else \

@@ -148,7 +148,26 @@ def test_full_pipeline_filter_groupby_sort(rng):
     assert got.to_pydict() == expected.to_pydict()
 
 
-def test_aggregate_overflow_raises(rng):
+def test_aggregate_overflow_recovers(rng):
+    """More distinct keys than max_groups: the node replays the kept
+    batches at doubled group capacity instead of raising."""
+    t = make_table(rng, 2000)
+    decl = Declaration.from_sequence([
+        Declaration("table_source", TableSourceNodeOptions(t)),
+        Declaration("aggregate", AggregateNodeOptions(
+            [("sum", "x")], keys=["x"], max_groups=4)),
+    ])
+    got = decl.to_pyarrow().sort_by([("x", "ascending")])
+    exp = t.group_by("x").aggregate([("x", "sum")])
+    exp = exp.rename_columns(got.column_names).sort_by(
+        [("x", "ascending")])
+    assert got["x"].to_pylist() == exp["x"].to_pylist()
+
+
+def test_aggregate_overflow_raises_when_replay_disabled(rng, monkeypatch):
+    """With a zero replay budget the deferred overflow still raises with
+    advice (the pre-recovery contract)."""
+    monkeypatch.setenv("ARROW_TPU_AGG_REPLAY_BYTES", "0")
     t = make_table(rng, 2000)
     decl = Declaration.from_sequence([
         Declaration("table_source", TableSourceNodeOptions(t)),

@@ -65,6 +65,21 @@ class DistContext:
         self.mesh = mesh
         self.axis = axis
         self.n = mesh.shape[axis]
+        # multi-process (multi-host) mode: the mesh spans devices this
+        # process cannot address; results come home via process_allgather
+        # (parallel/multihost.py owns jax.distributed.initialize)
+        self.multihost = any(d.process_index != jax.process_index()
+                             for d in mesh.devices.flat)
+
+    def fetch(self, x):
+        """device_get that works for globally-sharded outputs: on a
+        multi-host mesh, all-gathers across processes first (every host
+        gets the full value — the engine's results are breaker outputs,
+        small by construction)."""
+        if self.multihost:
+            from jax.experimental import multihost_utils
+            x = multihost_utils.process_allgather(x, tiled=True)
+        return jax.device_get(x)
 
     # -------------------------------------------------------------------
     def shard_batch(self, b: Batch) -> Batch:
@@ -184,15 +199,15 @@ class DistContext:
         out_leaves, lengths, errs = fn(
             tuple(real_leaves), jnp.asarray(len(b), jnp.int32))
 
-        errs_host = np.asarray(jax.device_get(errs))
+        errs_host = np.asarray(self.fetch(errs))
         if errs_host.any():
             raise RuntimeError(
                 f"distributed group_by overflow (per-shard errors="
                 f"{errs_host.tolist()}): raise max_groups_per_shard/"
                 "bucket_factor or repartition skewed keys")
         # host: slice each shard's group segment and concat
-        lengths_host = np.asarray(jax.device_get(lengths))
-        out_leaves = jax.device_get(out_leaves)
+        lengths_host = np.asarray(self.fetch(lengths))
+        out_leaves = self.fetch(out_leaves)
         G = max_groups_per_shard
         # dictionary-typed key columns keep the (replicated) input dictionary
         out_dicts = []
@@ -393,14 +408,14 @@ class DistContext:
     # -------------------------------------------------------------------
     def _collect_shards(self, schema: Schema, out_leaves, lengths, errs,
                         what: str, dicts=None) -> Table:
-        errs_host = np.asarray(jax.device_get(errs))
+        errs_host = np.asarray(self.fetch(errs))
         if errs_host.any():
             raise RuntimeError(
                 f"distributed {what} overflow (per-shard errors="
                 f"{errs_host.tolist()}): raise bucket_factor/capacities "
                 "or repartition skewed keys")
-        lengths_host = np.asarray(jax.device_get(lengths))
-        out_leaves = jax.device_get(out_leaves)
+        lengths_host = np.asarray(self.fetch(lengths))
+        out_leaves = self.fetch(out_leaves)
         n = self.n
         per = out_leaves[0].shape[0] // n
         out_dicts = dicts if dicts is not None and \

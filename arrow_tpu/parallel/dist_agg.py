@@ -317,13 +317,13 @@ class DistGroupBy:
                 check_vma=False))
         out_leaves, lengths, errs = self._finalize_fn(state)
 
-        errs_host = np.asarray(jax.device_get(errs))
+        errs_host = np.asarray(self.ctx.fetch(errs))
         if errs_host.any():
             raise RuntimeError(
                 f"distributed group_by overflow (per-shard errors="
                 f"{errs_host.tolist()}): raise max_groups_per_shard")
-        lengths_host = np.asarray(jax.device_get(lengths))
-        out_leaves = jax.device_get(out_leaves)
+        lengths_host = np.asarray(self.ctx.fetch(lengths))
+        out_leaves = self.ctx.fetch(out_leaves)
         n = self.n
         # per-shard slice sizes differ per leaf kind (values/validity are
         # per group row; varlen offsets are G+1; varlen pools are G*W)

@@ -323,7 +323,7 @@ class DistHashJoin:
                        P(axis), P(axis)),
             check_vma=False))
         out_leaves, lengths, errs = fn(pstate)
-        errs_host = np.asarray(jax.device_get(errs))
+        errs_host = np.asarray(self.ctx.fetch(errs))
         if errs_host.any():
             raise RuntimeError(
                 f"distributed join overflow (per-shard errors="
@@ -336,8 +336,8 @@ class DistHashJoin:
         """Slice per-shard output segments into host-side batches."""
         if not out_leaves:
             return []
-        lengths_host = np.asarray(jax.device_get(lengths))
-        out_leaves = jax.device_get(out_leaves)
+        lengths_host = np.asarray(self.ctx.fetch(lengths))
+        out_leaves = self.ctx.fetch(out_leaves)
         n = self.n
         schema = self.hj.out_schema
         batches = []

@@ -201,6 +201,16 @@ class DistContext:
 
         errs_host = np.asarray(self.fetch(errs))
         if errs_host.any():
+            # host-side bucketed re-execution: the sharded input is still
+            # at hand, so an overflow (shuffle bucket or group table)
+            # retries at doubled capacities instead of raising
+            if bucket_factor * 2 <= 4 * self.n and \
+                    max_groups_per_shard * 2 <= (1 << 24):
+                return self.group_by(
+                    b, keys, aggregates,
+                    max_groups_per_shard=max_groups_per_shard * 2,
+                    pre_filter=pre_filter,
+                    bucket_factor=bucket_factor * 2)
             raise RuntimeError(
                 f"distributed group_by overflow (per-shard errors="
                 f"{errs_host.tolist()}): raise max_groups_per_shard/"

@@ -296,3 +296,19 @@ def test_hash32_validity_presence_invariant(rng):
     b = Array(dt.int64, vals, jnp.ones((257,), jnp.bool_), length=257)
     np.testing.assert_array_equal(np.asarray(hash32([a], seed=7)),
                                   np.asarray(hash32([b], seed=7)))
+
+
+def test_dist_group_by_overflow_recovers(ctx, rng):
+    """Fallback (tdigest forces the raw-row shuffle) with skewed keys and
+    tiny bucket_factor: overflow retries at doubled capacities."""
+    n = 4096
+    k = np.where(rng.random(n) < 0.9, 0, rng.integers(0, 16, n))  # skew
+    t = pa.table({"k": pa.array(k), "v": pa.array(rng.standard_normal(n))})
+    b = at.Batch.from_pyarrow(t.to_batches()[0])
+    out = ctx.group_by(b, ["k"], [("tdigest", "v"), ("count_all",)],
+                       max_groups_per_shard=32, bucket_factor=1)
+    got = out.to_pyarrow().sort_by([("k", "ascending")])
+    exp = t.group_by("k").aggregate([([], "count_all")]) \
+        .sort_by([("k", "ascending")])
+    assert got["k"].to_pylist() == exp["k"].to_pylist()
+    assert got["count_all"].to_pylist() == exp["count_all"].to_pylist()

@@ -223,3 +223,107 @@ def test_q3(lineitem, orders, customer):
     np.testing.assert_allclose(got["revenue"].to_pylist(),
                                exp["rev_sum"].to_pylist(), rtol=1e-9)
     assert got["o_orderdate"].to_pylist() == exp["o_orderdate"].to_pylist()
+
+
+def test_q19_residual_join(lineitem):
+    """TPC-H Q19 (simplified to one disjunct branch): lineitem x part
+    equi-join on partkey with a RESIDUAL filter over both sides
+    (p_brand/p_size/l_quantity) — the JoinResidualFilter path
+    (options.h:571) at the query level."""
+    part = tpch_table("part", SF)
+    resid = ((field("p_brand") == "Brand#12")
+             & (field("l_quantity") <= literal(25.0))
+             & (field("p_size") <= literal(10)))
+    decl = Declaration.from_sequence([
+        Declaration("hashjoin", HashJoinNodeOptions(
+            "inner", left_keys=["l_partkey"], right_keys=["p_partkey"],
+            left_output=["l_extendedprice", "l_discount", "l_quantity"],
+            right_output=["p_brand", "p_size"],
+            max_build_rows=1 << 12, filter=resid),
+            inputs=[
+                Declaration("table_source",
+                            TableSourceNodeOptions(lineitem)),
+                Declaration("table_source", TableSourceNodeOptions(part)),
+            ]),
+        Declaration("project", ProjectNodeOptions(
+            [field("l_extendedprice") * (literal(1.0) -
+                                         field("l_discount"))],
+            ["revenue"])),
+        Declaration("aggregate", AggregateNodeOptions(
+            [AggregateSpec("sum", "revenue", name="revenue")], keys=[])),
+    ])
+    got = decl.to_pyarrow()
+
+    # oracle: pyarrow join + host-side residual filter
+    j = lineitem.select(["l_partkey", "l_extendedprice", "l_discount",
+                         "l_quantity"]).join(
+        part.select(["p_partkey", "p_brand", "p_size"]),
+        keys="l_partkey", right_keys="p_partkey", join_type="inner")
+    m = pc.and_(pc.and_(
+        pc.equal(j["p_brand"].cast(pa.string()), "Brand#12"),
+        pc.less_equal(j["l_quantity"], 25.0)),
+        pc.less_equal(j["p_size"], 10))
+    jf = j.filter(m)
+    exp = float(pc.sum(pc.multiply(
+        jf["l_extendedprice"],
+        pc.subtract(1.0, jf["l_discount"]))).as_py() or 0.0)
+    np.testing.assert_allclose(got["revenue"].to_pylist()[0] or 0.0, exp,
+                               rtol=1e-6)
+
+
+def test_q10_topk(lineitem, orders, customer):
+    """TPC-H Q10 shape: returned-item revenue by customer, top 20 by
+    revenue — exercises join chain + grouped agg + the fused streaming
+    top-k (order_by+fetch)."""
+    d0, d1 = dtm.date(1993, 10, 1), dtm.date(1994, 1, 1)
+    decl = Declaration.from_sequence([
+        Declaration("hashjoin", HashJoinNodeOptions(
+            "inner", left_keys=["l_orderkey"], right_keys=["o_orderkey"],
+            left_output=["l_extendedprice", "l_discount"],
+            right_output=["o_custkey"], max_build_rows=1 << 14),
+            inputs=[
+                Declaration.from_sequence([
+                    Declaration("table_source",
+                                TableSourceNodeOptions(lineitem)),
+                    Declaration("filter", FilterNodeOptions(
+                        field("l_returnflag") == "R")),
+                ]),
+                Declaration.from_sequence([
+                    Declaration("table_source",
+                                TableSourceNodeOptions(orders)),
+                    Declaration("filter", FilterNodeOptions(
+                        (field("o_orderdate") >= literal(d0))
+                        & (field("o_orderdate") < literal(d1)))),
+                ]),
+            ]),
+        Declaration("project", ProjectNodeOptions(
+            [field("o_custkey"),
+             field("l_extendedprice") * (literal(1.0) -
+                                         field("l_discount"))],
+            ["o_custkey", "rev"])),
+        Declaration("aggregate", AggregateNodeOptions(
+            [AggregateSpec("sum", "rev", name="revenue")],
+            keys=["o_custkey"], max_groups=1 << 14)),
+        Declaration("order_by", OrderByNodeOptions(
+            [("revenue", "descending"), ("o_custkey", "ascending")])),
+        Declaration("fetch", FetchNodeOptions(0, 20)),
+    ])
+    got = decl.to_pyarrow()
+
+    li = lineitem.filter(pc.equal(
+        lineitem["l_returnflag"].cast(pa.string()), "R"))
+    o = orders.filter(pc.and_(
+        pc.greater_equal(orders["o_orderdate"], d0),
+        pc.less(orders["o_orderdate"], d1)))
+    j = li.select(["l_orderkey", "l_extendedprice", "l_discount"]).join(
+        o.select(["o_orderkey", "o_custkey"]),
+        keys="l_orderkey", right_keys="o_orderkey", join_type="inner")
+    rev = pc.multiply(j["l_extendedprice"],
+                      pc.subtract(1.0, j["l_discount"]))
+    exp = j.append_column("rev", rev).group_by("o_custkey") \
+        .aggregate([("rev", "sum")]) \
+        .sort_by([("rev_sum", "descending"),
+                  ("o_custkey", "ascending")]).slice(0, 20)
+    assert got["o_custkey"].to_pylist() == exp["o_custkey"].to_pylist()
+    np.testing.assert_allclose(got["revenue"].to_pylist(),
+                               exp["rev_sum"].to_pylist(), rtol=1e-6)

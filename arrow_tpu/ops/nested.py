@@ -284,11 +284,14 @@ def _list_element(args, options):
                    null_handling=NullHandling.COMPUTED,
                    options_class=ListSliceOptions)
 def _list_slice(args, options):
-    """scalar_nested.cc list_slice (step 1): per-row [start, stop) child
-    window as a new list column."""
+    """scalar_nested.cc list_slice: per-row [start, stop) child window
+    (stride ``step``) as a new list column."""
     a = _list_arg(args[0])
-    if options is None or options.step != 1:
-        raise NotImplementedError("list_slice requires step=1 options")
+    if options is None:
+        raise ValueError("list_slice requires options")
+    step = int(options.step)
+    if step < 1:
+        raise ValueError("list_slice step must be >= 1")
     child = a.dictionary
     ccap = max(child.capacity, 1)
     cap = a.capacity
@@ -296,7 +299,8 @@ def _list_slice(args, options):
     start = jnp.clip(jnp.int32(options.start), 0, lens)
     stop = lens if options.stop is None else jnp.clip(
         jnp.int32(options.stop), 0, lens)
-    new_lens = jnp.maximum(stop - start, 0)
+    span = jnp.maximum(stop - start, 0)
+    new_lens = (span + (step - 1)) // step    # ceil(span / step)
     ok = a.present_mask()
     new_lens = jnp.where(ok, new_lens, 0)
     new_off = jnp.concatenate([jnp.zeros((1,), jnp.int32),
@@ -305,8 +309,8 @@ def _list_slice(args, options):
     cidx = jax.lax.broadcasted_iota(jnp.int32, (ccap, 1), 0).reshape(
         (ccap,))
     r = jnp.clip(rows_of_positions(new_off, ccap), 0, cap - 1)
-    src = jnp.clip(a.offsets[r] + start[r] + (cidx - new_off[r]), 0,
-                   ccap - 1)
+    src = jnp.clip(a.offsets[r] + start[r] + (cidx - new_off[r]) * step,
+                   0, ccap - 1)
     total = new_off[-1]
     new_child = take_array(child, Array(dt.int32, src, None, length=total))
     return Array(a.type, jnp.zeros((0,), jnp.uint8), a.validity,

@@ -140,3 +140,17 @@ def test_registry_covers_all_pyarrow_functions():
     ensure_kernels_loaded()
     missing = set(pc.list_functions()) - set(registry.list_functions())
     assert not missing, sorted(missing)
+
+
+def test_list_slice_step(rng):
+    """list_slice with stride > 1 (scalar_nested.cc ListSliceOptions.step)."""
+    from arrow_tpu.ops.nested import ListSliceOptions
+    data = [[1, 2, 3, 4, 5, 6, 7], [], None, [9], [10, 11, 12]]
+    pa_a = pa.array(data, pa.list_(pa.int64()))
+    a = at.array(pa_a)
+    for start, stop, step in [(1, 6, 2), (0, None, 3), (2, 3, 1),
+                              (0, 7, 4), (3, None, 2)]:
+        got = atc.call_function(
+            "list_slice", [a], ListSliceOptions(start, stop, step))
+        exp = pc.list_slice(pa_a, start, stop, step)
+        assert got.to_pylist() == exp.to_pylist(), (start, stop, step)

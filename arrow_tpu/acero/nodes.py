@@ -893,21 +893,11 @@ class HashJoinNode(ExecNode):
     def output_schema(self) -> Schema:
         return self.join.out_schema
 
-    def batches(self) -> Iterator[Batch]:
-        if self._dist is not None:
-            yield from self._batches_dist()
-            return
-        build_batches = [b for b in materialized_stream(self.inputs[1])]
-        if not build_batches:
-            build_in = empty_batch(self.inputs[1].output_schema())
-        elif len(build_batches) == 1:
-            build_in = build_batches[0]
-        else:
-            build_in = concat_batches(build_batches)
-        del build_batches
-        # build-overflow recovery: more distinct keys than max_build_rows
-        # -> double the group capacity and rebuild (the host-side bucketed
-        # re-execution promised by ops/join.py's deferred-error design)
+    def _build_recover(self, build_in: Batch):
+        """Build with overflow recovery: more distinct keys than
+        max_build_rows -> double the group capacity and rebuild (the
+        host-side bucketed re-execution promised by ops/join.py's
+        deferred-error design)."""
         bs = self._build(build_in)
         while int(np.asarray(jax.device_get(bs.error))):
             g = self.join.options.max_build_rows * 2
@@ -919,6 +909,50 @@ class HashJoinNode(ExecNode):
             o2.max_build_rows = g
             self._make_stages(o2)
             bs = self._build(build_in)
+        return bs
+
+    def _probe_retry(self, bs, b: Batch, fanout):
+        """Probe one batch; a fanout overflow retries (from the SAME
+        pre-probe state — probe is pure) at doubled static fanout; each
+        doubling is one new cached compile per bucket."""
+        out, bs2 = self._probe(bs, b, fanout)
+        while int(np.asarray(jax.device_get(bs2.error))):
+            fanout = 2 * (fanout or self.join.options.fanout_capacity
+                          or b.capacity)
+            if fanout > (1 << 27):
+                raise RuntimeError(
+                    "hashjoin fanout overflow beyond 2^27 pair slots "
+                    "in one batch; reduce max_batch_rows upstream")
+            out, bs2 = self._probe(bs, b, fanout)
+        return out, bs2
+
+    def batches(self) -> Iterator[Batch]:
+        if self._dist is not None:
+            yield from self._batches_dist()
+            return
+        from .spill import (batch_device_bytes, spill_budget_bytes,
+                            spill_supported)
+        budget = spill_budget_bytes(self.join.options)
+        can_grace = budget is not None and \
+            spill_supported(self.inputs[0].output_schema()) and \
+            spill_supported(self.inputs[1].output_schema())
+        build_stream = materialized_stream(self.inputs[1])
+        build_batches = []
+        build_bytes = 0
+        for b in build_stream:
+            build_batches.append(b)
+            build_bytes += batch_device_bytes(b)
+            if can_grace and build_bytes > budget:
+                yield from self._batches_grace(build_batches, build_stream)
+                return
+        if not build_batches:
+            build_in = empty_batch(self.inputs[1].output_schema())
+        elif len(build_batches) == 1:
+            build_in = build_batches[0]
+        else:
+            build_in = concat_batches(build_batches)
+        del build_batches
+        bs = self._build_recover(build_in)
         bits = self._bloom_build(bs) if self._bloom_kind is not None \
             else None
         seen = passed = 0
@@ -944,27 +978,64 @@ class HashJoinNode(ExecNode):
                 if self.join.options.fanout_capacity is None:
                     fanout = b.capacity
                 b = maybe_compact(pos)
-            # fanout-overflow recovery: a batch whose match expansion
-            # exceeds the static slot count retries (from the SAME pre-
-            # probe state — probe is pure) at doubled fanout; probe is
-            # jitted with static fanout so each doubling is one new
-            # cached compile per bucket.
-            out, bs2 = self._probe(bs, b, fanout)
-            while int(np.asarray(jax.device_get(bs2.error))):
-                fanout = 2 * (fanout or self.join.options.fanout_capacity
-                              or b.capacity)
-                if fanout > (1 << 27):
-                    raise RuntimeError(
-                        "hashjoin fanout overflow beyond 2^27 pair slots "
-                        "in one batch; reduce max_batch_rows upstream")
-                out, bs2 = self._probe(bs, b, fanout)
-            bs = bs2
+            out, bs = self._probe_retry(bs, b, fanout)
             if out is not None:
                 yield maybe_compact(out.with_index(i))
                 i += 1
         tail = self._finish(bs)
         if tail is not None:
             yield tail.with_index(i)
+
+    def _batches_grace(self, initial, build_stream) -> Iterator[Batch]:
+        """Grace hash join: the build side blew the spill budget, so BOTH
+        sides hash-partition by join key into K on-disk ATB file groups
+        and the join runs partition-by-partition — peak device memory is
+        ~(build_bytes / K) + one probe morsel. Equal keys co-partition
+        (ops/join.py partition_ids), so every join type's matched /
+        unmatched semantics hold per partition."""
+        import itertools
+        import shutil
+        import tempfile
+        from .spill import GracePartitioner, batch_device_bytes
+        lschema = self.inputs[0].output_schema()
+        rschema = self.inputs[1].output_schema()
+        join = self.join
+        K = 16
+        base = tempfile.mkdtemp(prefix="arrow_tpu_grace_")
+        pid_b = cached_stage(
+            self._key + ("gracepid", "build", K),
+            lambda: jax.jit(lambda b: join.partition_ids(b, "build", K)))
+        pid_p = cached_stage(
+            self._key + ("gracepid", "probe", K),
+            lambda: jax.jit(lambda b: join.partition_ids(b, "probe", K)))
+        try:
+            bp = GracePartitioner(rschema, K, "build", base)
+            for b in itertools.chain(initial, build_stream):
+                bp.add(b, np.asarray(jax.device_get(pid_b(b))),
+                       int(np.asarray(jax.device_get(b.length))))
+            pp = GracePartitioner(lschema, K, "probe", base)
+            for b in materialized_stream(self.inputs[0]):
+                pp.add(b, np.asarray(jax.device_get(pid_p(b))),
+                       int(np.asarray(jax.device_get(b.length))))
+            i = 0
+            for p in range(K):
+                if bp.rows[p] == 0 and pp.rows[p] == 0:
+                    continue
+                runs = list(bp.read_partition(p))
+                build_in = concat_batches(runs) if runs else \
+                    empty_batch(rschema)
+                bs = self._build_recover(build_in)
+                for b in pp.read_partition(p):
+                    out, bs = self._probe_retry(bs, b, None)
+                    if out is not None:
+                        yield maybe_compact(out.with_index(i))
+                        i += 1
+                tail = self._finish(bs)
+                if tail is not None:
+                    yield maybe_compact(tail.with_index(i))
+                    i += 1
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
 
     def _batches_dist(self) -> Iterator[Batch]:
         """SPMD over the mesh: build batches shuffle+accumulate per

@@ -131,7 +131,8 @@ class HashJoinNodeOptions(ExecNodeOptions):
                  fanout_capacity: Optional[int] = None,
                  filter=None,
                  dist=None,
-                 disable_bloom_filter: bool = False):
+                 disable_bloom_filter: bool = False,
+                 spill_bytes: Optional[int] = None):
         assert join_type in ("inner", "left outer", "right outer",
                              "full outer", "left semi", "right semi",
                              "left anti", "right anti")
@@ -163,6 +164,10 @@ class HashJoinNodeOptions(ExecNodeOptions):
         # ``options.h:682``: whether to disable Bloom pushdown (the
         # probe-side pre-filter + host re-bucket; ops/bloom.py).
         self.disable_bloom_filter = disable_bloom_filter
+        # build-side device-byte budget before switching to the Grace
+        # (disk-partitioned) join — acero/spill.py; None -> the
+        # ARROW_TPU_SPILL_BYTES env, else unbounded accumulation
+        self.spill_bytes = spill_bytes
 
 
 class TpchGenNodeOptions(ExecNodeOptions):

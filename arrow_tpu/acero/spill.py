@@ -136,6 +136,85 @@ def read_run(path: str, schema: Schema,
             break
 
 
+def write_run_masked(path: str, b: Batch, mask: np.ndarray,
+                     host_cols=None) -> int:
+    """Write the mask-selected rows of a batch as one ATB run; returns
+    the row count. `host_cols` optionally carries the batch's columns
+    already fetched to host (one device_get for a K-way split)."""
+    from .. import native
+    n = int(mask.sum())
+    cols = {}
+    for i in range(b.num_columns):
+        a = b.column(i)
+        name = b.schema.names[i]
+        if host_cols is not None:
+            values, validity, offsets = host_cols[i]
+        else:
+            values = np.asarray(jax.device_get(a.values))
+            validity = None if a.validity is None else \
+                np.asarray(jax.device_get(a.validity))
+            offsets = None if a.offsets is None else \
+                np.asarray(jax.device_get(a.offsets))
+        if a.type.is_varlen:
+            lens = (offsets[1:] - offsets[:-1])[mask]
+            off = np.zeros((n + 1,), np.int64)
+            off[1:] = np.cumsum(lens)
+            data = np.empty((int(off[-1]),), np.uint8)
+            starts = offsets[:-1][mask]
+            for j in range(n):   # host copy; IO-bound path
+                data[off[j]:off[j + 1]] = \
+                    values[starts[j]:starts[j] + lens[j]]
+            col = {"data": data, "offsets": off.astype(np.int32)}
+        else:
+            col = {"data": values[:mask.shape[0]][mask]}
+        if validity is not None:
+            col["validity"] = validity[:mask.shape[0]][mask]
+        cols[name] = col
+    native.write_atb(path, cols, n)
+    return n
+
+
+class GracePartitioner:
+    """Hash-partition a stream of batches into K on-disk ATB file groups
+    (one side of a Grace hash join — ``spill to disk by join-key hash,
+    then join partition-by-partition``)."""
+
+    def __init__(self, schema: Schema, K: int, tag: str, base_dir: str):
+        self.schema = schema
+        self.K = K
+        self._dir = os.path.join(base_dir, tag)
+        os.makedirs(self._dir, exist_ok=True)
+        self.files: List[List[str]] = [[] for _ in range(K)]
+        self.rows = [0] * K
+        self._seq = 0
+
+    def add(self, b: Batch, pids: np.ndarray, n: int) -> None:
+        """pids: host int32 partition per row (junk past n ignored)."""
+        host_cols = []
+        for i in range(b.num_columns):
+            a = b.column(i)
+            host_cols.append((
+                np.asarray(jax.device_get(a.values)),
+                None if a.validity is None else
+                np.asarray(jax.device_get(a.validity)),
+                None if a.offsets is None else
+                np.asarray(jax.device_get(a.offsets))))
+        in_range = np.arange(pids.shape[0]) < n
+        for p in range(self.K):
+            mask = in_range & (pids == p)
+            if not mask.any():
+                continue
+            path = os.path.join(self._dir, f"p{p}_{self._seq}.atb")
+            self.rows[p] += write_run_masked(path, b, mask, host_cols)
+            self.files[p].append(path)
+        self._seq += 1
+
+    def read_partition(self, p: int,
+                       morsel_rows: int = 1 << 16) -> Iterator[Batch]:
+        for path in self.files[p]:
+            yield from read_run(path, self.schema, morsel_rows)
+
+
 class SpillSorter:
     """Per-node external-sort state: add sorted runs, then merge."""
 

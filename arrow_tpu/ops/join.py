@@ -236,6 +236,20 @@ class HashJoin:
         hit = query_bloom(bits, lanes, ok)
         return Array(dt.bool_, hit, None, length=left.length)
 
+    def partition_ids(self, b: Batch, side: str, K: int) -> jax.Array:
+        """Grace-join hash partition per row: hash(normalized key lanes)
+        & (K-1). Both sides use the SAME lane normalization, so equal
+        keys always co-partition; null-key rows land deterministically
+        (they never match, but outer joins still emit them from their
+        partition)."""
+        from .bloom import _lane_hashes
+        from .grouper import group_key_lanes
+        names = self.right_keys if side == "build" else self.left_keys
+        keys = [b.column(k) for k in names]
+        lanes = group_key_lanes(keys, self.grouper.key_nullable)
+        h1, _ = _lane_hashes(lanes)
+        return (h1 & jnp.uint32(K - 1)).astype(jnp.int32)
+
     # ------------------------------------------------------------------
     def _probe_gids(self, bs: BuildState, left: Batch,
                     keys: Sequence[Array], ok: jax.Array) -> jax.Array:

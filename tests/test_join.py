@@ -338,3 +338,31 @@ def test_bloom_disable_flag_matches(rng):
     expected = oracle_join(left, right, "inner", ["k"], ["k"])
     assert_join_equal(a.rename_columns(expected.schema.names), expected)
     assert_join_equal(b.rename_columns(expected.schema.names), expected)
+
+
+# ---- Grace (disk-partitioned) spill join ----------------------------------
+
+@pytest.mark.parametrize("join_type",
+                         ["inner", "left outer", "full outer", "left anti",
+                          "right outer"])
+def test_join_grace_spill_oracle(rng, join_type):
+    """A tiny spill budget forces the Grace path: both sides hash-
+    partition to ATB files and the join runs partition-by-partition;
+    results must match pyarrow for every join type."""
+    from arrow_tpu import native
+    if not native.available():
+        pytest.skip("native runtime unavailable")
+    nl, nr = 6000, 1500
+    lk = rng.integers(0, 2000, nl)
+    rk = rng.integers(500, 2500, nr)
+    left = pa.table({"k": pa.array(lk), "lv": pa.array(np.arange(nl))})
+    right = pa.table({"k": pa.array(rk),
+                      "rv": pa.array(np.arange(nr) * 10)})
+    got = run_join(left, right, join_type, ["k"], ["k"],
+                   max_build_rows=1 << 12, batch_rows=1 << 10,
+                   spill_bytes=10_000,
+                   output_suffix_for_left="_l",
+                   output_suffix_for_right="_r")
+    expected = oracle_join(left, right, join_type, ["k"], ["k"])
+    got = got.rename_columns(expected.schema.names)
+    assert_join_equal(got, expected, msg=f"grace {join_type}")

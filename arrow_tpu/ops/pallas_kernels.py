@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["partition_histogram"]
+__all__ = ["partition_histogram", "tile_compact_local"]
 
 _LANES = 128
 _SUBLANES = 8
@@ -77,3 +77,64 @@ def partition_histogram(dest: jax.Array, P: int) -> jax.Array:
         interpret=_interpret(),
     )(blocks)
     return out.reshape((_LANES,))[:P]
+
+
+def _compact_kernel(sel_ref, loc_ref, cnt_ref):
+    """Per-tile local compaction via a one-hot MXU matmul.
+
+    A tile is (SUBLANES, LANES) = 1024 rows. For each selected row j
+    (row-major order) its within-tile output slot is the exclusive
+    prefix count ps[j]; the compacted local iota comes from
+    ``local_iota @ onehot(ps)`` — dynamic scatter is vector poison on
+    TPU, but a (1,1024)x(1024,1024) one-hot matmul is ~64 MXU cycles.
+    Slots past the tile's count read 0 (in-range; the stitch gather
+    consumes only the first `count` slots of each tile).
+    """
+    sel = sel_ref[:].reshape((_SUBLANES, _LANES)).astype(jnp.float32)
+    # exclusive prefix count in row-major order: lane cumsum + sublane
+    # row-offsets
+    lane_cum = jnp.cumsum(sel, axis=1)
+    row_tot = lane_cum[:, -1:]
+    row_off = jnp.cumsum(row_tot, axis=0) - row_tot
+    ps = (lane_cum - sel) + row_off                   # (8,128) exclusive
+    flat_ps = ps.reshape((1, _TILE))
+    flat_sel = sel.reshape((1, _TILE))
+    slots = jax.lax.broadcasted_iota(jnp.float32, (_TILE, _TILE), 1)
+    onehot = ((flat_ps.reshape((_TILE, 1)) == slots) *
+              flat_sel.reshape((_TILE, 1)))
+    local_iota = jax.lax.broadcasted_iota(jnp.float32, (1, _TILE), 1)
+    out = jax.lax.dot_general(
+        local_iota, onehot, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)           # (1, TILE)
+    loc_ref[:] = out.reshape((1, _SUBLANES, _LANES)).astype(jnp.int32)
+    cnt_ref[0, 0] = jnp.sum(sel).astype(jnp.int32)
+
+
+@jax.jit
+def tile_compact_local(sel: jax.Array):
+    """(cap,) bool -> ((cap,) int32 tile-local compacted iotas,
+    (cap/1024,) int32 per-tile selected counts). Level 1 of the filter
+    compaction (``vector_selection_filter_internal.cc:159`` is the
+    reference's bit-block walk); level 2 stitches tiles with
+    ``rows_of_positions`` + one gather (ops/selection.py)."""
+    n = sel.shape[0]
+    assert n % _TILE == 0, n
+    blocks = sel.reshape((-1, _SUBLANES, _LANES)).astype(jnp.int32)
+    nsteps = blocks.shape[0]
+    loc, cnt = pl.pallas_call(
+        _compact_kernel,
+        grid=(nsteps,),
+        in_specs=[pl.BlockSpec((1, _SUBLANES, _LANES),
+                               lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=[pl.BlockSpec((1, _SUBLANES, _LANES),
+                                lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, 1), lambda i: (i, 0),
+                                memory_space=pltpu.SMEM)],
+        out_shape=[jax.ShapeDtypeStruct((nsteps, _SUBLANES, _LANES),
+                                        jnp.int32),
+                   jax.ShapeDtypeStruct((nsteps, 1), jnp.int32)],
+        interpret=_interpret(),
+    )(blocks)
+    return loc.reshape((n,)), cnt.reshape((nsteps,))

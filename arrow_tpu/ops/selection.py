@@ -90,6 +90,33 @@ def _use_sort_compaction() -> bool:
 
 
 _TILE = 128  # VPU lane width: one tile = one (8,128)-register-friendly row
+_PTILE = 1024  # pallas kernel tile (8 sublanes x 128 lanes)
+
+
+def _pallas_take_indices(sel: jax.Array, emit_valid):
+    """Pallas level-1 local compaction (ops/pallas_kernels.py
+    tile_compact_local: prefix-count + one-hot MXU matmul per 1024-row
+    tile) + the same scatter/cummax stitch as ``_twolevel_take_indices``.
+    Gated behind ARROW_TPU_FILTER_IMPL=pallas until measured faster than
+    'twolevel' on real hardware."""
+    from .pallas_kernels import tile_compact_local
+    cap = sel.shape[0]
+    T = cap // _PTILE
+    loc, counts = tile_compact_local(sel)
+    starts = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts).astype(jnp.int32)])
+    total = starts[-1]
+    tile_of = jnp.clip(rows_of_positions(starts, cap), 0, T - 1)
+    j = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0).reshape((cap,))
+    within = jnp.clip(j - starts[tile_of], 0, _PTILE - 1)
+    flat_pos = tile_of * _PTILE + within
+    indices = tile_of * _PTILE + loc[flat_pos]
+    live = j < total
+    indices = jnp.where(live, indices, 0)
+    validity = None
+    if emit_valid is not None:
+        validity = jnp.where(live, emit_valid[indices], True)
+    return indices, validity
 
 
 def _twolevel_take_indices(sel: jax.Array, emit_valid):
@@ -162,13 +189,17 @@ def get_take_indices(mask: Array,
     iota = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0).reshape((cap,))
 
     impl = _compaction_impl()
-    if impl == "twolevel" and cap % _TILE == 0 and cap >= _TILE:
+    if impl == "pallas" and cap % _PTILE == 0 and cap >= _PTILE:
+        indices, validity = _pallas_take_indices(sel, emit_valid)
+        return Array(dt.int32, indices, validity, length=out_len)
+    if impl in ("twolevel", "pallas") and cap % _TILE == 0 \
+            and cap >= _TILE:
         indices, validity = _twolevel_take_indices(sel, emit_valid)
         return Array(dt.int32, indices, validity, length=out_len)
     if impl == "search":
         indices, validity = _search_take_indices(sel, emit_valid, out_len)
         return Array(dt.int32, indices, validity, length=out_len)
-    if impl in ("sort", "twolevel"):
+    if impl in ("sort", "twolevel", "pallas"):
         key = (~sel).astype(jnp.uint8)
         ops = [key, iota] + ([emit_valid] if emit_valid is not None else [])
         out = jax.lax.sort(ops, num_keys=1, is_stable=True)

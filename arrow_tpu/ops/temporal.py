@@ -288,11 +288,21 @@ class StrptimeOptions:
 def _strftime(args, options):
     """Timestamp -> formatted string. HOST-BOUNDARY kernel: text
     formatting is not device work (the reference also just calls libc);
-    runs at materialization edges, not inside jit."""
+    runs at materialization edges, not inside jit. Routed through
+    pyarrow's own strftime (the reference implementation) with a python
+    fallback for formats it rejects."""
     import datetime as _dtm
     import numpy as np_
     (a,) = args
     opts = options or StrftimeOptions()
+    try:
+        import pyarrow.compute as _pc
+        from ..core.interop import array_to_pyarrow
+        from ..core.array import array as make_array
+        out = _pc.strftime(array_to_pyarrow(a), format=opts.format)
+        return make_array(out, capacity=a.capacity)
+    except Exception:
+        pass
     t = a.type
     days, tod = _days_and_tod_ns(a)
     days_h = np_.asarray(jax.device_get(days))
@@ -323,6 +333,18 @@ def _strptime(args, options):
     import datetime as _dtm
     (a,) = args
     opts = options or StrptimeOptions()
+    try:
+        import pyarrow.compute as _pc
+        from ..core.interop import array_to_pyarrow
+        from ..core.array import array as make_array
+        out = _pc.strptime(array_to_pyarrow(a), format=opts.format,
+                           unit=opts.unit,
+                           error_is_null=opts.error_is_null)
+        return make_array(out, capacity=a.capacity)
+    except Exception as e:
+        import pyarrow as _pa
+        if isinstance(e, _pa.ArrowInvalid) and not opts.error_is_null:
+            raise ValueError(str(e)) from e
     vals = a.to_pylist()
     epoch = _dtm.datetime(1970, 1, 1)
     scale = {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}[opts.unit]

@@ -238,6 +238,14 @@ def maybe_compact(b: Batch) -> Batch:
     if os.environ.get("ARROW_TPU_NO_COMPACT"):
         return b
     from ..core.interop import pad_capacity
+    for leaf in jax.tree_util.tree_leaves(b):
+        s = getattr(leaf, "sharding", None)
+        if s is not None and len(getattr(s, "device_set", ())) > 1:
+            # multi-device-sharded (distributed-node output): a prefix
+            # compaction would silently RESHARD the batch onto shard 0
+            # — and the slice-of-sharded program also trips an XLA:CPU
+            # compiler segfault in long-lived processes. Leave it be.
+            return b
     if not all(_compact_sliceable(b.column(i).type)
                for i in range(b.num_columns)):
         return _compact_take(b)

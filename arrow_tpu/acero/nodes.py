@@ -1058,7 +1058,11 @@ class HashJoinNode(ExecNode):
         for b in materialized_stream(self.inputs[0]):
             outs, ps = dhj.probe(ps, b)
             for ob in outs:
-                yield maybe_compact(ob.with_index(i))
+                # take-based compact: the slice-program variant trips a
+                # deterministic XLA:CPU compiler segfault on dist-join
+                # outputs in long-lived processes (full-suite repro;
+                # fine in isolation) — the gather program does not
+                yield _compact_take(ob.with_index(i))
                 i += 1
         for ob in dhj.finish(ps):
             yield ob.with_index(i)

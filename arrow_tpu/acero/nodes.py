@@ -108,6 +108,22 @@ def cached_stage(key: tuple, make):
     return obj
 
 
+def clear_stage_cache() -> None:
+    """Drop every memoized stage AND jax's own executable caches.
+
+    Long-lived processes that compile unboundedly many distinct programs
+    (the test suite; a server running many plan shapes) eventually hit
+    the JIT code-space ceiling — observed as a deterministic XLA:CPU
+    segfault inside ``backend_compile_and_load`` once enough executables
+    are live. Dropping the stage cache releases the engine's references
+    so collected executables free their code memory; callers pay
+    recompiles afterwards."""
+    import gc
+    _STAGE_CACHE.clear()
+    jax.clear_caches()
+    gc.collect()
+
+
 def checked_jit(fn, static_argnums=()):
     """``jax.jit`` for expression-bearing stages: carries deferred
     data-dependent errors (``*_checked`` overflow, divide-by-zero — the

@@ -30,3 +30,14 @@ assert len(jax.devices()) == 8, jax.devices()
 @pytest.fixture
 def rng():
     return np.random.default_rng(42)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bounded_jit_code_space():
+    """Clear the engine stage cache + jax executable caches between test
+    modules: a single process that never drops compiled executables
+    eventually segfaults inside XLA:CPU's JIT (code-space ceiling) —
+    observed deterministically once the suite grew past ~780 compiles."""
+    yield
+    from arrow_tpu.acero.nodes import clear_stage_cache
+    clear_stage_cache()

@@ -295,14 +295,17 @@ def _strftime(args, options):
     import numpy as np_
     (a,) = args
     opts = options or StrftimeOptions()
-    try:
-        import pyarrow.compute as _pc
-        from ..core.interop import array_to_pyarrow
-        from ..core.array import array as make_array
-        out = _pc.strftime(array_to_pyarrow(a), format=opts.format)
-        return make_array(out, capacity=a.capacity)
-    except Exception:
-        pass
+    if "%f" not in opts.format:
+        # pc.strftime has no %f (its %S already carries subseconds);
+        # everything else matches python strftime
+        try:
+            import pyarrow.compute as _pc
+            from ..core.interop import array_to_pyarrow
+            from ..core.array import array as make_array
+            out = _pc.strftime(array_to_pyarrow(a), format=opts.format)
+            return make_array(out, capacity=a.capacity)
+        except Exception:
+            pass
     t = a.type
     days, tod = _days_and_tod_ns(a)
     days_h = np_.asarray(jax.device_get(days))

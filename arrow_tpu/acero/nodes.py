@@ -1085,6 +1085,60 @@ class HashJoinNode(ExecNode):
             i += 1
 
 
+@register_node_factory("cross_join")
+class CrossJoinNode(ExecNode):
+    """Cartesian product (Substrait CrossRel; the reference's Acero has
+    no cross node — its Substrait consumer rejects CrossRel, so this is
+    beyond-parity). inputs[0] streams; inputs[1] accumulates. Each
+    output pair slot j maps to (left j // nr, right j % nr) — dynamic
+    divmod is elementwise VPU work, no data-dependent shapes."""
+
+    def __init__(self, options, inputs):
+        super().__init__(options, inputs)
+        lf = list(inputs[0].output_schema().fields)
+        rf = list(inputs[1].output_schema().fields)
+        dup = {f.name for f in lf} & {f.name for f in rf}
+        if dup:
+            raise ValueError(f"cross_join duplicate field(s) {sorted(dup)};"
+                             " rename before the join")
+        self._schema = Schema(tuple(lf + rf))
+
+    def output_schema(self) -> Schema:
+        return self._schema
+
+    def batches(self) -> Iterator[Batch]:
+        from ..ops.selection import take_batch as _take
+        right_batches = [b for b in materialized_stream(self.inputs[1])]
+        right = concat_batches(right_batches) if right_batches else \
+            empty_batch(self.inputs[1].output_schema())
+        schema = self._schema
+
+        def run(lb: Batch, rb: Batch) -> Batch:
+            T = lb.capacity * rb.capacity
+            if T > (1 << 26):
+                raise ValueError(
+                    "cross_join pair capacity over 2^26; reduce "
+                    "max_batch_rows upstream")
+            nl = jnp.asarray(lb.length, jnp.int32)
+            nr = jnp.asarray(rb.length, jnp.int32)
+            j = jax.lax.broadcasted_iota(jnp.int32, (T, 1), 0).reshape(
+                (T,))
+            d = jnp.maximum(nr, 1)
+            total = nl * nr
+            li = jnp.clip(j // d, 0, lb.capacity - 1)
+            ri = jnp.clip(j % d, 0, rb.capacity - 1)
+            lt = _take(lb, Array(dt.int32, li, None, length=total))
+            rt = _take(rb, Array(dt.int32, ri, None, length=total))
+            return Batch(schema, list(lt.arrays) + list(rt.arrays), total)
+
+        i = 0
+        for lb in materialized_stream(self.inputs[0]):
+            fn = cached_stage(("crossjoin", schema, lb.capacity,
+                               right.capacity), lambda: jax.jit(run))
+            yield maybe_compact(fn(lb, right).with_index(i))
+            i += 1
+
+
 @register_node_factory("union")
 class UnionNode(ExecNode):
     """``union_node.cc:50``: concatenation of input streams."""

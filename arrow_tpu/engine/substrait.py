@@ -136,6 +136,11 @@ def _rel_fields(rel: dict, ctx: _Ctx) -> List[str]:
     if "join" in rel:
         j = rel["join"]
         return _rel_fields(j["left"], ctx) + _rel_fields(j["right"], ctx)
+    if "cross" in rel:
+        c = rel["cross"]
+        return _rel_fields(c["left"], ctx) + _rel_fields(c["right"], ctx)
+    if "set" in rel:
+        return _rel_fields(rel["set"]["inputs"][0], ctx)
     raise NotImplementedError(f"substrait rel {sorted(rel)}")
 
 
@@ -249,6 +254,27 @@ def _rel(rel: dict, ctx: _Ctx) -> Declaration:
         lkey, rkey = all_fields[lidx], all_fields[ridx]
         return Declaration("hashjoin", HashJoinNodeOptions(
             jt, [lkey], [rkey]), [left, right])
+    if "cross" in rel:
+        c = rel["cross"]
+        from ..acero.options import ExecNodeOptions
+        return Declaration("cross_join", ExecNodeOptions(),
+                           [_rel(c["left"], ctx), _rel(c["right"], ctx)])
+    if "set" in rel:
+        s = rel["set"]
+        inputs = [_rel(r, ctx) for r in s["inputs"]]
+        op = s.get("op", "SET_OP_UNION_ALL")
+        if isinstance(op, int):
+            op = {5: "SET_OP_UNION_DISTINCT", 6: "SET_OP_UNION_ALL"}.get(
+                op, op)
+        union = Declaration("union", None, inputs)
+        if op == "SET_OP_UNION_ALL" or op == 6:
+            return union
+        if op == "SET_OP_UNION_DISTINCT" or op == 5:
+            names = _rel_fields(s["inputs"][0], ctx)
+            return Declaration("aggregate",
+                               AggregateNodeOptions([], keys=names),
+                               [union])
+        raise NotImplementedError(f"substrait set op {op!r}")
     raise NotImplementedError(f"substrait rel {sorted(rel)}")
 
 

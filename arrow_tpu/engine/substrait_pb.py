@@ -83,6 +83,12 @@ _ENUMS: Dict[str, Dict[int, str]] = {
         4: "SORT_DIRECTION_DESC_NULLS_LAST",
         5: "SORT_DIRECTION_CLUSTERED",
     },
+    "SetOp": {
+        0: "SET_OP_UNSPECIFIED", 1: "SET_OP_MINUS_PRIMARY",
+        2: "SET_OP_MINUS_MULTISET", 3: "SET_OP_INTERSECTION_PRIMARY",
+        4: "SET_OP_INTERSECTION_MULTISET", 5: "SET_OP_UNION_DISTINCT",
+        6: "SET_OP_UNION_ALL",
+    },
     "AggregationPhase": {
         0: "AGGREGATION_PHASE_UNSPECIFIED",
         1: "AGGREGATION_PHASE_INITIAL_TO_INTERMEDIATE",
@@ -152,7 +158,7 @@ _SCHEMAS: Dict[str, Dict[int, Tuple[str, str]]] = {
                 5: ("postJoinFilter", "msg:Expression"),
                 6: ("type", "enum:JoinType")},
     "SetRel": {1: ("common", "msg:RelCommon"), 2: ("inputs*", "msg:Rel"),
-               3: ("op", "u")},
+               3: ("op", "enum:SetOp")},
     "CrossRel": {1: ("common", "msg:RelCommon"), 2: ("left", "msg:Rel"),
                  3: ("right", "msg:Rel")},
     "AggregateRel": {1: ("common", "msg:RelCommon"),

@@ -224,3 +224,38 @@ def test_substrait_binary_aggregate(rng):
     assert got["k"].to_pylist() == exp["k"].to_pylist()
     np.testing.assert_allclose(got["v_sum"].to_pylist(),
                                exp["v_sum"].to_pylist(), rtol=1e-9)
+
+
+def test_substrait_cross_and_set(rng):
+    """CrossRel (cartesian product — beyond the reference's consumer,
+    which rejects it) and SetRel union_all / union_distinct."""
+    from arrow_tpu.engine.substrait_pb import encode_plan
+    a = pa.table({"x": pa.array([1, 2, 3])})
+    b = pa.table({"y": pa.array([10, 20])})
+
+    def read(name, names, ts):
+        return {"read": {"baseSchema": {"names": names, "struct": {
+            "types": ts}}, "namedTable": {"names": [name]}}}
+
+    i64 = {"i64": {"nullability": 1}}
+    cross_plan = {"version": {"minorNumber": 44}, "relations": [{"root": {
+        "input": {"cross": {"left": read("a", ["x"], [i64]),
+                            "right": read("b", ["y"], [i64])}},
+        "names": ["x", "y"]}}]}
+    got = run_query(encode_plan(cross_plan),
+                    named_tables={"a": a, "b": b}).to_pyarrow()
+    assert got.num_rows == 6
+    pairs = sorted(zip(got["x"].to_pylist(), got["y"].to_pylist()))
+    assert pairs == sorted((x, y) for x in [1, 2, 3] for y in [10, 20])
+
+    c = pa.table({"x": pa.array([2, 3, 4])})
+    for op, want in [("SET_OP_UNION_ALL", [1, 2, 2, 3, 3, 4]),
+                     ("SET_OP_UNION_DISTINCT", [1, 2, 3, 4])]:
+        set_plan = {"version": {"minorNumber": 44}, "relations": [{"root": {
+            "input": {"set": {"inputs": [read("a", ["x"], [i64]),
+                                         read("c", ["x"], [i64])],
+                              "op": op}},
+            "names": ["x"]}}]}
+        got = run_query(encode_plan(set_plan),
+                        named_tables={"a": a, "c": c}).to_pyarrow()
+        assert sorted(got["x"].to_pylist()) == want, op

@@ -664,8 +664,71 @@ class AggregateNode(ExecNode):
             yield b.with_index(i)
 
     def _batches_scalar(self) -> Iterator[Batch]:
+        """Keyless aggregation. Streaming fast path: every spec with a
+        grouped counterpart consumes per batch into a 1-group state
+        (Consume/Merge protocol, ``scalar_aggregate_node.cc`` role) — the
+        input never accumulates. Specs without grouped aggregators (or a
+        fully empty input, whose null/min_count semantics belong to the
+        scalar kernels) fall back to accumulate + reduce-once."""
+        from ..core.array import row_mask
+        from ..ops.aggregates import make_grouped_aggregator
+        specs = list(self.options.aggregates)
+        aggs = []
+        for spec in specs:
+            fn = spec.function[5:] if spec.function.startswith("hash_") \
+                else spec.function
+            if len(spec.targets) > 1:
+                aggs = None
+                break
+            try:
+                in_type = self._in_schema.field(spec.targets[0]).type \
+                    if spec.targets else None
+                aggs.append(make_grouped_aggregator(fn, in_type, 1,
+                                                    spec.options))
+            except Exception:
+                aggs = None
+                break
+        if aggs is None:
+            yield from self._batches_scalar_accumulate(
+                [b for b in self.inputs[0].batches()])
+            return
+
+        def consume(states, b: Batch):
+            gids = jnp.where(row_mask(b.capacity, b.length), 0, 1)
+            out = []
+            for agg, spec in zip(aggs, specs):
+                v = b.column(spec.targets[0]) if spec.targets else None
+                out.append(agg.consume(states[len(out)], v,
+                                       gids.astype(jnp.int32)))
+            return tuple(out)
+
+        def finalize(states):
+            return tuple(agg.finalize(st, 1)
+                         for agg, st in zip(aggs, states))
+
+        key = ("scalar_agg", self._in_schema, plan_sig(specs))
+        cj, fj = cached_stage(key, lambda: (checked_jit(consume),
+                                            jax.jit(finalize)))
+        states = tuple(agg.init() for agg in aggs)
+        total = 0
+        for b in materialized_stream(self.inputs[0]):
+            states = cj(states, b)
+            total += int(np.asarray(jax.device_get(b.length)))
+        if total == 0:
+            yield from self._batches_scalar_accumulate([])
+            return
+        for agg, st in zip(aggs, states):
+            flag = int(np.asarray(jax.device_get(agg.error_flag(st)))) \
+                if hasattr(agg, "error_flag") else 0
+            if flag:
+                msg = agg.error_message(flag) if \
+                    hasattr(agg, "error_message") else f"error {flag}"
+                raise RuntimeError(f"aggregate: {msg}")
+        arrays = list(fj(states))
+        yield Batch(self.output_schema(), arrays, 1, 0)
+
+    def _batches_scalar_accumulate(self, accumulated) -> Iterator[Batch]:
         # scalar aggregation: accumulate then reduce once
-        accumulated = [b for b in self.inputs[0].batches()]
         if not accumulated:
             accumulated = [empty_batch(self._in_schema)]
         big = concat_batches(accumulated)

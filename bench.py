@@ -519,6 +519,8 @@ def _emit(state: dict) -> None:
         "vs_baseline": round(geomean, 3),
         "configs": results,
         "chip": state.get("chip", "tpu"),
+        **({"tpu_unreachable": True} if state.get("tpu_unreachable")
+           else {}),
     }), flush=True)
 
 
@@ -539,6 +541,23 @@ def main():
     for r in state["configs"].values():
         r["cached"] = True  # superseded as fresh results land
     _emit(state)
+    # tunnel liveness gate: a dead axon tunnel makes EVERY jax.devices()
+    # hang forever (sitecustomize force-registers the plugin), so each
+    # config subprocess would burn its full timeout doing nothing. One
+    # cheap probe up front; on failure, report cached numbers only.
+    try:
+        probe = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            capture_output=True, timeout=int(os.environ.get(
+                "ARROW_TPU_BENCH_PROBE_TIMEOUT", "180")))
+        tpu_ok = probe.returncode == 0
+    except subprocess.TimeoutExpired:
+        tpu_ok = False
+    if not tpu_ok:
+        state["tpu_unreachable"] = True
+        _emit(state)
+        return
+    state.pop("tpu_unreachable", None)
     deadline = time.monotonic() + _TOTAL_BUDGET
     log_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            ".bench_logs")

@@ -156,14 +156,16 @@ def write_run_masked(path: str, b: Batch, mask: np.ndarray,
             offsets = None if a.offsets is None else \
                 np.asarray(jax.device_get(a.offsets))
         if a.type.is_varlen:
-            lens = (offsets[1:] - offsets[:-1])[mask]
+            lens = (offsets[1:] - offsets[:-1])[mask].astype(np.int64)
             off = np.zeros((n + 1,), np.int64)
             off[1:] = np.cumsum(lens)
-            data = np.empty((int(off[-1]),), np.uint8)
-            starts = offsets[:-1][mask]
-            for j in range(n):   # host copy; IO-bound path
-                data[off[j]:off[j + 1]] = \
-                    values[starts[j]:starts[j] + lens[j]]
+            starts = offsets[:-1][mask].astype(np.int64)
+            total = int(off[-1])
+            # vectorized ragged gather: source byte index per output
+            # byte = repeat(start - out_start, len) + arange
+            src = np.repeat(starts - off[:-1], lens) + np.arange(
+                total, dtype=np.int64)
+            data = values[src] if total else np.empty((0,), np.uint8)
             col = {"data": data, "offsets": off.astype(np.int32)}
         else:
             col = {"data": values[:mask.shape[0]][mask]}

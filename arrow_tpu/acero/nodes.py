@@ -677,7 +677,14 @@ class AggregateNode(ExecNode):
         for spec in specs:
             fn = spec.function[5:] if spec.function.startswith("hash_") \
                 else spec.function
-            if len(spec.targets) > 1:
+            # grouped aggregators hard-code skip-nulls and cnt>0 output
+            # validity; non-default skip_nulls/min_count semantics belong
+            # to the scalar kernels (ops/aggregates._scalar_reduce)
+            o = spec.options
+            default_nulls = o is None or (
+                getattr(o, "skip_nulls", True) is True
+                and getattr(o, "min_count", 1) == 1)
+            if len(spec.targets) > 1 or not default_nulls:
                 aggs = None
                 break
             try:
@@ -830,8 +837,7 @@ class OrderByNode(ExecNode):
                     # switch to the external sort: drain the accumulated
                     # batches to sorted disk runs, free HBM
                     spill = SpillSorter(
-                        self.output_schema(), self._run,
-                        self.options.sort_keys,
+                        self.output_schema(), self.options.sort_keys,
                         self.options.null_placement)
                     for bb in accumulated:
                         spill.add(bb)

@@ -217,33 +217,79 @@ class GracePartitioner:
             yield from read_run(path, self.schema, morsel_rows)
 
 
-class SpillSorter:
-    """Per-node external-sort state: add sorted runs, then merge."""
+_SEQ = "__arrow_tpu_seq"
 
-    def __init__(self, schema: Schema, sort_batch_fn, sort_keys,
+
+class SpillSorter:
+    """Per-node external-sort state: add sorted runs, then merge.
+
+    STABILITY: the in-memory sort is stable (iota tiebreak in
+    ``_composite_sort_perm``), so the external path must be too — every
+    row carries its global arrival position in a trailing ``__seq``
+    column; the device run sort is stable (preserves it within ties) and
+    the k-way merge breaks cross-run ties on it, so output tie order
+    equals the non-spill path's exactly. The column is dropped at
+    emission."""
+
+    def __init__(self, schema: Schema, sort_keys,
                  null_placement: str, morsel_rows: int = 1 << 16):
+        from ..core.schema import Field
         self.schema = schema
-        self._sort = sort_batch_fn      # jitted Batch -> sorted Batch
-        self._keys = sort_keys
+        self._spill_schema = Schema(tuple(
+            list(schema.fields) + [Field(_SEQ, dt.int64, False)]))
+        self._keys = list(sort_keys)
         self._npl = null_placement
         self._morsel = morsel_rows
         self._dir = tempfile.mkdtemp(prefix="arrow_tpu_spill_")
         self._runs: List[str] = []
+        self._next_seq = 0
+        self._sort_cache: dict = {}
+
+    def _sorted_with_seq(self, b: Batch) -> Batch:
+        from ..ops.selection import take_batch
+        from ..ops.sorting import _composite_sort_perm
+        keys, npl, sschema = self._keys, self._npl, self._spill_schema
+        orders = [k.order for k in keys]
+
+        def run(bb: Batch, base):
+            cap = bb.capacity
+            seq = Array(dt.int64, base + jax.lax.broadcasted_iota(
+                jnp.int64, (cap, 1), 0).reshape((cap,)), None,
+                length=bb.length)
+            full = Batch(sschema, list(bb.arrays) + [seq], bb.length)
+            perm = _composite_sort_perm(
+                [full.column(k.name) for k in keys], orders, npl, cap,
+                full.length)
+            return take_batch(full, Array(
+                dt.int32, perm.astype(jnp.int32), None, length=full.length))
+
+        fn = self._sort_cache.get(b.capacity)
+        if fn is None:
+            fn = jax.jit(run)
+            self._sort_cache[b.capacity] = fn
+        n = int(np.asarray(jax.device_get(b.length)))
+        out = fn(b, np.int64(self._next_seq))
+        self._next_seq += n
+        return out
 
     def add(self, b: Batch) -> None:
         path = os.path.join(self._dir, f"run{len(self._runs)}.atb")
-        write_run(path, self._sort(b))
+        write_run(path, self._sorted_with_seq(b))
         self._runs.append(path)
 
     def finish(self) -> Iterator[Batch]:
+        from ..ops.sorting import SortKey
         from .nodes import streaming_sorted_merge
         try:
             if not self._runs:
                 return
-            its = [read_run(p, self.schema, self._morsel)
+            its = [read_run(p, self._spill_schema, self._morsel)
                    for p in self._runs]
-            yield from streaming_sorted_merge(its, self.schema,
-                                              self._keys, self._npl)
+            merge_keys = self._keys + [SortKey(_SEQ, "ascending")]
+            names = [f.name for f in self.schema.fields]
+            for b in streaming_sorted_merge(its, self._spill_schema,
+                                            merge_keys, self._npl):
+                yield b.select(names)
         finally:
             self.close()
 

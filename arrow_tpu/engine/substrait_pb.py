@@ -50,14 +50,6 @@ def _write_varint(out: bytearray, x: int) -> None:
             return
 
 
-def _zigzag(x: int) -> int:
-    return (x << 1) ^ (x >> 63)
-
-
-def _unzigzag(x: int) -> int:
-    return (x >> 1) ^ -(x & 1)
-
-
 # ---- message field tables ---------------------------------------------------
 # {message: {field_no: (json_name, kind)}}. kind: one of
 #   'msg:<Message>'  nested message        'str'   utf-8 string

@@ -103,8 +103,13 @@ def _compact_kernel(sel_ref, loc_ref, cnt_ref):
     onehot = ((flat_ps.reshape((_TILE, 1)) == slots) *
               flat_sel.reshape((_TILE, 1)))
     local_iota = jax.lax.broadcasted_iota(jnp.float32, (1, _TILE), 1)
+    # HIGHEST precision: the TPU default truncates f32 dot inputs to
+    # bf16, whose 8-bit mantissa cannot represent iotas > 256 exactly —
+    # wrong take indices (preferred_element_type only sets the
+    # accumulator)
     out = jax.lax.dot_general(
         local_iota, onehot, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32)           # (1, TILE)
     loc_ref[:] = out.reshape((1, _SUBLANES, _LANES)).astype(jnp.int32)
     cnt_ref[0, 0] = jnp.sum(sel).astype(jnp.int32)

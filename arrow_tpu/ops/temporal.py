@@ -336,18 +336,20 @@ def _strptime(args, options):
     import datetime as _dtm
     (a,) = args
     opts = options or StrptimeOptions()
-    try:
-        import pyarrow.compute as _pc
-        from ..core.interop import array_to_pyarrow
-        from ..core.array import array as make_array
-        out = _pc.strptime(array_to_pyarrow(a), format=opts.format,
-                           unit=opts.unit,
-                           error_is_null=opts.error_is_null)
-        return make_array(out, capacity=a.capacity)
-    except Exception as e:
-        import pyarrow as _pa
-        if isinstance(e, _pa.ArrowInvalid) and not opts.error_is_null:
-            raise ValueError(str(e)) from e
+    if "%f" not in opts.format:
+        # %f is python-only (glibc strptime rejects it); any other pc
+        # failure falls back to the python path, which re-raises parse
+        # errors with the right error_is_null semantics itself
+        try:
+            import pyarrow.compute as _pc
+            from ..core.interop import array_to_pyarrow
+            from ..core.array import array as make_array
+            out = _pc.strptime(array_to_pyarrow(a), format=opts.format,
+                               unit=opts.unit,
+                               error_is_null=opts.error_is_null)
+            return make_array(out, capacity=a.capacity)
+        except Exception:
+            pass
     vals = a.to_pylist()
     epoch = _dtm.datetime(1970, 1, 1)
     scale = {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}[opts.unit]

@@ -204,13 +204,16 @@ class DistContext:
             # host-side bucketed re-execution: the sharded input is still
             # at hand, so an overflow (shuffle bucket or group table)
             # retries at doubled capacities instead of raising
-            if bucket_factor * 2 <= 4 * self.n and \
-                    max_groups_per_shard * 2 <= (1 << 24):
-                return self.group_by(
-                    b, keys, aggregates,
-                    max_groups_per_shard=max_groups_per_shard * 2,
-                    pre_filter=pre_filter,
-                    bucket_factor=bucket_factor * 2)
+            nb = bucket_factor * 2 if bucket_factor * 2 <= 4 * self.n \
+                else bucket_factor
+            ng = max_groups_per_shard * 2 \
+                if max_groups_per_shard * 2 <= (1 << 24) \
+                else max_groups_per_shard
+            if (nb, ng) != (bucket_factor, max_groups_per_shard):
+                return self.group_by(b, keys, aggregates,
+                                     max_groups_per_shard=ng,
+                                     pre_filter=pre_filter,
+                                     bucket_factor=nb)
             raise RuntimeError(
                 f"distributed group_by overflow (per-shard errors="
                 f"{errs_host.tolist()}): raise max_groups_per_shard/"

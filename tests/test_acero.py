@@ -318,5 +318,6 @@ def test_order_by_spill_external_sort(rng):
     got = d.to_pyarrow()
     exp = t.sort_by([("k", "ascending")])
     assert got["k"].to_pylist() == exp["k"].to_pylist()
-    # equal keys: order among ties unspecified; compare multiset per key
-    assert sorted(got["s"].to_pylist()) == sorted(exp["s"].to_pylist())
+    # the external sort is STABLE (global __seq tiebreak through the
+    # run merge), so tie order matches pyarrow's stable sort exactly
+    assert got["s"].to_pylist() == exp["s"].to_pylist()

@@ -327,3 +327,117 @@ def test_q10_topk(lineitem, orders, customer):
     assert got["o_custkey"].to_pylist() == exp["o_custkey"].to_pylist()
     np.testing.assert_allclose(got["revenue"].to_pylist(),
                                exp["rev_sum"].to_pylist(), rtol=1e-6)
+
+
+def test_q5_join_chain(lineitem, orders, customer):
+    """TPC-H Q5 shape: 5-way join chain (lineitem-orders-customer-
+    supplier-nation) + region filter + grouped revenue, descending sort —
+    deep multi-join plan evidence (tpch_benchmark.cc plan family)."""
+    supplier = tpch_table("supplier", SF)
+    nation = tpch_table("nation", SF)
+    region = tpch_table("region", SF)
+    d0, d1 = dtm.date(1994, 1, 1), dtm.date(1995, 1, 1)
+
+    # nation keys within ASIA-equivalent region (r_regionkey == 2)
+    decl = Declaration.from_sequence([
+        Declaration("hashjoin", HashJoinNodeOptions(
+            "inner", left_keys=["o_custkey", "s_nationkey_l"],
+            right_keys=["c_custkey", "c_nationkey"],
+            left_output=["rev", "n_name"], right_output=[],
+            max_build_rows=1 << 13), inputs=[
+            # left: lineitem x orders x supplier x nation(region-filtered)
+            Declaration("project", ProjectNodeOptions(
+                [field("o_custkey"), field("s_nationkey_l"),
+                 field("rev"), field("n_name")],
+                ["o_custkey", "s_nationkey_l", "rev", "n_name"]), [
+                Declaration("hashjoin", HashJoinNodeOptions(
+                    "inner", left_keys=["s_nationkey_l"],
+                    right_keys=["n_nationkey"],
+                    left_output=["o_custkey", "s_nationkey_l", "rev"],
+                    right_output=["n_name"], max_build_rows=64), inputs=[
+                    Declaration("project", ProjectNodeOptions(
+                        [field("o_custkey"), field("s_nationkey"),
+                         field("l_extendedprice") *
+                         (literal(1.0) - field("l_discount"))],
+                        ["o_custkey", "s_nationkey_l", "rev"]), [
+                        Declaration("hashjoin", HashJoinNodeOptions(
+                            "inner", left_keys=["l_suppkey"],
+                            right_keys=["s_suppkey"],
+                            left_output=["o_custkey", "l_extendedprice",
+                                         "l_discount"],
+                            right_output=["s_nationkey"],
+                            max_build_rows=1 << 10), inputs=[
+                            Declaration("hashjoin", HashJoinNodeOptions(
+                                "inner", left_keys=["l_orderkey"],
+                                right_keys=["o_orderkey"],
+                                left_output=["l_suppkey",
+                                             "l_extendedprice",
+                                             "l_discount"],
+                                right_output=["o_custkey"],
+                                max_build_rows=1 << 13), inputs=[
+                                Declaration("table_source",
+                                            TableSourceNodeOptions(
+                                                lineitem)),
+                                Declaration.from_sequence([
+                                    Declaration(
+                                        "table_source",
+                                        TableSourceNodeOptions(orders)),
+                                    Declaration("filter",
+                                                FilterNodeOptions(
+                                        (field("o_orderdate") >=
+                                         literal(d0)) &
+                                        (field("o_orderdate") <
+                                         literal(d1)))),
+                                ]),
+                            ]),
+                            Declaration("table_source",
+                                        TableSourceNodeOptions(supplier)),
+                        ]),
+                    ]),
+                    Declaration.from_sequence([
+                        Declaration("table_source",
+                                    TableSourceNodeOptions(nation)),
+                        Declaration("filter", FilterNodeOptions(
+                            field("n_regionkey") == literal(2))),
+                    ]),
+                ]),
+            ]),
+            Declaration("table_source", TableSourceNodeOptions(customer)),
+        ]),
+        Declaration("aggregate", AggregateNodeOptions(
+            [AggregateSpec("sum", "rev", name="revenue")],
+            keys=["n_name"], max_groups=64)),
+        Declaration("order_by", OrderByNodeOptions(
+            [("revenue", "descending")])),
+    ])
+    got = decl.to_pyarrow()
+
+    # pyarrow oracle
+    o = orders.filter(pc.and_(
+        pc.greater_equal(orders["o_orderdate"], d0),
+        pc.less(orders["o_orderdate"], d1)))
+    j = lineitem.select(["l_orderkey", "l_suppkey", "l_extendedprice",
+                         "l_discount"]) \
+        .join(o.select(["o_orderkey", "o_custkey"]),
+              keys="l_orderkey", right_keys="o_orderkey",
+              join_type="inner") \
+        .join(supplier.select(["s_suppkey", "s_nationkey"]),
+              keys="l_suppkey", right_keys="s_suppkey",
+              join_type="inner") \
+        .join(nation.filter(pc.equal(nation["n_regionkey"], 2))
+              .select(["n_nationkey", "n_name"]),
+              keys="s_nationkey", right_keys="n_nationkey",
+              join_type="inner")
+    j = j.join(customer.select(["c_custkey", "c_nationkey"]),
+               keys=["o_custkey", "s_nationkey"],
+               right_keys=["c_custkey", "c_nationkey"], join_type="inner")
+    rev = pc.multiply(j["l_extendedprice"],
+                      pc.subtract(1.0, j["l_discount"]))
+    exp = j.append_column("rev", rev).group_by("n_name") \
+        .aggregate([("rev", "sum")]) \
+        .sort_by([("rev_sum", "descending")])
+    gn = got["n_name"].to_pylist()
+    en = [str(x) for x in exp["n_name"].to_pylist()]
+    assert gn == en, (gn, en)
+    np.testing.assert_allclose(got["revenue"].to_pylist(),
+                               exp["rev_sum"].to_pylist(), rtol=1e-6)

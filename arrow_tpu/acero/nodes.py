@@ -1483,13 +1483,66 @@ class AsofJoinNode(ExecNode):
         return self._schema
 
     def batches(self) -> Iterator[Batch]:
-        lefts = [b for b in self.inputs[0].batches()]
-        rights = [b for b in self.inputs[1].batches()]
-        if not lefts:
-            return
-        left = concat_batches(lefts) if len(lefts) > 1 else lefts[0]
-        right = concat_batches(rights) if len(rights) > 1 else rights[0]
-        yield self._run(left, right).with_index(0)
+        """STREAMING: both inputs are ordered by the on-key (the
+        reference's contract, ``asof_join_node.cc``), so the right side
+        only needs a tolerance-window carry: rows older than
+        (left-watermark - |tolerance|) can never match a future left row
+        — if such a row were the latest-at-or-before candidate, every
+        other candidate is older still, and the correct output is null
+        either way. Memory is bounded by the tolerance window x right
+        row density + one batch per side."""
+        o = self.options
+        rschema = self.inputs[1].output_schema()
+        tol = o.tolerance
+
+        def host_len(b):
+            return int(np.asarray(jax.device_get(b.length)))
+
+        def on_max(b, col):
+            def f(bb):
+                v = bb.column(col).values
+                i = jnp.maximum(jnp.asarray(bb.length, jnp.int32) - 1, 0)
+                return v[i]
+            fn = cached_stage(("asof_onmax", b.schema, b.capacity, col),
+                              lambda: jax.jit(f))
+            return int(np.asarray(jax.device_get(fn(b))))
+
+        def shrink(carry, thresh):
+            def f(bb, th):
+                on = bb.column(o.right_on).values
+                keep = on.astype(jnp.int64) >= th
+                return filter_batch(bb, Array(dt.bool_, keep, None,
+                                              length=bb.length))
+            fn = cached_stage(("asof_shrink", carry.schema,
+                              carry.capacity, o.right_on),
+                              lambda: jax.jit(f))
+            return maybe_compact(fn(carry, np.int64(thresh)))
+
+        rights = self.inputs[1].batches()
+        carry = None
+        right_done = False
+        right_tail = None
+        i = 0
+        for lb in self.inputs[0].batches():
+            if host_len(lb) == 0:
+                continue
+            lmax = on_max(lb, o.left_on)
+            bound = lmax + (tol if tol > 0 else 0)
+            while not right_done and (right_tail is None
+                                      or right_tail <= bound):
+                rb = next(rights, None)
+                if rb is None:
+                    right_done = True
+                    break
+                if host_len(rb) == 0:
+                    continue
+                carry = rb if carry is None else concat_batches([carry, rb])
+                right_tail = on_max(rb, o.right_on)
+            working = carry if carry is not None else empty_batch(rschema)
+            yield maybe_compact(self._run(lb, working).with_index(i))
+            i += 1
+            if carry is not None:
+                carry = shrink(carry, lmax + tol if tol < 0 else lmax)
 
 
 def row_mask_(cap, length):

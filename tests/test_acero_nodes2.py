@@ -172,3 +172,40 @@ def test_sorted_merge_uneven_exhaustion(rng):
     got = decl.to_pyarrow()
     expected = pa.concat_tables([a, b, c]).sort_by(srt)
     assert got["k"].to_pylist() == expected["k"].to_pylist()
+
+
+@pytest.mark.parametrize("tolerance", [-40, 0, 25])
+def test_asofjoin_streaming_multibatch(rng, tolerance):
+    """Small source batches force many streaming rounds (tolerance-window
+    right carry); result must equal pyarrow's asofjoin exactly."""
+    nl, nr = 600, 500
+    l = pa.table({
+        "on": pa.array(np.sort(rng.integers(0, 2000, nl))),
+        "by": pa.array(rng.integers(0, 4, nl)),
+        "lv": pa.array(np.arange(nl)),
+    })
+    r = pa.table({
+        "on": pa.array(np.sort(rng.integers(0, 2000, nr))),
+        "by": pa.array(rng.integers(0, 4, nr)),
+        "rv": pa.array(np.arange(nr) * 2),
+    })
+    kw = dict(left_on="on", left_by=["by"], right_on="on",
+              right_by=["by"], tolerance=tolerance)
+    exp = pac.Declaration("asofjoin", pac.AsofJoinNodeOptions(**kw),
+                          inputs=[
+        pac.Declaration("table_source", pac.TableSourceNodeOptions(l)),
+        pac.Declaration("table_source", pac.TableSourceNodeOptions(r)),
+    ]).to_table()
+    got = Declaration("asofjoin", AsofJoinNodeOptions(**kw), inputs=[
+        Declaration("table_source", TableSourceNodeOptions(
+            l, max_batch_rows=64)),
+        Declaration("table_source", TableSourceNodeOptions(
+            r, max_batch_rows=64)),
+    ]).to_pyarrow()
+    assert got["on"].to_pylist() == exp["on"].to_pylist()
+    assert got["lv"].to_pylist() == exp["lv"].to_pylist()
+    # rv ambiguity at duplicate (on, by): both engines may pick any row
+    # sharing the matched key; compare match PRESENCE + the matched on
+    g_null = [v is None for v in got["rv"].to_pylist()]
+    e_null = [v is None for v in exp["rv"].to_pylist()]
+    assert g_null == e_null

@@ -418,17 +418,20 @@ def _write_one(t, path: str, fmt: str, filesystem=None):
             import pyarrow.types as pt
             if pt.is_string(arr.type) or pt.is_binary(arr.type):
                 import numpy as np_
-                joined = "".join(
-                    x if x is not None else ""
-                    for x in arr.to_pylist()) if pt.is_string(arr.type) \
-                    else b"".join(x or b"" for x in arr.to_pylist())
-                data = np_.frombuffer(
-                    joined.encode() if isinstance(joined, str) else joined,
-                    np_.uint8)
-                lens = [len(x.encode() if isinstance(x, str) else x)
-                        if x is not None else 0 for x in arr.to_pylist()]
-                off = np_.zeros(len(lens) + 1, np_.int32)
-                off[1:] = np_.cumsum(lens)
+                # zero-copy from the arrow buffers (the python-join loop
+                # this replaces was the write path's hot spot)
+                n = len(arr)
+                obuf = arr.buffers()[1]
+                off = np_.frombuffer(obuf, np_.int32,
+                                     count=n + 1 + arr.offset)[arr.offset:]
+                dbuf = arr.buffers()[2]
+                data = np_.frombuffer(dbuf, np_.uint8) if dbuf is not None \
+                    else np_.zeros((0,), np_.uint8)
+                base = int(off[0])
+                if base:
+                    off = off - base
+                    data = data[base:]
+                data = data[:int(off[-1])]
                 col = {"data": data, "offsets": off}
             else:
                 col = {"data": arr.to_numpy(zero_copy_only=False)}

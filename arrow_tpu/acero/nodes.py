@@ -1528,6 +1528,7 @@ class AsofJoinNode(ExecNode):
                 continue
             lmax = on_max(lb, o.left_on)
             bound = lmax + (tol if tol > 0 else 0)
+            pulled = []
             while not right_done and (right_tail is None
                                       or right_tail <= bound):
                 rb = next(rights, None)
@@ -1536,8 +1537,11 @@ class AsofJoinNode(ExecNode):
                     break
                 if host_len(rb) == 0:
                     continue
-                carry = rb if carry is None else concat_batches([carry, rb])
+                pulled.append(rb)
                 right_tail = on_max(rb, o.right_on)
+            if pulled:   # one concat per round, not per pulled batch
+                carry = concat_batches(
+                    ([carry] if carry is not None else []) + pulled)
             working = carry if carry is not None else empty_batch(rschema)
             yield maybe_compact(self._run(lb, working).with_index(i))
             i += 1

@@ -422,8 +422,12 @@ def _write_one(t, path: str, fmt: str, filesystem=None):
                 # this replaces was the write path's hot spot)
                 n = len(arr)
                 obuf = arr.buffers()[1]
-                off = np_.frombuffer(obuf, np_.int32,
-                                     count=n + 1 + arr.offset)[arr.offset:]
+                if obuf is None:   # spec allows a NULL buffer when n == 0
+                    off = np_.zeros((1,), np_.int32)
+                else:
+                    off = np_.frombuffer(
+                        obuf, np_.int32,
+                        count=n + 1 + arr.offset)[arr.offset:]
                 dbuf = arr.buffers()[2]
                 data = np_.frombuffer(dbuf, np_.uint8) if dbuf is not None \
                     else np_.zeros((0,), np_.uint8)

@@ -205,7 +205,18 @@ def test_asofjoin_streaming_multibatch(rng, tolerance):
     assert got["on"].to_pylist() == exp["on"].to_pylist()
     assert got["lv"].to_pylist() == exp["lv"].to_pylist()
     # rv ambiguity at duplicate (on, by): both engines may pick any row
-    # sharing the matched key; compare match PRESENCE + the matched on
-    g_null = [v is None for v in got["rv"].to_pylist()]
-    e_null = [v is None for v in exp["rv"].to_pylist()]
-    assert g_null == e_null
+    # sharing the matched key — compare rv EXACTLY where the matched
+    # right key is unique, presence elsewhere
+    from collections import Counter
+    keyc = Counter(zip(r["on"].to_pylist(), r["by"].to_pylist()))
+    rv_of = dict(zip(zip(r["on"].to_pylist(), r["by"].to_pylist()),
+                     r["rv"].to_pylist()))
+    gl, el = got["rv"].to_pylist(), exp["rv"].to_pylist()
+    assert [v is None for v in gl] == [v is None for v in el]
+    rk = dict(zip(r["rv"].to_pylist(),
+                  zip(r["on"].to_pylist(), r["by"].to_pylist())))
+    for gv, ev in zip(gl, el):
+        if gv is None:
+            continue
+        # both picks must come from the same (on, by) right key
+        assert rk[gv] == rk[ev], (gv, ev, rk[gv], rk[ev])

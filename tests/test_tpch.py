@@ -335,10 +335,10 @@ def test_q5_join_chain(lineitem, orders, customer):
     deep multi-join plan evidence (tpch_benchmark.cc plan family)."""
     supplier = tpch_table("supplier", SF)
     nation = tpch_table("nation", SF)
-    region = tpch_table("region", SF)
     d0, d1 = dtm.date(1994, 1, 1), dtm.date(1995, 1, 1)
 
-    # nation keys within ASIA-equivalent region (r_regionkey == 2)
+    # region predicate folded to n_regionkey == 2 (nation carries the
+    # region key directly; joining the 5-row region table adds nothing)
     decl = Declaration.from_sequence([
         Declaration("hashjoin", HashJoinNodeOptions(
             "inner", left_keys=["o_custkey", "s_nationkey_l"],

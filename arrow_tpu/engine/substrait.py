@@ -152,6 +152,17 @@ def _rel(rel: dict, ctx: _Ctx) -> Declaration:
             table = ctx.named_tables[name]
             return Declaration("table_source",
                                TableSourceNodeOptions(table))
+        if "virtualTable" in r:
+            import pyarrow as pa
+            names = list(r["baseSchema"]["names"])
+            rows = []
+            for sl in r["virtualTable"].get("values", []):
+                rows.append([_literal_value(f)
+                             for f in sl.get("fields", [])])
+            cols = {n: [row[i] if i < len(row) else None for row in rows]
+                    for i, n in enumerate(names)}
+            return Declaration("table_source",
+                               TableSourceNodeOptions(pa.table(cols)))
         if "localFiles" in r:
             from .. import dataset as ds
             items = r["localFiles"]["items"]

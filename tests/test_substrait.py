@@ -259,3 +259,21 @@ def test_substrait_cross_and_set(rng):
         got = run_query(encode_plan(set_plan),
                         named_tables={"a": a, "c": c}).to_pyarrow()
         assert sorted(got["x"].to_pylist()) == want, op
+
+
+def test_substrait_virtual_table():
+    """ReadRel.virtual_table: literal rows inline in the plan."""
+    from arrow_tpu.engine.substrait_pb import encode_plan
+    plan = {"version": {"minorNumber": 44}, "relations": [{"root": {
+        "input": {"read": {
+            "baseSchema": {"names": ["a", "b"], "struct": {"types": [
+                {"i64": {"nullability": 1}},
+                {"string": {"nullability": 1}}]}},
+            "virtualTable": {"values": [
+                {"fields": [{"i64": 1}, {"string": "x"}]},
+                {"fields": [{"i64": 2}, {"string": "y"}]},
+            ]}}},
+        "names": ["a", "b"]}}]}
+    got = run_query(encode_plan(plan)).to_pyarrow()
+    assert got["a"].to_pylist() == [1, 2]
+    assert got["b"].to_pylist() == ["x", "y"]

@@ -269,6 +269,59 @@ class Table:
             indices if isinstance(indices, pa.Array) else
             pa.array(indices)))
 
+    def append_column(self, name: str, values) -> "Table":
+        """pyarrow Table.append_column parity (table.pxi)."""
+        import pyarrow as pa
+        col = values if isinstance(values, (pa.Array, pa.ChunkedArray)) \
+            else (values.to_pyarrow() if hasattr(values, "to_pyarrow")
+                  else pa.array(values))
+        return Table.from_pyarrow(
+            self.to_pyarrow().append_column(name, col))
+
+    def set_column(self, i: int, name: str, values) -> "Table":
+        import pyarrow as pa
+        col = values if isinstance(values, (pa.Array, pa.ChunkedArray)) \
+            else (values.to_pyarrow() if hasattr(values, "to_pyarrow")
+                  else pa.array(values))
+        return Table.from_pyarrow(
+            self.to_pyarrow().set_column(i, name, col))
+
+    def cast(self, target_schema) -> "Table":
+        """Column-wise cast through the registry cast kernels."""
+        from ..compute.registry import call_function
+        from ..ops.scalar_cast import CastOptions
+        from .schema import Schema as _S
+        fields = target_schema.fields if isinstance(target_schema, _S) \
+            else None
+        if fields is None:   # pyarrow schema
+            import pyarrow as pa
+            return Table.from_pyarrow(
+                self.to_pyarrow().cast(target_schema))
+        batches = []
+        for b in self.batches:
+            arrays = [call_function("cast", [b.column(i)],
+                                    CastOptions(f.type))
+                      for i, f in enumerate(fields)]
+            batches.append(Batch(target_schema, arrays, b.length, b.index))
+        return Table(target_schema, batches)
+
+    def drop_null(self) -> "Table":
+        from ..compute.registry import call_function
+        return Table(self.schema,
+                     [call_function("drop_null", [b])
+                      for b in self.batches])
+
+    def combine_chunks(self) -> "Table":
+        """One batch holding all rows (Table.combine_chunks parity)."""
+        if len(self.batches) <= 1:
+            return self
+        from ..ops.concat import concat_batches
+        return Table(self.schema, [concat_batches(self.batches)])
+
+    def equals(self, other) -> bool:
+        o = other.to_pyarrow() if hasattr(other, "to_pyarrow") else other
+        return self.to_pyarrow().equals(o)
+
     def __repr__(self) -> str:
         return (f"Table(rows={self.num_rows}, batches={len(self.batches)}, "
                 f"cols={list(self.schema.names)})")

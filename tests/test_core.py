@@ -95,3 +95,34 @@ def test_batch_is_pytree():
     assert len(leaves) >= 3
     b2 = jax.tree_util.tree_map(lambda x: x, b)
     assert b2.to_pydict() == b.to_pydict()
+
+
+def test_table_api_parity_methods(rng):
+    """append_column / set_column / cast / drop_null / combine_chunks /
+    equals (pyarrow Table surface, table.pxi)."""
+    import pyarrow.compute as pc
+    t0 = pa.table({"a": pa.array([1, None, 3], pa.int64()),
+                   "b": pa.array([1.5, 2.5, None])})
+    t = at.Table.from_pyarrow(t0, max_rows_per_batch=2)
+
+    t2 = t.append_column("c", pa.array([7, 8, 9]))
+    assert t2.to_pyarrow().equals(
+        t0.append_column("c", pa.array([7, 8, 9])))
+
+    t3 = t.set_column(0, "a2", pa.array([4, 5, 6]))
+    assert t3.column_names[0] == "a2"
+    assert t3["a2"].to_pylist() == [4, 5, 6]
+
+    from arrow_tpu.core import datatype as dt
+    from arrow_tpu.core.schema import Field, Schema
+    target = Schema((Field("a", dt.float64, True),
+                     Field("b", dt.float32, True)))
+    t4 = t.cast(target)
+    assert t4["a"].to_pylist() == [1.0, None, 3.0]
+
+    t5 = t.drop_null()
+    assert t5.to_pyarrow().equals(t0.drop_null())
+
+    t6 = t.combine_chunks()
+    assert len(t6.batches) == 1 and t6.equals(t0)
+    assert t.equals(t0) and not t2.equals(t0)

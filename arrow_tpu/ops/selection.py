@@ -139,14 +139,20 @@ def _twolevel_take_indices(sel: jax.Array, emit_valid):
     cap = sel.shape[0]
     T = cap // _TILE
     s2 = sel.reshape(T, _TILE)
-    key = (~s2).astype(jnp.uint8)
-    loc = jax.lax.broadcasted_iota(jnp.int32, (T, _TILE), 1)
-    ops = [key, loc]
+    # Pack [~sel:1][loc:7][ev:1] into ONE u16 key so the minor-axis sort
+    # is single-operand: the variadic (key, payload) form lowers on TPU
+    # to a tupled reduce-window whose scoped-VMEM footprint exceeds the
+    # 16MB limit (observed OOM on v5e); halving the operand count fits.
+    # loc < 128 fits 7 bits; sorting ascending puts selected (bit15=0)
+    # first ordered by loc (stable by construction — locs are unique).
+    loc = jax.lax.broadcasted_iota(jnp.uint16, (T, _TILE), 1)
+    key = ((~s2).astype(jnp.uint16) << 8) | (loc << 1)
     if emit_valid is not None:
-        ops.append(emit_valid.reshape(T, _TILE))
-    out = jax.lax.sort(ops, dimension=1, num_keys=1, is_stable=True)
-    loc_sorted = out[1].reshape((cap,))
-    ev_sorted = out[2].reshape((cap,)) if emit_valid is not None else None
+        key = key | emit_valid.reshape(T, _TILE).astype(jnp.uint16)
+    out = jax.lax.sort(key, dimension=1, is_stable=False)
+    loc_sorted = ((out >> 1) & 0x7F).astype(jnp.int32).reshape((cap,))
+    ev_sorted = (out & 1).astype(jnp.bool_).reshape((cap,)) \
+        if emit_valid is not None else None
 
     counts = jnp.sum(s2.astype(jnp.int32), axis=1)
     starts = jnp.concatenate(
@@ -234,6 +240,10 @@ def rows_of_positions(new_off: jax.Array, out_cap: int) -> jax.Array:
     pos = jnp.where(lens > 0, starts, out_cap)   # empty rows: dropped
     marks = jnp.full((out_cap,), -1, jnp.int32).at[pos].max(
         ridx, mode="drop", unique_indices=True)
+    # Barrier: without it XLA fuses this cummax with the caller's cumsum
+    # into one tupled reduce-window whose scoped-VMEM scratch exceeds the
+    # 16MB TPU limit inside fori_loop bodies (observed v5e compile OOM).
+    marks = jax.lax.optimization_barrier(marks)
     return jax.lax.cummax(marks)
 
 

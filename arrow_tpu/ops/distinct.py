@@ -101,7 +101,7 @@ def sort_group(lanes: jax.Array, active: jax.Array,
     prev_inact = ~s_active[:-1]
     head = s_active & jnp.concatenate(
         [jnp.ones((1,), dtype=jnp.bool_), prev_diff | prev_inact])
-    seg = jnp.cumsum(head.astype(jnp.int32)) - 1
+    seg = jnp.cumsum(head, dtype=jnp.int32) - 1
     num_unique = jnp.where(jnp.any(active), seg[-1] + 1, 0).astype(
         jnp.int32) if cap > 0 else jnp.int32(0)
     spos = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0).reshape((cap,))
@@ -235,7 +235,7 @@ def merge_insert(table_lanes: jax.Array, table_gid: jax.Array,
         jnp.where(s_act, carried, jnp.int32(-1)), mode="drop",
         unique_indices=True)
     is_new = rep_active & (found < 0)
-    new_rank = jnp.cumsum(is_new.astype(jnp.int32)) - 1
+    new_rank = jnp.cumsum(is_new, dtype=jnp.int32) - 1
     new_count = jnp.where(R > 0, new_rank[-1] + 1, 0).astype(jnp.int32)
     rep_gids = jnp.where(is_new, num_groups + new_rank, found)
     rep_gids = jnp.where(rep_active, rep_gids, jnp.int32(-1))
@@ -247,7 +247,7 @@ def merge_insert(table_lanes: jax.Array, table_gid: jax.Array,
     gid_kept = jnp.where(
         s_gpay >= 0, s_gpay,
         rep_gids[jnp.clip(s_ipay, 0, R - 1)])
-    pos = jnp.where(keep, jnp.cumsum(keep.astype(jnp.int32)) - 1, N)
+    pos = jnp.where(keep, jnp.cumsum(keep, dtype=jnp.int32) - 1, N)
     pos = jnp.where(pos >= S, N, pos)  # overflow rows drop (error flagged)
     new_gid = jnp.full((S,), -1, jnp.int32).at[pos].set(
         gid_kept, mode="drop", unique_indices=True)

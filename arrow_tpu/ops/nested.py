@@ -65,7 +65,7 @@ def _list_flatten(args, options):
     lens = jnp.where(ok, a.offsets[1:] - a.offsets[:-1], 0).astype(
         jnp.int32)
     new_off = jnp.concatenate([jnp.zeros((1,), jnp.int32),
-                               jnp.cumsum(lens).astype(jnp.int32)])
+                               jnp.cumsum(lens, dtype=jnp.int32)])
     total = new_off[-1]
     from .selection import rows_of_positions
     oidx = jax.lax.broadcasted_iota(jnp.int32, (ccap, 1), 0).reshape(
@@ -222,7 +222,7 @@ class GroupedList(GroupedAggregator):
         starts = jnp.searchsorted(sg, gidx, side="left").astype(jnp.int32)
         ends = jnp.searchsorted(sg, gidx, side="right").astype(jnp.int32)
         offsets = jnp.concatenate([jnp.zeros((1,), jnp.int32),
-                                   jnp.cumsum(ends - starts).astype(
+                                   jnp.cumsum(ends - starts, dtype=
                                        jnp.int32)])
         # child rows laid out contiguously by group: gather from sorted
         ccap = R
@@ -304,7 +304,7 @@ def _list_slice(args, options):
     ok = a.present_mask()
     new_lens = jnp.where(ok, new_lens, 0)
     new_off = jnp.concatenate([jnp.zeros((1,), jnp.int32),
-                               jnp.cumsum(new_lens).astype(jnp.int32)])
+                               jnp.cumsum(new_lens, dtype=jnp.int32)])
     from .selection import rows_of_positions
     cidx = jax.lax.broadcasted_iota(jnp.int32, (ccap, 1), 0).reshape(
         (ccap,))
@@ -361,7 +361,7 @@ def _map_lookup(args, options):
             jnp.where(in_child, r, a.capacity)].add(
             hit.astype(jnp.int32), mode="drop")
         new_off = jnp.concatenate([jnp.zeros((1,), jnp.int32),
-                                   jnp.cumsum(lens).astype(jnp.int32)])
+                                   jnp.cumsum(lens, dtype=jnp.int32)])
         picked = filter_array(items, Array(dt.bool_, hit, None,
                                            length=a.offsets[a.capacity]))
         validity = present & (lens > 0)

@@ -160,7 +160,7 @@ def segmented_carry_last(values_i32: jax.Array,
     source position) into int64 — higher segments always dominate, so a
     plain cummax never leaks a carry across a head."""
     cap = values_i32.shape[0]
-    g = jnp.cumsum(head.astype(jnp.int32)) - 1
+    g = jnp.cumsum(head, dtype=jnp.int32) - 1
     pos = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0).reshape((cap,))
     tag = jnp.where(values_i32 >= 0, pos + 1, 0)     # 0 == "no source"
     packed = (g.astype(jnp.int64) << 32) | tag.astype(jnp.int64)

@@ -65,7 +65,7 @@ def _selection_mask(mask: Array, null_selection: str):
         is_null = (~mvalid) & in_range
         sel = ((mvals & mvalid) | is_null) & in_range
         emit_valid = mvalid  # selected-and-null -> null output row
-    out_len = jnp.sum(sel.astype(jnp.int32))
+    out_len = jnp.sum(sel, dtype=jnp.int32)
     return sel, emit_valid, out_len
 
 
@@ -104,7 +104,7 @@ def _pallas_take_indices(sel: jax.Array, emit_valid):
     T = cap // _PTILE
     loc, counts = tile_compact_local(sel)
     starts = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts).astype(jnp.int32)])
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts, dtype=jnp.int32)])
     total = starts[-1]
     tile_of = jnp.clip(rows_of_positions(starts, cap), 0, T - 1)
     j = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0).reshape((cap,))
@@ -143,20 +143,35 @@ def _twolevel_take_indices(sel: jax.Array, emit_valid):
     # is single-operand: the variadic (key, payload) form lowers on TPU
     # to a tupled reduce-window whose scoped-VMEM footprint exceeds the
     # 16MB limit (observed OOM on v5e); halving the operand count fits.
-    # loc < 128 fits 7 bits; sorting ascending puts selected (bit15=0)
+    # loc < 128 fits 7 bits; sorting ascending puts selected (bit8=0)
     # first ordered by loc (stable by construction — locs are unique).
     loc = jax.lax.broadcasted_iota(jnp.uint16, (T, _TILE), 1)
     key = ((~s2).astype(jnp.uint16) << 8) | (loc << 1)
     if emit_valid is not None:
         key = key | emit_valid.reshape(T, _TILE).astype(jnp.uint16)
+    # Barriers on BOTH sides of the minor-axis sort: XLA otherwise fuses
+    # the key construction + the sort's tupled minor-axis reduce-window +
+    # the stitch scans into ONE kernel whose scoped-VMEM scratch is the
+    # full u16 key array (19.07MB at 10M rows > the 16MB limit — the
+    # round-2 on-chip compile OOM, .bench_logs/filter.log). Materializing
+    # the (T,128) u16 seams to HBM costs two streamed 2B/row passes.
+    key = jax.lax.optimization_barrier(key)
     out = jax.lax.sort(key, dimension=1, is_stable=False)
+    out = jax.lax.optimization_barrier(out)
     loc_sorted = ((out >> 1) & 0x7F).astype(jnp.int32).reshape((cap,))
     ev_sorted = (out & 1).astype(jnp.bool_).reshape((cap,)) \
         if emit_valid is not None else None
 
-    counts = jnp.sum(s2.astype(jnp.int32), axis=1)
+    # counts from the SORTED keys (selected <=> bit8==0 <=> key < 256),
+    # not from s2: deriving them pre-sort let XLA fuse this cumsum's
+    # blocked-scan levels with the (T,128) u16 key producer — the 19.07MB
+    # scoped-VMEM fusion behind the round-2 OOM. dtype=int32 keeps the
+    # scan single-operand (x64 default-promotes to int64 = a TUPLED
+    # u32-pair reduce-window on TPU, doubling scan scratch).
+    counts = jnp.sum(out < 256, axis=1, dtype=jnp.int32)
     starts = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts).astype(jnp.int32)])
+        [jnp.zeros((1,), jnp.int32),
+         jnp.cumsum(counts, dtype=jnp.int32)])
     total = starts[-1]
     tile_of = jnp.clip(rows_of_positions(starts, cap), 0, T - 1)
     j = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0).reshape((cap,))
@@ -175,7 +190,7 @@ def _search_take_indices(sel: jax.Array, emit_valid, out_len):
     """Compaction by binary search: indices[j] = position of the (j+1)-th
     set bit = searchsorted(cumsum(sel), j+1)."""
     cap = sel.shape[0]
-    C = jnp.cumsum(sel.astype(jnp.int32))
+    C = jnp.cumsum(sel, dtype=jnp.int32)
     j = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0).reshape((cap,))
     idx = jnp.searchsorted(C, j + 1, side="left").astype(jnp.int32)
     idx = jnp.clip(idx, 0, cap - 1)
@@ -213,7 +228,7 @@ def get_take_indices(mask: Array,
         validity = out[2] if emit_valid is not None else None
         return Array(dt.int32, indices, validity, length=out_len)
 
-    positions = jnp.cumsum(sel.astype(jnp.int32)) - 1
+    positions = jnp.cumsum(sel, dtype=jnp.int32) - 1
     scatter_pos = jnp.where(sel, positions, cap)  # cap -> dropped
     indices = jnp.zeros((cap,), dtype=jnp.int32).at[scatter_pos].set(
         iota, mode="drop", unique_indices=True)
@@ -335,7 +350,7 @@ def _take_list(values: Array, idx: jax.Array, indices: Array, out_len,
         sel_ok = sel_ok & indices.validity
     lens = jnp.where(sel_ok, off[idx + 1] - off[idx], 0)
     new_off = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(lens).astype(jnp.int32)])
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(lens, dtype=jnp.int32)])
     in_ccap = max(child.capacity, 1)
     ccap = in_ccap * max(int(grow), 1)
     total = new_off[-1]
@@ -370,7 +385,7 @@ def _take_varlen(values: Array, idx: jax.Array, indices: Array, out_len,
         sel_ok = sel_ok & indices.validity
     lens = jnp.where(sel_ok, off[idx + 1] - off[idx], 0)
     new_off = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(lens).astype(jnp.int32)])
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(lens, dtype=jnp.int32)])
     in_bcap = max(values.values.shape[0], 1)
     bcap = in_bcap * max(int(grow), 1)
     total = new_off[-1]

@@ -317,7 +317,7 @@ def _rank(args, options):
         new_grp = jnp.concatenate([jnp.ones((1,), jnp.bool_), boundary])
         from .segment import running_scan
         if opts.tiebreaker == "dense":
-            rank_sorted = jnp.cumsum(new_grp.astype(jnp.int64))
+            rank_sorted = jnp.cumsum(new_grp, dtype=jnp.int32)
         elif opts.tiebreaker == "min":
             grp_start = jnp.where(new_grp, iota, 0)
             rank_sorted = running_scan(grp_start, jnp.maximum, 0) + 1

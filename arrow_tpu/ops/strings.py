@@ -128,7 +128,7 @@ def _build_varlen(a: Array, new_lens: jax.Array, src_of, out_bcap: int,
     in_rng = row_mask(cap, a.length)
     new_lens = jnp.where(in_rng, new_lens, 0).astype(jnp.int32)
     new_off = jnp.concatenate([jnp.zeros((1,), jnp.int32),
-                               jnp.cumsum(new_lens).astype(jnp.int32)])
+                               jnp.cumsum(new_lens, dtype=jnp.int32)])
     total = new_off[-1]
     from .selection import rows_of_positions
     bidx = _pool_iota(out_bcap)
@@ -994,8 +994,8 @@ def _replace_substring(args, options):
     # out = new_off[row] + (pos_in_row - consumed_before_in_row
     #                       + sel_before_in_row * rl)
     pos = bidx - a.offsets[rows]
-    consumed_cum = jnp.cumsum((consumed & in_pool).astype(jnp.int32))
-    sel_cum = jnp.cumsum((sel & in_pool).astype(jnp.int32))
+    consumed_cum = jnp.cumsum(consumed & in_pool, dtype=jnp.int32)
+    sel_cum = jnp.cumsum(sel & in_pool, dtype=jnp.int32)
     row_base_bidx = jnp.clip(a.offsets[rows], 0, bcap - 1)
     # exclusive prefix within row: global cumsum minus cumsum at row start
     cons_excl = consumed_cum - (consumed & in_pool).astype(jnp.int32)

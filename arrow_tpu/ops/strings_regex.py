@@ -67,14 +67,55 @@ def _host_elementwise(a: Array, fn, pa_type):
     return _from_py(out, pa_type, a.capacity)
 
 
+_PUSHDOWN_MIN_ROWS = 65536      # below this the direct host hop is cheap
+_PUSHDOWN_MAX_RATIO = 2         # pushdown only when n_distinct <= cap/2
+
+
 def _via_pc(name: str, a: Array, pc_options, fallback):
     """Host boundary through pyarrow compute (RE2 — the same engine the
     reference binds, ``scalar_string_regex.cc``) instead of a Python
     ``re`` loop: ~50x on match/replace/split. Python re stays as the
-    fallback for patterns RE2 rejects (backrefs, lookaround)."""
+    fallback for patterns RE2 rejects (backrefs, lookaround).
+
+    Dictionary pushdown (VERDICT r2 #2): every ``_via_pc`` kernel is
+    elementwise over the string VALUE, so ``out[i] = f(uniq[code[i]])``.
+    For large columns the device dictionary-encodes first
+    (``ops/vector_hash.dictionary_encode_array`` — one fingerprint sort),
+    the host RE2 pass runs over the <=n_distinct dictionary values only,
+    and the result rides back through one device gather — the same
+    dictionary-array fast path the reference's string kernels apply,
+    here applied adaptively to plain columns too. Cuts both the host
+    regex work and the device->host transfer by cap/n_distinct."""
+    import jax
     import pyarrow.compute as pc
     from ..core.interop import array_to_pyarrow
     from ..core.array import array as make_array
+    from .selection import take_array
+
+    codes = None
+    if isinstance(a.type, dt.DictionaryType) and a.dictionary is not None \
+            and a.dictionary.type.is_varlen:
+        codes, uniq = a, a.dictionary
+    elif a.type.is_varlen and a.capacity >= _PUSHDOWN_MIN_ROWS:
+        from .vector_hash import dictionary_encode_array
+        enc = dictionary_encode_array(a)
+        n_distinct = int(jax.device_get(enc.dictionary.length))
+        if n_distinct * _PUSHDOWN_MAX_RATIO <= a.capacity:
+            codes, uniq = enc, enc.dictionary
+
+    if codes is not None:
+        try:
+            uniq_out = getattr(pc, name)(array_to_pyarrow(uniq),
+                                         options=pc_options)
+        except Exception:
+            return fallback()
+        uniq_arr = make_array(uniq_out, capacity=max(uniq.capacity, 1))
+        cap_u = max(uniq.capacity, 1)
+        idx = Array(dt.int32,
+                    jnp.clip(codes.values.astype(jnp.int32), 0, cap_u - 1),
+                    codes.validity, length=a.length)
+        return take_array(uniq_arr, idx)
+
     try:
         out = getattr(pc, name)(array_to_pyarrow(a), options=pc_options)
     except Exception:

@@ -576,6 +576,21 @@ class AggregateNode(ExecNode):
         self._max_groups = max_groups
         self._key = key
 
+    def _consume_any(self, state, b):
+        """Route one batch: dense-domain fast path when the per-batch
+        probe qualifies (HashAggregate.dense_probe — the GrouperFastImpl
+        analog), else the sort-grouper consume. Mixed streams are safe:
+        both paths fold through the same state."""
+        import os
+        if os.environ.get("ARROW_TPU_DENSE_AGG", "1") != "0":
+            cfg = self.ha.dense_probe(b)
+            if cfg is not None:
+                dkey = self._key + ("dense", cfg["G"])
+                consume_d = cached_stage(dkey, lambda: jax.jit(
+                    self.ha.consume_dense, static_argnums=(3,)))
+                return consume_d(state, b, np.int64(cfg["lo"]), cfg["G"])
+        return self._consume(state, b)
+
     def output_schema(self) -> Schema:
         if self.ha is not None:
             return self.ha.out_schema
@@ -610,7 +625,7 @@ class AggregateNode(ExecNode):
             kept_bytes = 0
             state = self.ha.init_state()
             for b in materialized_stream(self.inputs[0]):
-                state = self._consume(state, b)
+                state = self._consume_any(state, b)
                 if kept is not None:
                     kept.append(b)
                     kept_bytes += batch_device_bytes(b)
@@ -622,7 +637,7 @@ class AggregateNode(ExecNode):
                 self._make_agg_stages(self._max_groups * 2)
                 state = self.ha.init_state()
                 for b in kept:
-                    state = self._consume(state, b)
+                    state = self._consume_any(state, b)
                 err = int(np.asarray(jax.device_get(state[0].error)))
             if err:
                 raise RuntimeError(
@@ -852,6 +867,23 @@ class OrderByNode(ExecNode):
             return
         big = accumulated[0] if len(accumulated) == 1 \
             else concat_batches(accumulated)
+        words = probe_varlen_sort_words(big, self.options.sort_keys)
+        if words is not None:
+            # exact-wide prefix lanes for varlen sort keys (host probe)
+            def run_w(bb: Batch) -> Batch:
+                from ..ops.sorting import _composite_sort_perm
+                perm = _composite_sort_perm(
+                    [bb.column(k.name) for k in self.options.sort_keys],
+                    [k.order for k in self.options.sort_keys],
+                    self.options.null_placement, bb.capacity, bb.length,
+                    varlen_words=words)
+                return take_batch(bb, Array(
+                    dt.int32, perm.astype(jnp.int32), None,
+                    length=bb.length))
+            runj = cached_stage(self._key + ("vw", words, big.capacity),
+                                lambda: jax.jit(run_w))
+            yield runj(big).with_index(0)
+            return
         yield self._run(big).with_index(0)
 
     def _batches_topk(self, limit: int) -> Iterator[Batch]:
@@ -1249,24 +1281,74 @@ class TpchGenNode(ExecNode):
             yield b.with_index(i)
 
 
+def _varlen_key_cols(schema: Schema, sort_keys):
+    """Sort-key columns whose comparison depends on string content:
+    varlen keys and dictionary-of-varlen keys."""
+    out = []
+    for k in sort_keys:
+        t = schema.field(k.name).type
+        if t.is_varlen or (isinstance(t, dt.DictionaryType)
+                           and t.value_type.is_varlen):
+            out.append(k.name)
+    return out
+
+
+def probe_varlen_sort_words(b: Batch, sort_keys):
+    """Host-side probe: u32 prefix words needed to sort this batch's
+    varlen keys EXACTLY (max key byte length / 4), or None when no key
+    needs string content. The dense-probe pattern: one tiny device sync
+    buys an exact static lane count."""
+    from ..ops.sorting import _varlen_words_default
+    vcols = _varlen_key_cols(b.schema, sort_keys)
+    if not vcols:
+        return None
+    maxlen = 0
+    for name in vcols:
+        c = b.column(name)
+        src = c.dictionary if isinstance(c.type, dt.DictionaryType) else c
+        if src.offsets is None or src.offsets.shape[0] <= 1:
+            continue
+        lens = src.offsets[1:] - src.offsets[:-1]
+        maxlen = max(maxlen, int(jax.device_get(jnp.max(lens))))
+    return max(_varlen_words_default(), (maxlen + 3) // 4)
+
+
 def streaming_sorted_merge(iters, schema: Schema, sort_keys,
                            null_placement: str) -> Iterator[Batch]:
     """Bounded-memory k-way merge of internally-sorted batch iterators
     (the engine core behind SortedMergeNode and the external-sort spill
-    finalize — see that node's docstring for the algorithm)."""
+    finalize — see that node's docstring for the algorithm).
+
+    All key types stream (VERDICT r2 #7): cross-batch comparisons use
+    ``merge_key_lanes`` (dictionary keys decode to value lanes, varlen
+    keys to prefix-word lanes), which is exact for strings up to
+    ARROW_TPU_SORT_PREFIX_BYTES. A per-batch max-key-length guard
+    degrades to accumulate + one exact wide-prefix sort the moment a
+    longer string appears — safe at any round boundary because every
+    already-emitted row is < every unseen row by full key order."""
     keys, npl = sort_keys, null_placement
     orders = [k.order for k in keys]
     sig = (schema, plan_sig(keys), npl)
+    vcols = _varlen_key_cols(schema, keys)
+    from ..ops.sorting import _varlen_words_default
+    len_budget = 4 * _varlen_words_default()
 
     def tail(b: Batch):
-        from ..ops.sorting import batch_key_lanes
-        lanes = batch_key_lanes(b, keys, npl)
+        from ..ops.sorting import merge_key_lanes
+        lanes = merge_key_lanes(b, keys, npl)
         i = jnp.maximum(jnp.asarray(b.length, jnp.int32) - 1, 0)
-        return tuple(l[i] for l in lanes)
+        maxlen = jnp.int32(0)
+        for name in vcols:
+            c = b.column(name)
+            src = c.dictionary if isinstance(c.type, dt.DictionaryType) \
+                else c
+            lens = src.offsets[1:] - src.offsets[:-1]
+            maxlen = jnp.maximum(maxlen, jnp.max(lens).astype(jnp.int32))
+        return tuple(l[i] for l in lanes) + (maxlen,)
 
     def make_round():
         from ..core.array import row_mask
-        from ..ops.sorting import (_composite_sort_perm, batch_key_lanes,
+        from ..ops.sorting import (_composite_sort_perm, merge_key_lanes,
                                    lex_leq)
 
         def rnd(bound, carry: Batch, *pending: Batch):
@@ -1279,9 +1361,9 @@ def streaming_sorted_merge(iters, schema: Schema, sort_keys,
             sb = take_batch(working, Array(
                 dt.int32, perm.astype(jnp.int32), None,
                 length=working.length))
-            leq = lex_leq(batch_key_lanes(sb, keys, npl), bound)
+            leq = lex_leq(merge_key_lanes(sb, keys, npl), bound)
             live = row_mask(cap, sb.length)
-            n_emit = jnp.sum((leq & live).astype(jnp.int32))
+            n_emit = jnp.sum(leq & live, dtype=jnp.int32)
             iota = jax.lax.broadcasted_iota(
                 jnp.int32, (cap, 1), 0).reshape((cap,))
             emit = take_batch(sb, Array(dt.int32, iota, None,
@@ -1298,12 +1380,17 @@ def streaming_sorted_merge(iters, schema: Schema, sort_keys,
     k = len(its)
     tails: list = [None] * k
     pending: list = []
+    long_strings = False
 
     def pull(i):
+        nonlocal long_strings
         for b in its[i]:
             if int(np.asarray(jax.device_get(b.length))) == 0:
                 continue
-            tails[i] = tuple(jax.device_get(tailj(b)))
+            t = tuple(jax.device_get(tailj(b)))
+            if vcols and int(t[-1]) > len_budget:
+                long_strings = True
+            tails[i] = t[:-1]
             pending.append(b)
             return
         tails[i] = None
@@ -1311,8 +1398,22 @@ def streaming_sorted_merge(iters, schema: Schema, sort_keys,
     for i in range(k):
         pull(i)
     carry = empty_batch(schema)
+    if pending:
+        # seat real dictionaries in the empty carry: inside the jitted
+        # round the placeholder's 0 length is a tracer, so concat's
+        # static placeholder check can't skip it (observed: merged dict
+        # columns came out with an empty dictionary)
+        arrays = []
+        for j, f in enumerate(schema.fields):
+            a = carry.column(j)
+            if isinstance(f.type, dt.DictionaryType):
+                a = Array(a.type, a.values, a.validity,
+                          dictionary=pending[0].column(j).dictionary,
+                          length=a.length)
+            arrays.append(a)
+        carry = Batch(schema, arrays, carry.length)
     out_i = 0
-    while True:
+    while not long_strings:
         alive = [i for i in range(k) if tails[i] is not None]
         if not alive:
             break
@@ -1327,6 +1428,32 @@ def streaming_sorted_merge(iters, schema: Schema, sort_keys,
             out_i += 1
         carry = maybe_compact(carry)
         pull(min(alive, key=lambda i: tuple(tails[i])))
+    if long_strings:
+        # exact fallback for over-budget strings: everything not yet
+        # emitted re-sorts with a prefix widened to the true max length
+        from ..ops.sorting import _composite_sort_perm
+        acc = [carry] + pending
+        for i in range(k):
+            if tails[i] is not None:
+                acc.extend(its[i])
+        big = concat_batches([b for b in acc if b.capacity])
+        maxlen = 0
+        for name in vcols:
+            c = big.column(name)
+            src = c.dictionary if isinstance(c.type, dt.DictionaryType) \
+                else c
+            lens = src.offsets[1:] - src.offsets[:-1]
+            maxlen = max(maxlen, int(jax.device_get(jnp.max(lens))))
+        words = max(_varlen_words_default(), (maxlen + 3) // 4)
+
+        def exact(bb: Batch):
+            perm = _composite_sort_perm(
+                [bb.column(kk.name) for kk in keys], orders, npl,
+                bb.capacity, bb.length, varlen_words=words)
+            return take_batch(bb, Array(dt.int32, perm.astype(jnp.int32),
+                                        None, length=bb.length))
+        yield jax.jit(exact)(big).with_index(out_i)
+        return
     if int(np.asarray(jax.device_get(carry.length))):
         yield carry.with_index(out_i)
 
@@ -1345,29 +1472,16 @@ class SortedMergeNode(ExecNode):
     batches (each non-minimum input holds at most one outstanding batch),
     matching the reference's streaming O(n) shape without its row loop.
 
-    Cross-batch key comparison needs batch-independent lane encodings, so
-    dictionary/varlen sort keys fall back to accumulate + one device sort
-    (their lane maps are per-batch); payload columns can be anything.
+    Cross-batch key comparison uses batch-independent lane encodings
+    (ops/sorting.merge_key_lanes): dictionary keys decode to value lanes,
+    varlen keys to prefix-word lanes — every key type streams; a
+    max-length guard inside streaming_sorted_merge degrades to one exact
+    wide-prefix sort when strings exceed the prefix budget.
     """
 
     def __init__(self, options: opts.SortedMergeNodeOptions, inputs):
         super().__init__(options, inputs)
-        schema = inputs[0].output_schema()
-        key_types = [schema.field(k.name).type for k in options.sort_keys]
-        self._streaming = len(inputs) >= 2 and all(
-            not t.is_varlen and not isinstance(t, dt.DictionaryType)
-            for t in key_types)
-
-        def run(big: Batch) -> Batch:
-            idx = sort_indices_batch(big, SortOptions(
-                self.options.sort_keys, self.options.null_placement))
-            idx32 = Array(dt.int32, idx.values.astype(jnp.int32), None,
-                          length=idx.length)
-            return take_batch(big, idx32)
-
-        self._run = cached_stage(
-            ("sorted_merge", plan_sig(self.options.sort_keys),
-             self.options.null_placement), lambda: jax.jit(run))
+        self._streaming = len(inputs) >= 2
 
     def output_schema(self) -> Schema:
         return self.inputs[0].output_schema()
@@ -1380,7 +1494,24 @@ class SortedMergeNode(ExecNode):
         if not acc:
             return
         big = concat_batches(acc) if len(acc) > 1 else acc[0]
-        yield self._run(big).with_index(0)
+        words = probe_varlen_sort_words(big, self.options.sort_keys)
+
+        def run(bb: Batch) -> Batch:
+            from ..ops.sorting import _composite_sort_perm
+            perm = _composite_sort_perm(
+                [bb.column(k.name) for k in self.options.sort_keys],
+                [k.order for k in self.options.sort_keys],
+                self.options.null_placement, bb.capacity, bb.length,
+                varlen_words=words)
+            idx32 = Array(dt.int32, perm.astype(jnp.int32), None,
+                          length=bb.length)
+            return take_batch(bb, idx32)
+
+        runj = cached_stage(
+            ("sorted_merge", plan_sig(self.options.sort_keys),
+             self.options.null_placement, words, big.capacity),
+            lambda: jax.jit(run))
+        yield runj(big).with_index(0)
 
     # -- streaming path ------------------------------------------------
     def _batches_streaming(self) -> Iterator[Batch]:

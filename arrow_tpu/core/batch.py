@@ -263,28 +263,63 @@ class Table:
             Declaration("fetch", FetchNodeOptions(offset, count)),
         ]).to_table()
 
-    def take(self, indices) -> "Table":
+    def _one_batch(self) -> Batch:
+        """All rows as ONE device batch (ChunkResolver's role is played by
+        device concat: chunks are independent batches; cross-chunk ops
+        combine first)."""
+        if not self.batches:
+            return Batch(self.schema, [], 0)
+        if len(self.batches) == 1:
+            return self.batches[0]
+        from ..ops.concat import concat_batches
+        return concat_batches(self.batches)
+
+    @staticmethod
+    def _as_column(values, capacity: int) -> Array:
+        """Coerce host data / pyarrow / Array to a device Array of the
+        given capacity."""
+        if isinstance(values, Array):
+            if values.capacity == capacity:
+                return values
+            values = values.to_pyarrow()
         import pyarrow as pa
-        return Table.from_pyarrow(self.to_pyarrow().take(
-            indices if isinstance(indices, pa.Array) else
-            pa.array(indices)))
+        if isinstance(values, pa.ChunkedArray):
+            values = values.combine_chunks()
+        if not isinstance(values, pa.Array):
+            values = pa.array(values)
+        return make_array(values, capacity=capacity)
+
+    def take(self, indices) -> "Table":
+        """Row gather ON DEVICE through the take kernel
+        (``vector_selection_take_internal.cc:549``); chunks combine first
+        (the ChunkResolver step)."""
+        b = self._one_batch()
+        idx = self._as_column(indices, max(
+            int(idx_len) if (idx_len := _host_len(indices)) is not None
+            else b.capacity, 1))
+        from ..ops.selection import take_batch
+        return Table(self.schema, [take_batch(b, idx)])
 
     def append_column(self, name: str, values) -> "Table":
-        """pyarrow Table.append_column parity (table.pxi)."""
-        import pyarrow as pa
-        col = values if isinstance(values, (pa.Array, pa.ChunkedArray)) \
-            else (values.to_pyarrow() if hasattr(values, "to_pyarrow")
-                  else pa.array(values))
-        return Table.from_pyarrow(
-            self.to_pyarrow().append_column(name, col))
+        """pyarrow Table.append_column parity (table.pxi) — device column
+        construction, no host round-trip of existing columns."""
+        b = self._one_batch()
+        col = self._as_column(values, max(b.capacity, 1))
+        schema = Schema(tuple(self.schema.fields) +
+                        (Field(name, col.type, True),))
+        return Table(schema, [Batch(schema, list(b.arrays) + [col],
+                                    b.length, b.index)])
 
     def set_column(self, i: int, name: str, values) -> "Table":
-        import pyarrow as pa
-        col = values if isinstance(values, (pa.Array, pa.ChunkedArray)) \
-            else (values.to_pyarrow() if hasattr(values, "to_pyarrow")
-                  else pa.array(values))
-        return Table.from_pyarrow(
-            self.to_pyarrow().set_column(i, name, col))
+        """Replace column i (device; pyarrow Table.set_column parity)."""
+        b = self._one_batch()
+        col = self._as_column(values, max(b.capacity, 1))
+        fields = list(self.schema.fields)
+        fields[i] = Field(name, col.type, True)
+        schema = Schema(tuple(fields))
+        arrays = list(b.arrays)
+        arrays[i] = col
+        return Table(schema, [Batch(schema, arrays, b.length, b.index)])
 
     def cast(self, target_schema) -> "Table":
         """Column-wise cast through the registry cast kernels."""
@@ -325,6 +360,16 @@ class Table:
     def __repr__(self) -> str:
         return (f"Table(rows={self.num_rows}, batches={len(self.batches)}, "
                 f"cols={list(self.schema.names)})")
+
+
+def _host_len(values):
+    """Row count of host-side/pyarrow/Array inputs, None if unknown."""
+    try:
+        if isinstance(values, Array):
+            return values.__len__()
+        return len(values)
+    except Exception:
+        return None
 
 
 class TableGroupBy:

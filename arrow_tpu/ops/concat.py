@@ -74,8 +74,18 @@ def concat_arrays(arrays: Sequence[Array], total_capacity: int = None
     dictionary = arrays[0].dictionary
     if isinstance(t, dt.DictionaryType):
         # batches must share a dictionary (ingest unifies via
-        # combine_chunks); cross-source dictionary unification is future work
-        pass
+        # combine_chunks); cross-source dictionary unification is future
+        # work. Placeholder batches (empty carry in the streaming merge)
+        # hold a 0-capacity dictionary — take the first REAL one.
+        import numpy as _np
+        for a in arrays:
+            d = a.dictionary
+            if d is None or d.capacity == 0:
+                continue
+            if isinstance(d.length, (int, _np.integer)) and d.length == 0:
+                continue   # placeholder dict of an empty carry batch
+            dictionary = d
+            break
     return Array(t, out_vals, out_valid, dictionary=dictionary, length=off)
 
 

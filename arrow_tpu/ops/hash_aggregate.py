@@ -79,6 +79,22 @@ class _SlotOverflow:
                 f"varlen_slot_bytes (or dictionary-encode the key)")
 
 
+@jax.jit
+def _probe_key_domain(key: Array):
+    """(min, max) of the key over active (in-range, non-null) rows; if no
+    active rows, min > max."""
+    from ..core.array import row_mask
+    cap = key.capacity
+    act = row_mask(cap, key.length)
+    if key.validity is not None:
+        act = act & key.validity
+    v = key.values
+    info = jnp.iinfo(v.dtype)
+    lo = jnp.min(jnp.where(act, v, info.max))
+    hi = jnp.max(jnp.where(act, v, info.min))
+    return lo, hi
+
+
 class HashAggregate:
     """Static-config grouped aggregation over a stream of batches."""
 
@@ -171,6 +187,165 @@ class HashAggregate:
                 values = None
             new_agg_states.append(agg.consume_grouped(st, values, ctx))
         return (grouper_state, tuple(new_agg_states), uniques)
+
+    # ------------------------------------------------------------------
+    # Dense-domain fast path (VERDICT r2 #3). The analog of the
+    # reference's GrouperFastImpl specialization (``grouper.cc:548``):
+    # when one probe shows the single integer key spans a small domain,
+    # gid = key - lo directly — NO grouping sort at all — and every
+    # aggregate reduces in ONE streaming Pallas pass
+    # (ops/pallas_kernels.dense_group_reduce). First-appearance group
+    # numbering is reconstructed exactly from a per-slot first-row
+    # reduction, and the per-slot partial states fold into the main state
+    # through the ordinary ``merge_rows`` protocol, so sort-path and
+    # dense-path batches interleave freely.
+    DENSE_CAP = 4096          # max dense slots: kernel work is O(n*G)
+    _DENSE_FNS = {"count", "count_all", "sum", "mean", "min", "max"}
+
+    def dense_probe(self, batch: Batch):
+        """Host-side eligibility probe (one tiny device sync). Returns
+        {"lo": int, "G": int} when ``consume_dense`` applies to this
+        batch, else None. Callers (AggregateNode, bench) probe per batch;
+        mixed-path streams stay correct via merge_rows."""
+        if len(self.keys) != 1:
+            return None
+        f = self.in_schema.field(self.keys[0])
+        if not f.type.is_integer:
+            return None
+        for agg in self._aggregators:
+            if agg.name not in self._DENSE_FNS:
+                return None
+            if agg.name in ("sum", "mean", "min", "max"):
+                it = agg.in_type
+                if it is None or not (it.is_floating
+                                      and it.bit_width == 32):
+                    return None
+        key = batch.column(self.keys[0])
+        lo, hi = jax.device_get(_probe_key_domain(key))
+        lo, hi = int(lo), int(hi)
+        if hi < lo:
+            return None     # no active rows
+        needed = (hi - lo + 1) + (1 if key.validity is not None else 0)
+        if needed > min(self.DENSE_CAP, self.max_groups):
+            return None
+        G = 128
+        while G < needed:
+            G *= 2
+        return {"lo": lo, "G": G}
+
+    def consume_dense(self, state, batch: Batch, lo, G: int):
+        """Dense-domain consume: jit-compatible given static G; ``lo`` is
+        a dynamic scalar (no recompile when the domain shifts)."""
+        from ..core.array import row_mask
+        from .pallas_kernels import dense_group_reduce
+        key = batch.column(self.keys[0])
+        cap = key.capacity
+        in_range = row_mask(cap, batch.length)
+        kv = (key.values - lo).astype(jnp.int32)
+        gid = jnp.where(in_range, kv, jnp.int32(-1))
+        if key.validity is not None:
+            # null key rows form their own group in slot G-1 (the probe
+            # reserved it)
+            gid = jnp.where(key.validity | ~in_range, gid,
+                            jnp.int32(G - 1))
+
+        iota = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0).reshape(
+            (cap,))
+        inputs = [jnp.where(gid >= 0, iota, jnp.int32((1 << 31) - 1))]
+        kinds = ["imin"]
+        slot_of = {}            # (col, kind) -> kernel output index
+
+        def add(sig, build):
+            if sig not in slot_of:
+                slot_of[sig] = len(inputs)
+                x, kind = build()
+                inputs.append(x)
+                kinds.append(kind)
+            return slot_of[sig]
+
+        active = gid >= 0
+        for spec, agg in zip(self.aggs, self._aggregators):
+            if agg.name == "count_all":
+                continue        # served by the kernel's rows output
+            col = batch.column(spec.targets[0])
+            ok = active if col.validity is None else (active & col.validity)
+            if agg.name == "count":
+                mode = getattr(agg.options, "mode", "only_valid")
+                if mode == "only_null":
+                    okn = active & (~col.validity if col.validity
+                                    is not None else
+                                    jnp.zeros((cap,), jnp.bool_))
+                    add((spec.targets[0], "count_null"),
+                        lambda okn=okn: (okn.astype(jnp.int32), "count"))
+                elif mode == "all":
+                    add((None, "rows"), lambda: (active.astype(jnp.int32),
+                                                 "count"))
+                else:
+                    add((spec.targets[0], "countv"),
+                        lambda ok=ok: (ok.astype(jnp.int32), "count"))
+                continue
+            v = col.values.astype(jnp.float32)
+            if agg.name in ("sum", "mean"):
+                add((spec.targets[0], "countv"),
+                    lambda ok=ok: (ok.astype(jnp.int32), "count"))
+                add((spec.targets[0], "sum"),
+                    lambda v=v, ok=ok: (jnp.where(ok, v, 0.0), "sum"))
+            elif agg.name == "min":
+                add((spec.targets[0], "countv"),
+                    lambda ok=ok: (ok.astype(jnp.int32), "count"))
+                add((spec.targets[0], "min"),
+                    lambda v=v, ok=ok: (
+                        jnp.where(ok, v, jnp.float32(jnp.inf)), "min"))
+            elif agg.name == "max":
+                add((spec.targets[0], "countv"),
+                    lambda ok=ok: (ok.astype(jnp.int32), "count"))
+                add((spec.targets[0], "max"),
+                    lambda v=v, ok=ok: (
+                        jnp.where(ok, v, jnp.float32(-jnp.inf)), "max"))
+
+        rows, outs = dense_group_reduce(gid, tuple(inputs), tuple(kinds), G)
+        all_outs = [rows] + list(outs)
+        first = outs[0]
+        present = rows > 0
+        order_key = jnp.where(present, first, jnp.int32((1 << 31) - 1))
+        perm = jnp.argsort(order_key)       # slots in appearance order
+        o_count = jnp.sum(present, dtype=jnp.int32)
+
+        slots = perm.astype(key.values.dtype)
+        kvals = lo + slots
+        kvalid = None
+        if key.validity is not None:
+            kvalid = perm != jnp.int32(G - 1)
+        o_key = Array(key.type, kvals, kvalid, length=o_count)
+
+        def out_for(sig):
+            return all_outs[1 + slot_of[sig]][perm]
+
+        o_states = []
+        for spec, agg in zip(self.aggs, self._aggregators):
+            rp = rows[perm]
+            if agg.name == "count_all":
+                o_states.append(rp.astype(jnp.int64))
+                continue
+            tgt = spec.targets[0]
+            if agg.name == "count":
+                mode = getattr(agg.options, "mode", "only_valid")
+                sig = (tgt, "countv")
+                if mode == "only_null":
+                    sig = (tgt, "count_null")
+                elif mode == "all":
+                    sig = (None, "rows")
+                o_states.append(out_for(sig).astype(jnp.int64))
+                continue
+            cnt = out_for((tgt, "countv")).astype(jnp.int64)
+            if agg.name in ("sum", "mean"):
+                acc = out_for((tgt, "sum")).astype(agg._acc_dtype)
+                o_states.append((acc, cnt))
+            elif agg.name == "min":
+                o_states.append((out_for((tgt, "min")), cnt))
+            elif agg.name == "max":
+                o_states.append((out_for((tgt, "max")), cnt))
+        return self.merge_rows(state, [o_key], tuple(o_states), o_count)
 
     def merge(self, state, other_state):
         """Cross-shard combine: feed other's unique keys through our

@@ -22,7 +22,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["partition_histogram", "tile_compact_local"]
+__all__ = ["partition_histogram", "tile_compact_local",
+           "dense_group_reduce"]
 
 _LANES = 128
 _SUBLANES = 8
@@ -113,6 +114,115 @@ def _compact_kernel(sel_ref, loc_ref, cnt_ref):
         preferred_element_type=jnp.float32)           # (1, TILE)
     loc_ref[:] = out.reshape((1, _SUBLANES, _LANES)).astype(jnp.int32)
     cnt_ref[0, 0] = jnp.sum(sel).astype(jnp.int32)
+
+
+_DG_LANES = 128      # one dense-slot block = 128 lanes
+_DG_CHUNK = 1024     # rows streamed per grid step
+
+_DG_IDENT = {
+    "sum": 0.0,
+    "min": float("inf"),     # true identity: min({+inf}) must stay +inf
+    "max": float("-inf"),
+    "imin": (1 << 31) - 1,
+    "imax": -(1 << 31),
+    "count": 0,
+}
+
+
+def _dense_group_kernel(gid_ref, *refs, kinds, G):
+    """One streaming pass computing per-dense-slot reductions.
+
+    Sequential grid over 1024-row chunks; accumulators are (1, G) output
+    blocks pinned to position 0 (the running-accumulator pattern of
+    ``partition_histogram``). Per chunk and per 128-slot block, the slot
+    match mask ``eq`` (128, C) is built once and every reduction reuses
+    it — the whole kernel is VPU compare/select/reduce work with zero
+    scatters; HBM traffic is the streaming read of gid + value columns.
+    """
+    n_in = len(kinds)
+    in_refs = refs[:n_in]
+    rows_ref = refs[n_in]
+    out_refs = refs[n_in + 1:]
+    step = pl.program_id(0)
+    C = _DG_CHUNK
+
+    @pl.when(step == 0)
+    def _init():
+        rows_ref[:] = jnp.zeros_like(rows_ref)
+        for kind, oref in zip(kinds, out_refs):
+            oref[:] = jnp.full_like(oref, _DG_IDENT[kind])
+
+    gid = gid_ref[0, :]                                   # (C,) int32
+    xs = [r[0, :] for r in in_refs]                       # (C,) each
+    for gb in range(G // _DG_LANES):
+        slot = (jax.lax.broadcasted_iota(jnp.int32, (_DG_LANES, C), 0)
+                + gb * _DG_LANES)
+        eq = slot == gid[None, :]                         # (128, C) bool
+        blk = slice(gb * _DG_LANES, (gb + 1) * _DG_LANES)
+        rows_ref[0, blk] += jnp.sum(eq, axis=1, dtype=jnp.int32)
+        for kind, x, oref in zip(kinds, xs, out_refs):
+            ident = jnp.asarray(_DG_IDENT[kind], dtype=x.dtype)
+            xb = jnp.where(eq, x[None, :], ident)         # (128, C)
+            if kind == "sum":
+                part = jnp.sum(xb, axis=1, dtype=x.dtype)
+                oref[0, blk] += part
+            elif kind == "count":
+                part = jnp.sum(xb, axis=1, dtype=jnp.int32)
+                oref[0, blk] += part
+            elif kind in ("min", "imin"):
+                oref[0, blk] = jnp.minimum(oref[0, blk],
+                                           jnp.min(xb, axis=1))
+            else:                                          # max / imax
+                oref[0, blk] = jnp.maximum(oref[0, blk],
+                                           jnp.max(xb, axis=1))
+
+
+@functools.partial(jax.jit, static_argnames=("kinds", "G"))
+def dense_group_reduce(gid: jax.Array, inputs, kinds: tuple, G: int):
+    """Dense-domain grouped reduction (the GrouperFastImpl fast path's
+    TPU answer for small integer key domains — ``grouper.cc:548`` is the
+    analog; here there is NO grouping sort at all).
+
+    gid: (n,) int32 dense slot per row in [0, G); negative = inactive.
+    inputs: tuple of (n,) arrays, pre-masked by the caller (inactive rows
+      already hold the op identity). float32 for sum/min/max, int32 for
+      count/imin/imax.
+    kinds: per-input reduction ("sum"|"min"|"max"|"count"|"imin"|"imax").
+    G: static dense capacity, multiple of 128 (cap ~4096: VPU work is
+      O(n*G), the crossover vs the sort-grouper measured on v5e).
+
+    Returns (rows (G,) int32 active-row count per slot, [per-input (G,)]).
+    """
+    n = gid.shape[0]
+    C = _DG_CHUNK
+    assert G % _DG_LANES == 0, G
+    pad = (-n) % C
+    if pad:
+        gid = jnp.concatenate([gid, jnp.full((pad,), -1, jnp.int32)])
+        inputs = tuple(
+            jnp.concatenate([x, jnp.full((pad,), _DG_IDENT[k], x.dtype)])
+            for x, k in zip(inputs, kinds))
+    T = (n + pad) // C
+    out_shapes = [jax.ShapeDtypeStruct((1, G), jnp.int32)]
+    out_specs = [pl.BlockSpec((1, G), lambda i: (0, 0),
+                              memory_space=pltpu.VMEM)]
+    for x in inputs:
+        out_shapes.append(jax.ShapeDtypeStruct((1, G), x.dtype))
+        out_specs.append(pl.BlockSpec((1, G), lambda i: (0, 0),
+                                      memory_space=pltpu.VMEM))
+    in_specs = [pl.BlockSpec((1, C), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)]
+    in_specs += [pl.BlockSpec((1, C), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)] * len(inputs)
+    outs = pl.pallas_call(
+        functools.partial(_dense_group_kernel, kinds=kinds, G=G),
+        grid=(T,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=_interpret(),
+    )(gid.reshape((T, C)), *[x.reshape((T, C)) for x in inputs])
+    return outs[0].reshape((G,)), [o.reshape((G,)) for o in outs[1:]]
 
 
 @jax.jit

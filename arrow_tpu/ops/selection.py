@@ -70,19 +70,25 @@ def _selection_mask(mask: Array, null_selection: str):
 
 
 def _compaction_impl() -> str:
-    """'twolevel' (default on TPU): per-128-row-tile minor-axis sort +
-    scatter/cummax stitch gather — O(n log 128) work instead of the
-    former whole-capacity 'sort' (O(n log^2 n) comparator stages, the
-    VERDICT r1 filter-roofline finding); 'sort': 1-bit-key multi-payload
-    global stable sort; 'search': cumsum + searchsorted (measured 40x
-    SLOWER than sort on v5e — binary-search gathers don't vectorize);
+    """'sort' (default on TPU): ONE 1-bit-key multi-payload global stable
+    sort compacts every column directly — no gathers anywhere. Measured
+    on v5e (tools/tpu_filter_probe.py, 10M rows, sel 0.01/0.5/0.99,
+    round 3): sort 230M rows/s at EVERY selectivity vs twolevel/pallas
+    25M. The two-level tile-sort + stitch designs lose because their
+    stitch is XLA 1D gathers, which lower near-serially on TPU (~100M
+    elem/s) — the sort's O(log^2 n) streamed comparator passes all run at
+    HBM bandwidth and still win 9x. Beating 'sort' needs a single-pass
+    Pallas compaction that never leaves VMEM between mask and write, not
+    a cheaper index computation.
+    'twolevel'/'pallas': tile-local compaction + stitch (kept for probe
+    comparisons); 'search': cumsum + searchsorted (40x slower than sort);
     'scatter': O(n) scatter (CPU default — element scatters serialize on
     TPU). Override: ARROW_TPU_FILTER_IMPL."""
     import os
     impl = os.environ.get("ARROW_TPU_FILTER_IMPL")
     if impl:
         return impl
-    return "twolevel" if jax.default_backend() == "tpu" else "scatter"
+    return "sort" if jax.default_backend() == "tpu" else "scatter"
 
 
 def _use_sort_compaction() -> bool:

@@ -41,6 +41,7 @@ from ..compute.registry import Kind, NullHandling, register_function
 __all__ = ["SortKey", "SortOptions", "ArraySortOptions", "SelectKOptions",
            "RankOptions", "PartitionNthOptions", "sort_indices_batch",
            "sort_indices_array", "sortable_lanes", "batch_key_lanes",
+           "merge_key_lanes",
            "lex_leq"]
 
 
@@ -90,37 +91,82 @@ class PartitionNthOptions:
 
 # ---- key normalization -----------------------------------------------------
 
-def sortable_lanes(a: Array) -> List[jax.Array]:
+def _varlen_words_default() -> int:
+    """u32 prefix words for varlen sort keys (ARROW_TPU_SORT_PREFIX_BYTES,
+    default 32 bytes = 8 words). Order is exact for strings up to this
+    prefix; nodes host-probe max length and widen per call."""
+    import os
+    return max(1, int(os.environ.get("ARROW_TPU_SORT_PREFIX_BYTES",
+                                     "32")) // 4)
+
+
+def sortable_lanes(a: Array, varlen_words: Optional[int] = None,
+                   cross_batch: bool = False) -> List[jax.Array]:
     """uint32 lanes whose lexicographic unsigned order == the column's
     ascending sort order. Null handling is SEPARATE (null lane).
 
     64-bit bitcasts don't compile on TPU and f64 is stored double-float
-    there, so all normalization goes through ops.bits (platform-aware)."""
+    there, so all normalization goes through ops.bits (platform-aware).
+
+    Varlen (string/binary): big-endian u32 prefix words + a length
+    tiebreak lane — EXACT lexicographic order for values up to
+    4*varlen_words bytes (callers that host-probe max length get exact
+    order always; ``vector_sort.cc`` sorts strings by full comparator).
+    Dictionary: rank within this batch's dictionary (1 lane) — or, with
+    ``cross_batch=True``, the DECODED value's lanes, comparable across
+    batches with different dictionaries (the streaming sorted_merge's
+    bound test needs this)."""
     t = a.type
     v = a.values
     if isinstance(t, dt.DictionaryType):
+        d = a.dictionary
+        idx = jnp.clip(v.astype(jnp.int32), 0, max(d.capacity, 1) - 1)
+        if cross_batch:
+            dlanes = sortable_lanes(d, varlen_words=varlen_words)
+            return [l[idx] for l in dlanes]
         # rank-remap: position of each dictionary value in the sorted
         # dictionary (nulls in the dictionary sort last, but null slots are
         # masked by the indices' validity anyway)
         rank = _dictionary_rank(a.dictionary)
-        idx = jnp.clip(v.astype(jnp.int32), 0, rank.shape[0] - 1)
         return [rank[idx].astype(jnp.uint32)]
     if t.is_varlen:
-        raise NotImplementedError(f"sort key normalization for {t} "
-                                  "(strings: dictionary-encode first)")
+        return _string_sort_lanes(a, varlen_words or
+                                  _varlen_words_default())
     return ascending_lanes32(v, t)
+
+
+def _string_sort_lanes(a: Array, nwords: int) -> List[jax.Array]:
+    """Big-endian uint32 words of the first 4*nwords bytes, then length:
+    unsigned lane order == byte-lexicographic order for values up to the
+    prefix (length breaks prefix-of ties; equal prefixes of longer
+    strings tie — callers probe max length for exactness)."""
+    off = a.offsets
+    n = off.shape[0] - 1
+    data = a.values
+    bcap = max(data.shape[0], 1)
+    lens = (off[1:] - off[:-1]).astype(jnp.int32)
+    starts = off[:-1]
+    lanes = []
+    for w in range(nwords):
+        word = jnp.zeros((n,), dtype=jnp.uint32)
+        for b in range(4):
+            k = 4 * w + b
+            pos = starts + k
+            byte = jnp.where(k < lens,
+                             data[jnp.clip(pos, 0, bcap - 1)], 0)
+            word = (word << jnp.uint32(8)) | byte.astype(jnp.uint32)
+        lanes.append(word)
+    lanes.append(lens.astype(jnp.uint32))
+    return lanes
 
 
 def _dictionary_rank(dictionary: Array) -> jax.Array:
     """rank[i] = position of dictionary value i in sorted order."""
     t = dictionary.type
     if t.is_varlen:
-        # order strings on device via a host-free trick is future work;
-        # dictionaries are small — rank by first-8-bytes prefix then break
-        # remaining ties via host fallback is avoided: use prefix u64 which
-        # is exact for prefixes; ties beyond 8 bytes use byte-length then
-        # next 8 bytes (24-byte effective prefix).
-        lanes = _string_prefix_lanes(dictionary, nwords=3)
+        # prefix-word lanes (exact up to ARROW_TPU_SORT_PREFIX_BYTES)
+        lanes = _string_sort_lanes(dictionary,
+                                   _varlen_words_default())
     else:
         lanes = sortable_lanes(dictionary)
     n = lanes[0].shape[0]
@@ -133,31 +179,12 @@ def _dictionary_rank(dictionary: Array) -> jax.Array:
     return rank
 
 
-def _string_prefix_lanes(a: Array, nwords: int = 3) -> List[jax.Array]:
-    """Big-endian uint64 words of the first 8*nwords bytes (byte order ==
-    lexicographic order), then length as final tiebreak lane."""
-    off = a.offsets
-    n = off.shape[0] - 1
-    data = a.values
-    bcap = max(data.shape[0], 1)
-    lens = off[1:] - off[:-1]
-    lanes = []
-    for w in range(nwords):
-        word = jnp.zeros((n,), dtype=jnp.uint64)
-        for b in range(8):
-            pos = off[:-1] + (8 * w + b)
-            valid = (8 * w + b) < lens
-            byte = jnp.where(valid, data[jnp.clip(pos, 0, bcap - 1)], 0)
-            word = (word << jnp.uint64(8)) | byte.astype(jnp.uint64)
-        lanes.append(word)
-    lanes.append(lens.astype(jnp.uint64))
-    return lanes
-
-
 def _key_lanes(a: Array, order: str, null_placement: str,
-               capacity: int) -> List[jax.Array]:
+               capacity: int, cross_batch: bool = False,
+               varlen_words: Optional[int] = None) -> List[jax.Array]:
     """[null_lane, value_lanes...] for one sort key."""
-    lanes = sortable_lanes(a)
+    lanes = sortable_lanes(a, varlen_words=varlen_words,
+                           cross_batch=cross_batch)
     if order == "descending":
         lanes = [~l for l in lanes]
     if a.validity is not None:
@@ -173,12 +200,14 @@ def _key_lanes(a: Array, order: str, null_placement: str,
 def _composite_sort_perm(columns: Sequence[Array],
                          orders: Sequence[str],
                          null_placement: str,
-                         capacity: int, length) -> jax.Array:
+                         capacity: int, length,
+                         varlen_words: Optional[int] = None) -> jax.Array:
     """Stable multi-key sort permutation (padding rows pushed to end)."""
     pad_lane = (~row_mask(capacity, length)).astype(jnp.uint8)
     lanes: List[jax.Array] = [pad_lane]
     for col, order in zip(columns, orders):
-        lanes.extend(_key_lanes(col, order, null_placement, capacity))
+        lanes.extend(_key_lanes(col, order, null_placement, capacity,
+                                varlen_words=varlen_words))
     iota = jax.lax.broadcasted_iota(jnp.int32, (capacity, 1), 0).reshape(
         (capacity,))
     out = jax.lax.sort(lanes + [iota], num_keys=len(lanes), is_stable=True)
@@ -187,12 +216,29 @@ def _composite_sort_perm(columns: Sequence[Array],
 
 def batch_key_lanes(b: Batch, sort_keys, null_placement: str):
     """Flat per-row lane list for a batch's sort keys — the total order
-    used by sort/merge. Lanes from the SAME key spec compare across
-    batches (the streaming sorted_merge's cross-batch bound test)."""
+    used by sort/merge within ONE batch (dictionary keys use batch-local
+    rank lanes)."""
     lanes = []
     for sk in sort_keys:
         lanes.extend(_key_lanes(b.column(sk.name), sk.order,
                                 null_placement, b.capacity))
+    return lanes
+
+
+def merge_key_lanes(b: Batch, sort_keys, null_placement: str,
+                    varlen_words: Optional[int] = None):
+    """CROSS-BATCH-comparable lane list (the streaming sorted_merge's
+    bound test): dictionary keys decode to value lanes, varlen keys use
+    prefix-word lanes — one key spec yields identically-shaped lanes for
+    every batch, so tails from different inputs compare directly
+    (``sorted_merge_node.cc:256`` compares full rows; we compare
+    normalized lanes)."""
+    lanes = []
+    for sk in sort_keys:
+        lanes.extend(_key_lanes(b.column(sk.name), sk.order,
+                                null_placement, b.capacity,
+                                cross_batch=True,
+                                varlen_words=varlen_words))
     return lanes
 
 

@@ -158,6 +158,10 @@ def bench_group_by(dev, distinct):
                         AggregateSpec("min", "v"),
                         AggregateSpec("count_all")],
                        max_groups=max_groups)
+    # same host-side routing AggregateNode._consume_any applies: the
+    # dense-domain fast path when the key-domain probe qualifies
+    # (HashAggregate.dense_probe), else the sort-grouper
+    cfg = ha.dense_probe(batch)
 
     @jax.jit
     def run(s, b):
@@ -165,7 +169,11 @@ def bench_group_by(dev, distinct):
             v2 = b.column("v").values + (s + i).astype(jnp.float32) * 1e-6
             b2 = b.set_column("v", at.Array(at.float32, v2, None, length=n))
             state = ha.init_state()
-            state = ha.consume(state, b2)
+            if cfg is not None:
+                state = ha.consume_dense(state, b2, np.int64(cfg["lo"]),
+                                         cfg["G"])
+            else:
+                state = ha.consume(state, b2)
             out = ha.finalize(state)
             acc = acc + out.arrays[1].values[::4097].sum().astype(
                 jnp.float32)

@@ -27,6 +27,44 @@ assert jax.default_backend() == "cpu", jax.default_backend()
 assert len(jax.devices()) == 8, jax.devices()
 
 
+# ---- fast default lane (VERDICT r2 #9) -----------------------------------
+# Heavy oracle/e2e modules (TPC-H pipelines, real multi-process multihost,
+# spill, overflow recovery, scaling) are marked `slow` and SKIPPED by
+# default so `pytest tests -q` stays under ~5 minutes. Run the full lane
+# with `pytest tests --runslow` (CI nightly / pre-snapshot) or
+# ARROW_TPU_FULL_TESTS=1.
+_SLOW_MODULES = {
+    "test_tpch", "test_multihost", "test_parallel", "test_dataset",
+}
+_SLOW_KEYWORDS = ("spill", "overflow", "grace", "external_sort",
+                  "scaling")
+
+
+def pytest_addoption(parser):
+    parser.addoption("--runslow", action="store_true", default=False,
+                     help="also run slow-marked oracle/e2e tests")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: heavy oracle/e2e test (skipped by default; "
+        "--runslow or ARROW_TPU_FULL_TESTS=1 enables)")
+
+
+def pytest_collection_modifyitems(config, items):
+    run_slow = (config.getoption("--runslow")
+                or os.environ.get("ARROW_TPU_FULL_TESTS") == "1")
+    skip = pytest.mark.skip(reason="slow lane: pass --runslow")
+    for item in items:
+        mod = item.module.__name__.rsplit(".", 1)[-1]
+        name = item.name.lower()
+        if mod in _SLOW_MODULES or \
+                any(k in name for k in _SLOW_KEYWORDS):
+            item.add_marker(pytest.mark.slow)
+            if not run_slow:
+                item.add_marker(skip)
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(42)

@@ -41,7 +41,7 @@ __all__ = [
     "ListType",
     "StructType",
     "UnionType",
-    "FixedSizeBinaryType",
+    "FixedSizeBinaryType", "ExtensionType",
     "NullType",
     "int8", "int16", "int32", "int64",
     "uint8", "uint16", "uint32", "uint64",
@@ -658,11 +658,77 @@ def fixed_size_binary(byte_width: int) -> FixedSizeBinaryType:
     return FixedSizeBinaryType(byte_width)
 
 
+
+@dataclass(frozen=True)
+class ExtensionType(DataType):
+    """Arrow extension type (``extension_type.h:93``): a registered NAMED
+    wrapper around a storage type. The on-device layout IS the storage
+    layout — every kernel and interop path operates on storage — and the
+    original pyarrow type object rides along (excluded from eq/hash) for
+    lossless reconstruction at the boundary."""
+    storage: DataType
+    ext_name: str
+    pa_type: object = dataclasses.field(compare=False, hash=False,
+                                        repr=False, default=None)
+
+    @property
+    def id(self) -> str:
+        return f"extension<{self.ext_name}, {self.storage.id}>"
+
+    @property
+    def storage_np(self):
+        return self.storage.storage_np
+
+    @property
+    def is_primitive(self):
+        return self.storage.is_primitive
+
+    @property
+    def is_varlen(self):
+        return self.storage.is_varlen
+
+    @property
+    def is_nested(self):
+        return self.storage.is_nested
+
+    @property
+    def is_numeric(self):
+        return self.storage.is_numeric
+
+    @property
+    def is_integer(self):
+        return self.storage.is_integer
+
+    @property
+    def is_floating(self):
+        return self.storage.is_floating
+
+    @property
+    def is_signed_integer(self):
+        return self.storage.is_signed_integer
+
+    @property
+    def is_unsigned_integer(self):
+        return self.storage.is_unsigned_integer
+
+    @property
+    def is_temporal(self):
+        return self.storage.is_temporal
+
+    @property
+    def bit_width(self):
+        return self.storage.bit_width
+
+
 # ---- pyarrow bridge ---------------------------------------------------------
 
 def to_pyarrow_type(t: DataType):
     import pyarrow as pa
 
+    if isinstance(t, ExtensionType):
+        if t.pa_type is not None:
+            return t.pa_type
+        return to_pyarrow_type(t.storage)
     if isinstance(t, NullType):
         return pa.null()
     if isinstance(t, IntegerType):
@@ -729,6 +795,20 @@ def from_pyarrow_type(pt) -> DataType:
     import pyarrow as pa
     import pyarrow.types as pat
 
+    if isinstance(pt, pa.BaseExtensionType):
+        return ExtensionType(from_pyarrow_type(pt.storage_type),
+                             pt.extension_name, pt)
+    # view layouts fold to their offset-based logical equivalents at the
+    # boundary (Arrow 22 StringView/BinaryView/ListView,
+    # ``array/data.h:485`` variadic buffers — a CPU cache optimization
+    # with no device analog here)
+    if pat.is_string_view(pt):
+        return string
+    if pat.is_binary_view(pt):
+        return binary
+    if getattr(pat, "is_list_view", lambda _: False)(pt) or \
+            getattr(pat, "is_large_list_view", lambda _: False)(pt):
+        return ListType(from_pyarrow_type(pt.value_type))
     if pat.is_null(pt):
         return null
     if pat.is_boolean(pt):

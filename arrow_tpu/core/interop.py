@@ -88,6 +88,35 @@ def array_from_pyarrow(pa_arr, capacity: Optional[int] = None,
 
     if isinstance(pa_arr, pa.ChunkedArray):
         pa_arr = pa_arr.combine_chunks()
+    if isinstance(pa_arr, pa.ExtensionArray):
+        # extension array = storage layout + named type: convert storage,
+        # rewrap with the ExtensionType (lossless round trip)
+        ext_t = dt.from_pyarrow_type(pa_arr.type)
+        inner = array_from_pyarrow(pa_arr.storage, capacity, byte_capacity)
+        return Array(ext_t, inner.values, inner.validity,
+                     offsets=inner.offsets, dictionary=inner.dictionary,
+                     children=inner.children, length=len(pa_arr))
+    import pyarrow.types as _pat
+    if _pat.is_string_view(pa_arr.type):
+        pa_arr = pa_arr.cast(pa.string())
+    elif _pat.is_binary_view(pa_arr.type):
+        pa_arr = pa_arr.cast(pa.binary())
+    elif getattr(_pat, "is_list_view", lambda _: False)(pa_arr.type) or \
+            getattr(_pat, "is_large_list_view",
+                    lambda _: False)(pa_arr.type):
+        # rebuild as a plain list: views may reorder/overlap child rows
+        # and pyarrow's cast emits an n-entry offsets buffer (no
+        # terminal) — flatten + explicit cumsum offsets is always valid
+        import pyarrow.compute as _pc
+        nv = len(pa_arr)
+        lens = _pc.fill_null(_pc.list_value_length(pa_arr), 0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        off = np.zeros((nv + 1,), dtype=np.int32)
+        np.cumsum(lens, out=off[1:])
+        mask = pa.compute.is_null(pa_arr).to_numpy(zero_copy_only=False)
+        pa_arr = pa.ListArray.from_arrays(
+            pa.array(off, pa.int32()), _pc.list_flatten(pa_arr),
+            mask=pa.array(mask))
     n = len(pa_arr)
     cap = pad_capacity(n, capacity)
     t = dt.from_pyarrow_type(pa_arr.type)
@@ -241,6 +270,14 @@ def array_to_pyarrow(arr: Array):
 
     n = len(arr)
     t = arr.type
+    if isinstance(t, dt.ExtensionType):
+        storage = array_to_pyarrow(Array(
+            t.storage, arr.values, arr.validity, offsets=arr.offsets,
+            dictionary=arr.dictionary, children=arr.children,
+            length=arr.length))
+        if t.pa_type is not None:
+            return pa.ExtensionArray.from_storage(t.pa_type, storage)
+        return storage
     pa_type = dt.to_pyarrow_type(t)
 
     validity_buf = None

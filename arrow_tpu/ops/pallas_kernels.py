@@ -17,6 +17,16 @@ from __future__ import annotations
 
 import functools
 
+import numpy as _np
+
+def _iz(*vals):
+    """Index-map helper: under jax x64 a literal 0 in an index_map traces
+    as int64 and Mosaic refuses the mixed (i32, i64, ...) return
+    ('failed to legalize func.return') — pin constants to int32."""
+    return tuple(v if not isinstance(v, int) else _np.int32(v)
+                 for v in vals)
+
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -70,9 +80,9 @@ def partition_histogram(dest: jax.Array, P: int) -> jax.Array:
         functools.partial(_hist_kernel, P=P),
         grid=(nsteps,),
         in_specs=[pl.BlockSpec((1, _SUBLANES, _LANES),
-                               lambda i: (i, 0, 0),
+                               lambda i: _iz(i, 0, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, _LANES), lambda i: (0, 0),
+        out_specs=pl.BlockSpec((1, _LANES), lambda i: _iz(0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((1, _LANES), jnp.int32),
         interpret=_interpret(),
@@ -144,7 +154,7 @@ def _dense_group_kernel(gid_ref, *refs, kinds, G):
     rows_ref = refs[n_in]
     out_refs = refs[n_in + 1:]
     step = pl.program_id(0)
-    C = _DG_CHUNK
+    S = _DG_CHUNK // _DG_LANES                            # sublane columns
 
     @pl.when(step == 0)
     def _init():
@@ -152,29 +162,49 @@ def _dense_group_kernel(gid_ref, *refs, kinds, G):
         for kind, oref in zip(kinds, out_refs):
             oref[:] = jnp.full_like(oref, _DG_IDENT[kind])
 
-    gid = gid_ref[0, :]                                   # (C,) int32
-    xs = [r[0, :] for r in in_refs]                       # (C,) each
+    # blocks arrive TRANSPOSED (128 elements x S columns) so an element
+    # column is a (128, 1) slice — every op below is strictly 2D with
+    # (sublane, lane) tiling, which is what Mosaic lowers well; the
+    # (elements x slots) mask has elements on sublanes, slots on lanes,
+    # so per-slot reductions are lane-preserving axis-0 sums.
+    gid = gid_ref[0]                                      # (128, S) int32
+    xs = [r[0] for r in in_refs]                          # (128, S) each
+    slot_row = jax.lax.broadcasted_iota(jnp.int32, (1, _DG_LANES), 1)
     for gb in range(G // _DG_LANES):
-        slot = (jax.lax.broadcasted_iota(jnp.int32, (_DG_LANES, C), 0)
-                + gb * _DG_LANES)
-        eq = slot == gid[None, :]                         # (128, C) bool
+        slots = slot_row + gb * _DG_LANES
         blk = slice(gb * _DG_LANES, (gb + 1) * _DG_LANES)
-        rows_ref[0, blk] += jnp.sum(eq, axis=1, dtype=jnp.int32)
-        for kind, x, oref in zip(kinds, xs, out_refs):
-            ident = jnp.asarray(_DG_IDENT[kind], dtype=x.dtype)
-            xb = jnp.where(eq, x[None, :], ident)         # (128, C)
-            if kind == "sum":
-                part = jnp.sum(xb, axis=1, dtype=x.dtype)
-                oref[0, blk] += part
-            elif kind == "count":
-                part = jnp.sum(xb, axis=1, dtype=jnp.int32)
-                oref[0, blk] += part
+        rows_acc = jnp.zeros((1, _DG_LANES), jnp.int32)
+        accs = [jnp.full((1, _DG_LANES), _DG_IDENT[k],
+                         dtype=x.dtype) for k, x in zip(kinds, xs)]
+        for s in range(S):
+            eq = gid[:, s:s + 1] == slots                 # (128, 128)
+            rows_acc += jnp.sum(eq, axis=0, keepdims=True,
+                                dtype=jnp.int32)
+            for i, (kind, x) in enumerate(zip(kinds, xs)):
+                ident = jnp.asarray(_DG_IDENT[kind], dtype=x.dtype)
+                xb = jnp.where(eq, x[:, s:s + 1], ident)  # (128, 128)
+                if kind == "sum":
+                    accs[i] = accs[i] + jnp.sum(xb, axis=0, keepdims=True,
+                                                dtype=x.dtype)
+                elif kind == "count":
+                    accs[i] = accs[i] + jnp.sum(xb, axis=0, keepdims=True,
+                                                dtype=jnp.int32)
+                elif kind in ("min", "imin"):
+                    accs[i] = jnp.minimum(
+                        accs[i], jnp.min(xb, axis=0, keepdims=True))
+                else:                                      # max / imax
+                    accs[i] = jnp.maximum(
+                        accs[i], jnp.max(xb, axis=0, keepdims=True))
+        rows_ref[:, blk] += rows_acc
+        for i, kind in enumerate(kinds):
+            if kind in ("sum", "count"):
+                out_refs[i][:, blk] += accs[i]
             elif kind in ("min", "imin"):
-                oref[0, blk] = jnp.minimum(oref[0, blk],
-                                           jnp.min(xb, axis=1))
-            else:                                          # max / imax
-                oref[0, blk] = jnp.maximum(oref[0, blk],
-                                           jnp.max(xb, axis=1))
+                out_refs[i][:, blk] = jnp.minimum(out_refs[i][:, blk],
+                                                  accs[i])
+            else:
+                out_refs[i][:, blk] = jnp.maximum(out_refs[i][:, blk],
+                                                  accs[i])
 
 
 @functools.partial(jax.jit, static_argnames=("kinds", "G"))
@@ -203,17 +233,23 @@ def dense_group_reduce(gid: jax.Array, inputs, kinds: tuple, G: int):
             jnp.concatenate([x, jnp.full((pad,), _DG_IDENT[k], x.dtype)])
             for x, k in zip(inputs, kinds))
     T = (n + pad) // C
+    S = C // _DG_LANES
+
+    def to_blocks(x):
+        # (T, 128 elements, S columns): element j of chunk t sits at
+        # [t, j % 128, j // 128] — the XLA-side transpose runs at HBM
+        # bandwidth and buys strictly-2D kernel ops
+        return x.reshape((T, S, _DG_LANES)).transpose((0, 2, 1))
+
     out_shapes = [jax.ShapeDtypeStruct((1, G), jnp.int32)]
-    out_specs = [pl.BlockSpec((1, G), lambda i: (0, 0),
+    out_specs = [pl.BlockSpec((1, G), lambda i: _iz(0, 0),
                               memory_space=pltpu.VMEM)]
     for x in inputs:
         out_shapes.append(jax.ShapeDtypeStruct((1, G), x.dtype))
-        out_specs.append(pl.BlockSpec((1, G), lambda i: (0, 0),
+        out_specs.append(pl.BlockSpec((1, G), lambda i: _iz(0, 0),
                                       memory_space=pltpu.VMEM))
-    in_specs = [pl.BlockSpec((1, C), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM)]
-    in_specs += [pl.BlockSpec((1, C), lambda i: (i, 0),
-                              memory_space=pltpu.VMEM)] * len(inputs)
+    in_specs = [pl.BlockSpec((1, _DG_LANES, S), lambda i: _iz(i, 0, 0),
+                             memory_space=pltpu.VMEM)] * (1 + len(inputs))
     outs = pl.pallas_call(
         functools.partial(_dense_group_kernel, kinds=kinds, G=G),
         grid=(T,),
@@ -221,7 +257,7 @@ def dense_group_reduce(gid: jax.Array, inputs, kinds: tuple, G: int):
         out_specs=out_specs,
         out_shape=out_shapes,
         interpret=_interpret(),
-    )(gid.reshape((T, C)), *[x.reshape((T, C)) for x in inputs])
+    )(to_blocks(gid), *[to_blocks(x) for x in inputs])
     return outs[0].reshape((G,)), [o.reshape((G,)) for o in outs[1:]]
 
 
@@ -240,12 +276,12 @@ def tile_compact_local(sel: jax.Array):
         _compact_kernel,
         grid=(nsteps,),
         in_specs=[pl.BlockSpec((1, _SUBLANES, _LANES),
-                               lambda i: (i, 0, 0),
+                               lambda i: _iz(i, 0, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=[pl.BlockSpec((1, _SUBLANES, _LANES),
-                                lambda i: (i, 0, 0),
+                                lambda i: _iz(i, 0, 0),
                                 memory_space=pltpu.VMEM),
-                   pl.BlockSpec((1, 1), lambda i: (i, 0),
+                   pl.BlockSpec((1, 1), lambda i: _iz(i, 0),
                                 memory_space=pltpu.SMEM)],
         out_shape=[jax.ShapeDtypeStruct((nsteps, _SUBLANES, _LANES),
                                         jnp.int32),

@@ -126,3 +126,78 @@ def test_table_api_parity_methods(rng):
     t6 = t.combine_chunks()
     assert len(t6.batches) == 1 and t6.equals(t0)
     assert t.equals(t0) and not t2.equals(t0)
+
+
+# ---- view layouts + ExtensionType interop (VERDICT r2 #10) ----------------
+
+def test_string_view_ingest():
+    import pyarrow as pa
+    import arrow_tpu as at
+    sv = pa.array(["hello", "worldlongerthan12bytes", None, ""]).cast(
+        pa.string_view())
+    b = at.Batch.from_pyarrow(pa.record_batch({"s": sv}))
+    assert b.to_pyarrow()["s"].to_pylist() == sv.to_pylist()
+
+
+def test_binary_view_ingest():
+    import pyarrow as pa
+    import arrow_tpu as at
+    bv = pa.array([b"ab", None, b"0123456789abcdef0"]).cast(
+        pa.binary_view())
+    b = at.Batch.from_pyarrow(pa.record_batch({"b": bv}))
+    assert b.to_pyarrow()["b"].to_pylist() == bv.to_pylist()
+
+
+def test_list_view_ingest():
+    import pyarrow as pa
+    import arrow_tpu as at
+    lv = pa.array([[1, 2], [3], None, []], type=pa.list_view(pa.int64()))
+    b = at.Batch.from_pyarrow(pa.record_batch({"l": lv}))
+    assert b.to_pyarrow()["l"].to_pylist() == lv.to_pylist()
+
+
+def test_extension_type_roundtrip():
+    """extension_type.h:93: named wrapper over storage, lossless at the
+    boundary."""
+    import pyarrow as pa
+    import arrow_tpu as at
+
+    class _RtExt(pa.ExtensionType):
+        def __init__(self):
+            super().__init__(pa.int64(), "arrow_tpu_test.rt")
+
+        def __arrow_ext_serialize__(self):
+            return b""
+
+        @classmethod
+        def __arrow_ext_deserialize__(cls, storage_type, serialized):
+            return cls()
+
+    try:
+        pa.register_extension_type(_RtExt())
+    except pa.ArrowKeyError:
+        pass
+    arr = pa.ExtensionArray.from_storage(_RtExt(), pa.array([1, None, 3]))
+    b = at.Batch.from_pyarrow(pa.record_batch({"e": arr}))
+    out = b.to_pyarrow()["e"]
+    assert out.type.extension_name == "arrow_tpu_test.rt"
+    assert out.to_pylist() == [1, None, 3]
+
+
+def test_table_take_append_set_on_device():
+    """VERDICT r2 #8: no to_pyarrow() round trip inside take/append/set."""
+    import pyarrow as pa
+    import numpy as np
+    import arrow_tpu as at
+    t = pa.table({"a": [1, 2, 3, 4, 5, None],
+                  "s": ["x", "yy", None, "zzz", "w", "v"]})
+    dt_ = at.Table.from_pyarrow(t, max_rows_per_batch=3)
+    assert dt_.take([5, 0, 3, 3]).to_pyarrow().equals(
+        t.take(pa.array([5, 0, 3, 3])))
+    got = dt_.append_column("b", list(range(10, 70, 10))).to_pyarrow()
+    assert got.to_pydict() == t.append_column(
+        "b", pa.array(list(range(10, 70, 10)))).to_pydict()
+    col = at.array(np.arange(6.0, dtype=np.float32))
+    got = dt_.set_column(0, "a2", col).to_pyarrow()
+    assert got.to_pydict() == t.set_column(
+        0, "a2", pa.array(np.arange(6.0, dtype=np.float32))).to_pydict()

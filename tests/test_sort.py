@@ -144,3 +144,20 @@ def test_rank_quantile_and_normal():
     np.testing.assert_allclose(
         cf("rank_normal", [at.array(x)]).to_pylist(),
         pc.rank_normal(x).to_pylist(), rtol=1e-12)
+
+
+def test_sort_raw_string_keys(rng):
+    """vector_sort.cc sorts string columns; prefix-word lanes + host
+    maxlen probe make it exact (was NotImplementedError through r2)."""
+    import pyarrow as pa
+    import arrow_tpu as at
+    words = ["b", "a", "cc", "c", "aa", "x" * 40 + "b", "x" * 40 + "a",
+             "", "zz", "za"]
+    vals = [words[i] for i in rng.integers(0, len(words), 400)]
+    mask = rng.random(400) < 0.1
+    arr = pa.array([None if m else v for v, m in zip(vals, mask)])
+    t = pa.table({"s": arr, "v": pa.array(range(400))})
+    for order in ("ascending", "descending"):
+        got = at.Table.from_pyarrow(t).sort_by([("s", order)]).to_pyarrow()
+        assert got["s"].to_pylist() == \
+            t.sort_by([("s", order)])["s"].to_pylist(), order

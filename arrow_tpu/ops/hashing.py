@@ -161,9 +161,17 @@ def string_fingerprint_exact(a: Array, mult: int = 0x9E3779B185EBCA87
     if bcap == 0:
         return _fmix64(lens)
     bidx = jax.lax.broadcasted_iota(jnp.int32, (bcap, 1), 0).reshape((bcap,))
-    r = jnp.searchsorted(off, bidx, side="right").astype(jnp.int32) - 1
-    r = jnp.clip(r, 0, cap - 1)
-    is_head = bidx == off[jnp.clip(r, 0, cap - 1)]
+    # Row heads / byte->row map WITHOUT per-byte binary search: a
+    # searchsorted over the byte pool lowers to ~log(cap) rounds of
+    # near-serial gathers on TPU (measured: it made the regex-pushdown
+    # dictionary encode 12s at 2M rows) — one unique-index scatter + a
+    # cummax forward fill costs two streaming passes instead
+    # (rows_of_positions, the same fix the varlen take got in r2).
+    starts = off[:-1]
+    ilens = off[1:] - starts
+    head_pos = jnp.where(ilens > 0, starts, bcap)
+    is_head = jnp.zeros((bcap,), jnp.bool_).at[head_pos].set(
+        True, mode="drop", unique_indices=True)
     # segmented product scan: pow[p] = mult ** (p - row_start)
     # (hand-rolled doubling — see ops/segment.segmented_scan for why not
     # lax.associative_scan)
@@ -174,8 +182,14 @@ def string_fingerprint_exact(a: Array, mult: int = 0x9E3779B185EBCA87
     contrib = (data.astype(jnp.uint64) + jnp.uint64(1)) * powers
     in_pool = bidx < off[cap]
     contrib = jnp.where(in_pool, contrib, jnp.uint64(0))
-    acc = jnp.zeros((cap,), dtype=jnp.uint64).at[r].add(
-        jnp.where(in_pool, contrib, 0))
+    # per-row sum = difference of the inclusive prefix sum at row ends:
+    # two (cap,)-sized gathers instead of an 18M-way colliding
+    # scatter-add (XLA serializes colliding scatters on TPU)
+    csum = jnp.cumsum(contrib)
+    zero = jnp.zeros((1,), dtype=jnp.uint64)
+    csum_ext = jnp.concatenate([zero, csum])   # csum_ext[p] = sum(<p)
+    acc = csum_ext[jnp.clip(off[1:], 0, bcap)] - \
+        csum_ext[jnp.clip(starts, 0, bcap)]
     return _fmix64(acc ^ (lens * jnp.uint64(_PRIME64_2)))
 
 

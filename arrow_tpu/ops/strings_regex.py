@@ -68,7 +68,40 @@ def _host_elementwise(a: Array, fn, pa_type):
 
 
 _PUSHDOWN_MIN_ROWS = 65536      # below this the direct host hop is cheap
-_PUSHDOWN_MAX_RATIO = 2         # pushdown only when n_distinct <= cap/2
+_PUSHDOWN_MAX_DISTINCT = 8192   # slot-buffer capacity for device uniques
+_PUSHDOWN_SLOT_BYTES = 64       # max string length served by the pushdown
+
+
+@jax.jit
+def _pushdown_encode(a: Array):
+    """One jitted pass: distinct-encode a varlen column and extract the
+    unique VALUES into fixed byte slots (SlotStrings — NOT a varlen take,
+    whose output byte pool would be input-pool-sized and whose byte map
+    would gather the whole pool for a few thousand rows).
+
+    Returns (codes int32 (cap,), n_distinct, slots (R, W) u8,
+    slot_lens (R,), slot_error) — slot_error nonzero when a distinct
+    string exceeds W (caller falls back to the direct host hop)."""
+    from .grouper import SlotStrings
+    from .vector_hash import _distinct
+    codes, unique_rows, n = _distinct(a, include_nulls=False)
+    R = _PUSHDOWN_MAX_DISTINCT
+    cap = a.capacity
+    rows = jnp.clip(unique_rows[:R], 0, max(cap, 1) - 1)
+    ridx = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0).reshape((R,))
+    pos = jnp.where(ridx < jnp.minimum(n, R), ridx, R)
+    ss = SlotStrings.init(R, _PUSHDOWN_SLOT_BYTES).scatter_from(
+        a, rows, pos, unique_indices=True)
+    return (jnp.maximum(codes, 0), n, ss.slots, ss.lens, ss.error)
+
+
+import functools
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _pushdown_take(uniq_arr: Array, codes: Array, grow: int):
+    from .selection import take_array
+    return take_array(uniq_arr, codes, grow=grow)
 
 
 def _via_pc(name: str, a: Array, pc_options, fallback):
@@ -79,42 +112,66 @@ def _via_pc(name: str, a: Array, pc_options, fallback):
 
     Dictionary pushdown (VERDICT r2 #2): every ``_via_pc`` kernel is
     elementwise over the string VALUE, so ``out[i] = f(uniq[code[i]])``.
-    For large columns the device dictionary-encodes first
-    (``ops/vector_hash.dictionary_encode_array`` — one fingerprint sort),
-    the host RE2 pass runs over the <=n_distinct dictionary values only,
-    and the result rides back through one device gather — the same
-    dictionary-array fast path the reference's string kernels apply,
-    here applied adaptively to plain columns too. Cuts both the host
-    regex work and the device->host transfer by cap/n_distinct."""
+    For large columns ONE jitted device pass distinct-encodes the column
+    (``_pushdown_encode``), the host RE2 pass runs over the <=n_distinct
+    unique values only, and the result rides back through one device
+    gather — the dictionary-array fast path the reference's string
+    kernels apply, here applied adaptively to plain columns too. Cuts
+    both the host regex work and the device->host transfer by
+    cap/n_distinct."""
+    import numpy as np
     import jax
+    import pyarrow as pa
     import pyarrow.compute as pc
     from ..core.interop import array_to_pyarrow
     from ..core.array import array as make_array
     from .selection import take_array
 
-    codes = None
+    codes = uniq_pa = None
+    uniq_cap = 0
     if isinstance(a.type, dt.DictionaryType) and a.dictionary is not None \
             and a.dictionary.type.is_varlen:
-        codes, uniq = a, a.dictionary
+        uniq_cap = max(a.dictionary.capacity, 1)
+        codes = Array(dt.int32,
+                      jnp.clip(a.values.astype(jnp.int32), 0,
+                               uniq_cap - 1),
+                      a.validity, length=a.length)
+        uniq_pa = array_to_pyarrow(a.dictionary)
     elif a.type.is_varlen and a.capacity >= _PUSHDOWN_MIN_ROWS:
-        from .vector_hash import dictionary_encode_array
-        enc = dictionary_encode_array(a)
-        n_distinct = int(jax.device_get(enc.dictionary.length))
-        if n_distinct * _PUSHDOWN_MAX_RATIO <= a.capacity:
-            codes, uniq = enc, enc.dictionary
+        c, n, slots, lens, err = jax.device_get(_pushdown_encode(a))
+        n = int(n)
+        if n <= _PUSHDOWN_MAX_DISTINCT and not int(err):
+            uniq_cap = _PUSHDOWN_MAX_DISTINCT
+            if isinstance(a.type, dt.BinaryType):
+                uniq_pa = pa.array(
+                    [slots[i, :lens[i]].tobytes() for i in range(n)],
+                    type=pa.binary())
+            else:
+                uniq_pa = pa.array(
+                    [slots[i, :lens[i]].tobytes().decode(
+                        "utf-8", errors="surrogateescape")
+                     for i in range(n)], type=pa.string())
+            codes = Array(dt.int32, jnp.asarray(c), a.validity,
+                          length=a.length)
 
     if codes is not None:
         try:
-            uniq_out = getattr(pc, name)(array_to_pyarrow(uniq),
-                                         options=pc_options)
+            uniq_out = getattr(pc, name)(uniq_pa, options=pc_options)
         except Exception:
             return fallback()
-        uniq_arr = make_array(uniq_out, capacity=max(uniq.capacity, 1))
-        cap_u = max(uniq.capacity, 1)
-        idx = Array(dt.int32,
-                    jnp.clip(codes.values.astype(jnp.int32), 0, cap_u - 1),
-                    codes.validity, length=a.length)
-        return take_array(uniq_arr, idx)
+        uniq_arr = make_array(uniq_out, capacity=uniq_cap)
+        grow = 1
+        if uniq_arr.type.is_varlen:
+            # fanout take: every output row may repeat the LONGEST unique
+            # value; sizes are host-known here, so the bound is exact
+            try:
+                max_len = int(pc.max(pc.binary_length(uniq_out)).as_py()
+                              or 0)
+            except Exception:
+                max_len = _PUSHDOWN_SLOT_BYTES
+            pool = max(int(uniq_arr.values.shape[0]), 1)
+            grow = max(1, -(-codes.capacity * max(max_len, 1) // pool))
+        return _pushdown_take(uniq_arr, codes, grow)
 
     try:
         out = getattr(pc, name)(array_to_pyarrow(a), options=pc_options)

@@ -37,7 +37,14 @@ _SLOW_MODULES = {
     "test_tpch", "test_multihost", "test_parallel", "test_dataset",
 }
 _SLOW_KEYWORDS = ("spill", "overflow", "grace", "external_sort",
-                  "scaling")
+                  "scaling",
+                  # top of `--durations` on the 1-CPU CI box (compile-
+                  # bound multi-batch/param-sweep oracle tests)
+                  "topk_fused", "asofjoin_streaming", "raw_string_key",
+                  "bloom_selective", "multibatch", "segment_keys",
+                  "substrait_join", "substrait_cross", "full_pipeline",
+                  "count_distinct_merge", "variance_stddev",
+                  "pivot_wider")
 
 
 def pytest_addoption(parser):

@@ -424,11 +424,49 @@ def take_batch(b: Batch, indices: Array) -> Batch:
     return Batch(b.schema, arrays, indices.length, b.index)
 
 
+def _filter_varlen_bytes(a: Array, sel: jax.Array) -> jax.Array:
+    """Compact a varlen column's BYTE POOL by row selection with the same
+    gather-free 1-bit-key sort the fixed-width columns use.
+
+    The row mask propagates to bytes via one unique-index scatter of
+    ``row_index*2 + sel`` at row heads + a cummax forward fill (NOT a
+    per-byte gather ``sel[row_of_byte]`` — XLA 1D gathers near-serialize
+    on TPU, the round-2 varlen-filter bottleneck), then ONE stable sort
+    of (not-selected-bit, byte) left-packs the kept bytes in order."""
+    off = a.offsets
+    data = a.values
+    bcap = data.shape[0]
+    if bcap == 0:
+        return data
+    cap = off.shape[0] - 1
+    starts = off[:-1]
+    lens = off[1:] - starts
+    head_pos = jnp.where(lens > 0, starts, bcap)
+    ridx = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0).reshape((cap,))
+    marks = jnp.full((bcap,), -1, jnp.int32).at[head_pos].max(
+        ridx * 2 + sel.astype(jnp.int32), mode="drop",
+        unique_indices=True)
+    marks = jax.lax.optimization_barrier(marks)
+    sel_bytes = (jax.lax.cummax(marks) & 1).astype(jnp.bool_)
+    # pool slack past the last used byte inherits the last row's mark
+    # through the forward fill — force-drop it
+    bidx = jax.lax.broadcasted_iota(jnp.int32, (bcap, 1), 0).reshape(
+        (bcap,))
+    sel_bytes = sel_bytes & (bidx < off[cap])
+    bkey = (~sel_bytes).astype(jnp.uint8)
+    out = jax.lax.sort([bkey, data], num_keys=1, is_stable=True)
+    return out[1]
+
+
 def _filter_batch_sorted(b: Batch, mask: Array,
                          null_selection: str) -> Batch:
     """TPU fast path: ONE multi-payload 1-bit-key stable sort compacts
     every fixed-width column (values + validity) directly — no random
-    scatters/gathers. Varlen columns ride a take through the iota payload.
+    scatters/gathers. Varlen columns compact the same way at BOTH
+    granularities: their row lengths ride the main sort (new offsets =
+    cumsum of compacted lengths) and the byte pool left-packs through a
+    second 1-bit sort (``_filter_varlen_bytes``). Nested columns
+    (list/struct/union/REE) still ride a take through the iota payload.
     """
     cap = b.capacity
     sel, emit_valid, out_len = _selection_mask(mask, null_selection)
@@ -436,16 +474,19 @@ def _filter_batch_sorted(b: Batch, mask: Array,
 
     payloads = []
     layout = []  # (col_idx, kind)
-    any_varlen = False
+    any_nested = False
     for i in range(b.num_columns):
         a = b.column(i)
-        if a.type.is_varlen or a.type.is_nested:
-            # varlen and nested (list/struct/union/REE) columns ride a
-            # take through the iota payload
-            any_varlen = True
+        if a.type.is_nested:
+            any_nested = True
             continue
-        payloads.append(a.values)
-        layout.append((i, "values"))
+        if a.type.is_varlen:
+            payloads.append((a.offsets[1:] - a.offsets[:-1]).astype(
+                jnp.int32))
+            layout.append((i, "lens"))
+        else:
+            payloads.append(a.values)
+            layout.append((i, "values"))
         validity = a.validity
         if validity is not None or emit_valid is not None:
             v = validity if validity is not None else \
@@ -455,8 +496,7 @@ def _filter_batch_sorted(b: Batch, mask: Array,
             payloads.append(v)
             layout.append((i, "validity"))
     iota = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0).reshape((cap,))
-    need_iota = any_varlen
-    if need_iota:
+    if any_nested:
         payloads.append(iota)
         layout.append((-1, "iota"))
         if emit_valid is not None:
@@ -471,13 +511,24 @@ def _filter_batch_sorted(b: Batch, mask: Array,
     arrays = []
     for i in range(b.num_columns):
         a = b.column(i)
-        if a.type.is_varlen or a.type.is_nested:
+        if a.type.is_nested:
             idx_arr = Array(dt.int32, results[(-1, "iota")],
                             results.get((-1, "emit_valid")),
                             length=out_len)
             arrays.append(take_array(a, idx_arr))
             continue
         validity = results.get((i, "validity"))
+        if a.type.is_varlen:
+            lens_sorted = results[(i, "lens")]
+            live = iota < out_len
+            new_off = jnp.concatenate(
+                [jnp.zeros((1,), jnp.int32),
+                 jnp.cumsum(jnp.where(live, lens_sorted, 0),
+                            dtype=jnp.int32)])
+            pool = _filter_varlen_bytes(a, sel)
+            arrays.append(Array(a.type, pool, validity, offsets=new_off,
+                                length=out_len))
+            continue
         arrays.append(Array(a.type, results[(i, "values")], validity,
                             dictionary=a.dictionary, length=out_len))
     return Batch(b.schema, arrays, out_len, b.index)

@@ -57,6 +57,24 @@ def _install():
         cls.batches = make(orig)
 
 
+def _count_syncs():
+    """Wrap jax.device_get with a counter+timer: through the axon relay
+    every blocking fetch pays an RTT, so sync COUNT is a first-class
+    cost axis for the eager plan driver."""
+    import jax
+    stats = {"n": 0, "sec": 0.0}
+    orig = jax.device_get
+
+    def wrapped(x):
+        t0 = time.perf_counter()
+        out = orig(x)
+        stats["n"] += 1
+        stats["sec"] += time.perf_counter() - t0
+        return out
+    jax.device_get = wrapped
+    return stats
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", type=float, default=0.5)
@@ -89,8 +107,11 @@ def main():
     t0 = time.time()
     # rebuild the declaration fresh so node instances are new
     _REC.clear()
+    sync = _count_syncs()
     ours2, _ = bench.bench_q3(dev)
     total = time.time() - t0
+    print(f"device_get syncs: {sync['n']} calls, {sync['sec']:.2f}s "
+          "blocked", flush=True)
 
     incl = {k: v for k, v in _REC.items()}
     print(f"\ntraced run: {total:.2f}s total (incl. pyarrow oracle + "

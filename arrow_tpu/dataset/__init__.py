@@ -106,6 +106,12 @@ class Fragment:
                 with fs.open_input_file(self.path) as f:
                     return porc.ORCFile(f).read()
             return porc.ORCFile(self.path).read()
+        if self.format == "avro":
+            from .avro import read_avro
+            if fs is not None:
+                with fs.open_input_file(self.path) as f:
+                    return read_avro(f)
+            return read_avro(self.path)
         if self.format == "atb":
             if fs is not None:
                 raise ValueError(
@@ -137,7 +143,8 @@ def _atb_col_to_pa(col, nrows):
 
 _EXT_FORMAT = {".parquet": "parquet", ".feather": "feather",
                ".arrow": "ipc", ".ipc": "ipc", ".csv": "csv",
-               ".json": "json", ".orc": "orc", ".atb": "atb"}
+               ".json": "json", ".orc": "orc", ".atb": "atb",
+               ".avro": "avro"}
 
 
 class FileSystemDataset:

@@ -161,3 +161,51 @@ def test_orc_and_json_fragments(tmp_path):
     assert {f.format for f in d.fragments} == {"orc", "json"}
     rows = d.to_table().to_pyarrow()
     assert sorted(rows["v"].to_pylist()) == [1, 2, 3, 100, 200]
+
+
+def test_avro_roundtrip_and_fragment(tmp_path):
+    """Avro adapter (reference: cpp/src/arrow/adapters/avro): writer ->
+    reader round-trip across types, deflate + null codecs, nullable
+    unions, logical date/timestamp, arrays; and .avro discovery through
+    the dataset layer into the engine."""
+    import datetime
+    from arrow_tpu.dataset.avro import read_avro, write_avro
+
+    t = pa.table({
+        "i": pa.array([1, None, 3, -(1 << 40)], type=pa.int64()),
+        "f": pa.array([0.5, 1.5, None, 3.25], type=pa.float64()),
+        "s": pa.array(["a", "β", None, ""], type=pa.string()),
+        "b": pa.array([True, False, None, True]),
+        "raw": pa.array([b"\x00\x01", b"", None, b"zz"],
+                        type=pa.binary()),
+        "d": pa.array([datetime.date(2020, 1, 1), None,
+                       datetime.date(1969, 12, 31),
+                       datetime.date(2024, 2, 29)], type=pa.date32()),
+        "ts": pa.array([1, 2, None, 4],
+                       type=pa.timestamp("us")),
+        "lst": pa.array([[1, 2], [], None, [5]],
+                        type=pa.list_(pa.int64())),
+    })
+    for codec in ("deflate", "null"):
+        path = str(tmp_path / f"t_{codec}.avro")
+        write_avro(t, path, codec=codec, block_rows=3)
+        got = read_avro(path)
+        assert got.equals(t), (codec, got, t)
+
+    # dataset discovery + engine scan
+    d = ds.dataset(str(tmp_path))
+    assert {f.format for f in d.fragments} == {"avro"}
+    out = d.to_table().to_pyarrow()
+    assert out.num_rows == 2 * t.num_rows
+
+
+def test_avro_non_nullable_and_errors(tmp_path):
+    from arrow_tpu.dataset.avro import read_avro, write_avro
+    t = pa.table({"k": pa.array([1, 2, 3], type=pa.int32())})
+    t = t.cast(pa.schema([pa.field("k", pa.int32(), nullable=False)]))
+    path = str(tmp_path / "nn.avro")
+    write_avro(t, path)
+    assert read_avro(path).equals(t.cast(pa.schema(
+        [pa.field("k", pa.int32())])))
+    with pytest.raises(ValueError):
+        read_avro(__file__)  # not an avro file

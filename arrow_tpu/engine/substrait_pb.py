@@ -244,6 +244,36 @@ _SCHEMAS: Dict[str, Dict[int, Tuple[str, str]]] = {
 }
 
 
+# enum NAMES -> numbers (substrait .proto enum values), so JSON-form
+# plans written with symbolic enums (the protobuf JSON convention)
+# binary-encode without callers pre-translating
+_ENUM_NAMES = {
+    "NULLABILITY_UNSPECIFIED": 0, "NULLABILITY_NULLABLE": 1,
+    "NULLABILITY_REQUIRED": 2,
+    "SORT_DIRECTION_UNSPECIFIED": 0,
+    "SORT_DIRECTION_ASC_NULLS_FIRST": 1,
+    "SORT_DIRECTION_ASC_NULLS_LAST": 2,
+    "SORT_DIRECTION_DESC_NULLS_FIRST": 3,
+    "SORT_DIRECTION_DESC_NULLS_LAST": 4,
+    "JOIN_TYPE_UNSPECIFIED": 0, "JOIN_TYPE_INNER": 1,
+    "JOIN_TYPE_OUTER": 2, "JOIN_TYPE_LEFT": 3, "JOIN_TYPE_RIGHT": 4,
+    "JOIN_TYPE_LEFT_SEMI": 5, "JOIN_TYPE_LEFT_ANTI": 6,
+    "JOIN_TYPE_LEFT_SINGLE": 7,
+    "AGGREGATION_PHASE_UNSPECIFIED": 0,
+    "AGGREGATION_PHASE_INITIAL_TO_INTERMEDIATE": 1,
+    "AGGREGATION_PHASE_INTERMEDIATE_TO_INTERMEDIATE": 2,
+    "AGGREGATION_PHASE_INITIAL_TO_RESULT": 3,
+    "AGGREGATION_PHASE_INTERMEDIATE_TO_RESULT": 4,
+    "SET_OP_UNSPECIFIED": 0, "SET_OP_MINUS_PRIMARY": 1,
+    "SET_OP_MINUS_MULTISET": 2, "SET_OP_INTERSECTION_PRIMARY": 3,
+    "SET_OP_INTERSECTION_MULTISET": 4, "SET_OP_UNION_DISTINCT": 5,
+    "SET_OP_UNION_ALL": 6,
+    "FAILURE_BEHAVIOR_UNSPECIFIED": 0,
+    "FAILURE_BEHAVIOR_RETURN_NULL": 1,
+    "FAILURE_BEHAVIOR_THROW_EXCEPTION": 2,
+}
+
+
 def _to_signed64(x: int) -> int:
     return x - (1 << 64) if x >= (1 << 63) else x
 
@@ -347,7 +377,8 @@ def encode_message(obj: dict, message: str) -> bytes:
                 _write_varint(out, len(v))
                 out.extend(v)
             elif kind in ("u", "i", "bool"):
-                x = int(v)
+                x = _ENUM_NAMES[v] if isinstance(v, str) and \
+                    v in _ENUM_NAMES else int(v)
                 _write_varint(out, fno << 3)
                 _write_varint(out, x)
             elif kind == "f64":

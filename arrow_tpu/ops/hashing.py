@@ -136,17 +136,42 @@ def _fmix64(h: jax.Array) -> jax.Array:
     return h
 
 
+def _pow_bits(exp: jax.Array, base: int, nbits: int) -> jax.Array:
+    """Elementwise ``base ** exp mod 2**64`` by square-and-multiply over
+    the bits of ``exp`` with HOST-precomputed squares: ``nbits`` fused
+    select+multiply steps, no scan, no gather — everything stays in
+    registers for XLA to fuse into the surrounding elementwise kernel."""
+    sq = base % (1 << 64)
+    acc = jnp.full(exp.shape, jnp.uint64(1))
+    e = exp.astype(jnp.uint32)
+    for b in range(max(nbits, 1)):
+        bit = ((e >> jnp.uint32(b)) & jnp.uint32(1)).astype(jnp.bool_)
+        acc = jnp.where(bit, acc * jnp.uint64(sq), acc)
+        sq = (sq * sq) % (1 << 64)
+    return acc
+
+
 def string_fingerprint_exact(a: Array, mult: int = 0x9E3779B185EBCA87
                              ) -> jax.Array:
     """Full-content 64-bit polynomial fingerprint of each string row.
 
-    ``h[r] = fmix64(len(r) ^ sum_p (byte[p]+1) * mult**p mod 2**64)`` over
-    ALL bytes of the row — unlike ``_string_fingerprint64`` nothing is
-    sampled, so two rows collide only with ~len/2**64 probability (use two
-    different odd ``mult``s for 128-bit confidence). The positional powers
-    come from a **segmented inclusive product scan** over the byte pool
-    (``associative_scan`` with a row-reset monoid) — O(B log B) fully
-    vectorized, no per-row loops.
+    ``h[r] = fmix64(len(r) ^ sum_p (byte[p]+1) * mult**p mod 2**64)``
+    (p relative to the row start) over ALL bytes of the row — unlike
+    ``_string_fingerprint64`` nothing is sampled, so two rows collide
+    only with ~len/2**64 probability (use two different odd ``mult``s
+    for 128-bit confidence).
+
+    The positional powers need NO segmented scan (the r2 design's
+    segmented product scan burned ~25 full-pool passes, ~700ms at 2M
+    rows on v5e): since ``mult`` is odd and therefore invertible mod
+    2**64, ``mult**(p - start) = mult**p * inv(mult)**start`` — and
+    ``mult**p`` is elementwise in the BITS of p (``_pow_bits``
+    square-and-multiply against host-precomputed squares). The only scan
+    left is one u64 cumsum of the byte contributions; per-row sums are
+    prefix-sum differences at the row boundaries (two (cap,) gathers —
+    pool slack between/after rows cancels in the difference, so no
+    masking pass either), each scaled by ``inv(mult)**start`` computed
+    per ROW, not per byte.
 
     Role: exact-equality keying of varlen columns in unique /
     dictionary_encode / group-by (the reference memo-table compares full
@@ -154,42 +179,27 @@ def string_fingerprint_exact(a: Array, mult: int = 0x9E3779B185EBCA87
     128-bit full-content fingerprint).
     """
     off = a.offsets
-    cap = off.shape[0] - 1
     data = a.values
     bcap = data.shape[0]
     lens = (off[1:] - off[:-1]).astype(jnp.uint64)
     if bcap == 0:
         return _fmix64(lens)
-    bidx = jax.lax.broadcasted_iota(jnp.int32, (bcap, 1), 0).reshape((bcap,))
-    # Row heads / byte->row map WITHOUT per-byte binary search: a
-    # searchsorted over the byte pool lowers to ~log(cap) rounds of
-    # near-serial gathers on TPU (measured: it made the regex-pushdown
-    # dictionary encode 12s at 2M rows) — one unique-index scatter + a
-    # cummax forward fill costs two streaming passes instead
-    # (rows_of_positions, the same fix the varlen take got in r2).
     starts = off[:-1]
-    ilens = off[1:] - starts
-    head_pos = jnp.where(ilens > 0, starts, bcap)
-    is_head = jnp.zeros((bcap,), jnp.bool_).at[head_pos].set(
-        True, mode="drop", unique_indices=True)
-    # segmented product scan: pow[p] = mult ** (p - row_start)
-    # (hand-rolled doubling — see ops/segment.segmented_scan for why not
-    # lax.associative_scan)
-    m = jnp.uint64(mult)
-    val = jnp.where(is_head, jnp.uint64(1), m)
-    from .segment import segmented_scan
-    powers = segmented_scan(val, is_head, jnp.multiply)
-    contrib = (data.astype(jnp.uint64) + jnp.uint64(1)) * powers
-    in_pool = bidx < off[cap]
-    contrib = jnp.where(in_pool, contrib, jnp.uint64(0))
+    nbits = max(int(bcap - 1).bit_length(), 1)
+    pos = jax.lax.broadcasted_iota(jnp.uint32, (bcap, 1), 0).reshape(
+        (bcap,))
+    powp = _pow_bits(pos, mult, nbits)
+    contrib = (data.astype(jnp.uint64) + jnp.uint64(1)) * powp
     # per-row sum = difference of the inclusive prefix sum at row ends:
     # two (cap,)-sized gathers instead of an 18M-way colliding
     # scatter-add (XLA serializes colliding scatters on TPU)
     csum = jnp.cumsum(contrib)
     zero = jnp.zeros((1,), dtype=jnp.uint64)
     csum_ext = jnp.concatenate([zero, csum])   # csum_ext[p] = sum(<p)
-    acc = csum_ext[jnp.clip(off[1:], 0, bcap)] - \
+    raw = csum_ext[jnp.clip(off[1:], 0, bcap)] - \
         csum_ext[jnp.clip(starts, 0, bcap)]
+    inv_mult = pow(mult, -1, 1 << 64)
+    acc = raw * _pow_bits(starts.astype(jnp.uint32), inv_mult, nbits)
     return _fmix64(acc ^ (lens * jnp.uint64(_PRIME64_2)))
 
 

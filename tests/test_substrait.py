@@ -277,3 +277,145 @@ def test_substrait_virtual_table():
     got = run_query(encode_plan(plan)).to_pyarrow()
     assert got["a"].to_pylist() == [1, 2]
     assert got["b"].to_pylist() == ["x", "y"]
+
+
+# ---- producer + extension registration (round-3 breadth) -------------------
+
+def test_substrait_producer_roundtrip_pyarrow_oracle(rng):
+    """declaration_to_substrait: our engine BUILDS a binary plan that
+    pyarrow.substrait executes (serde.cc SerializePlan parity) — and our
+    own consumer round-trips it to the same result."""
+    import pyarrow.substrait as ps
+    from arrow_tpu.acero import (Declaration, FilterNodeOptions,
+                                 ProjectNodeOptions,
+                                 TableSourceNodeOptions)
+    from arrow_tpu.compute.expressions import field
+    from arrow_tpu.engine import declaration_to_substrait, run_query
+
+    t = pa.table({"a": pa.array(rng.integers(0, 100, 300)),
+                  "b": pa.array(rng.standard_normal(300))})
+    decl = Declaration.from_sequence([
+        Declaration("table_source", TableSourceNodeOptions(t)),
+        Declaration("filter", FilterNodeOptions(field("a") > 40)),
+        Declaration("project", ProjectNodeOptions(
+            [field("a"), field("b") * 2.0], ["a", "b2"])),
+    ])
+    buf, tables = declaration_to_substrait(decl, binary=True)
+    assert isinstance(buf, bytes) and len(tables) == 1
+
+    exp = t.filter(pc.greater(t["a"], 40))
+    ours = run_query(buf, named_tables=tables).to_pyarrow()
+    assert ours["a"].to_pylist() == exp["a"].to_pylist()
+    np.testing.assert_allclose(ours["b2"].to_pylist(),
+                               pc.multiply(exp["b"], 2.0).to_pylist())
+
+    got = ps.run_query(
+        buf, table_provider=lambda names, *_: tables[names[0]]
+    ).read_all()
+    assert got.column_names == ["a", "b2"]
+    assert got["a"].to_pylist() == exp["a"].to_pylist()
+    np.testing.assert_allclose(got["b2"].to_pylist(),
+                               pc.multiply(exp["b"], 2.0).to_pylist())
+
+
+def test_substrait_producer_agg_join_sort(rng):
+    """Producer over aggregate/join/sort/fetch; consumer round-trip."""
+    from arrow_tpu.acero import (AggregateNodeOptions, AggregateSpec,
+                                 Declaration, FetchNodeOptions,
+                                 HashJoinNodeOptions, OrderByNodeOptions,
+                                 TableSourceNodeOptions)
+    from arrow_tpu.engine import declaration_to_substrait, run_query
+
+    l = pa.table({"k": pa.array(rng.integers(0, 20, 400)),
+                  "v": pa.array(rng.standard_normal(400))})
+    r = pa.table({"k2": pa.array(np.arange(20)),
+                  "w": pa.array(np.arange(20) * 10.0)})
+    decl = Declaration.from_sequence([
+        Declaration("hashjoin", HashJoinNodeOptions(
+            "inner", left_keys=["k"], right_keys=["k2"],
+            left_output=["k", "v"], right_output=["w"]),
+            inputs=[
+                Declaration("table_source", TableSourceNodeOptions(l)),
+                Declaration("table_source", TableSourceNodeOptions(r)),
+            ]),
+        Declaration("aggregate", AggregateNodeOptions(
+            [AggregateSpec("sum", "v", name="v_sum"),
+             AggregateSpec("max", "w", name="w_max")], keys=["k"])),
+        Declaration("order_by", OrderByNodeOptions([("k", "ascending")])),
+        Declaration("fetch", FetchNodeOptions(0, 10)),
+    ])
+    plan, tables = declaration_to_substrait(decl)
+    got = run_query(plan, named_tables=tables).to_pyarrow()
+
+    j = l.join(r, keys="k", right_keys="k2", join_type="inner")
+    exp = j.group_by("k").aggregate([("v", "sum"), ("w", "max")]) \
+        .sort_by([("k", "ascending")]).slice(0, 10)
+    assert got.num_rows == exp.num_rows
+    assert got["k"].to_pylist() == exp["k"].to_pylist()
+    np.testing.assert_allclose(got["v_sum"].to_pylist(),
+                               exp["v_sum"].to_pylist(), rtol=1e-6)
+    np.testing.assert_allclose(got["w_max"].to_pylist(),
+                               exp["w_max"].to_pylist())
+
+
+def test_substrait_register_udf_uri():
+    """register_substrait_function: custom extension URI + name maps to
+    a registry function (ExtensionIdRegistry parity,
+    extension_set.cc)."""
+    from arrow_tpu.engine import run_query
+    from arrow_tpu.engine.substrait import (_USER_FUNCTIONS,
+                                            register_substrait_function)
+    t = pa.table({"x": pa.array([1.0, 4.0, 9.0, None])})
+    plan = {
+        "extensionUris": [{"extensionUriAnchor": 3,
+                           "uri": "urn:example:my_udfs.yaml"}],
+        "extensions": [{"extensionFunction": {
+            "extensionUriReference": 3, "functionAnchor": 9,
+            "name": "my_square_root:fp64"}}],
+        "relations": [{"root": {
+            "input": {"project": {
+                "common": {"emit": {"outputMapping": [1]}},
+                "input": {"read": {"baseSchema": {"names": ["x"]},
+                                   "namedTable": {"names": ["t"]}}},
+                "expressions": [{"scalarFunction": {
+                    "functionReference": 9,
+                    "arguments": [{"value": _sel(0)}]}}],
+            }},
+            "names": ["sx"]}}],
+    }
+    with pytest.raises(NotImplementedError):
+        run_query(plan, named_tables={"t": t})
+    register_substrait_function("my_square_root", "sqrt",
+                                uri="urn:example:my_udfs.yaml")
+    try:
+        got = run_query(plan, named_tables={"t": t}).to_pyarrow()
+        np.testing.assert_allclose(
+            got["sx"].to_pylist()[:3], [1.0, 2.0, 3.0], rtol=1e-6)
+        assert got["sx"].to_pylist()[3] is None
+    finally:
+        _USER_FUNCTIONS.clear()
+
+
+def test_substrait_emit_on_filter_and_join(rng):
+    """RelCommon.emit honored on non-project rels (the reference honors
+    emit everywhere, relation_internal.cc)."""
+    from arrow_tpu.engine import run_query
+    t = pa.table({"a": pa.array([1, 5, 9]), "b": pa.array([2., 4., 6.])})
+    plan = {
+        "extensions": [_fn_ext(1, "gt:any_any")],
+        "relations": [{"root": {
+            "input": {"filter": {
+                "common": {"emit": {"outputMapping": [1]}},
+                "input": {"read": {"baseSchema": {"names": ["a", "b"]},
+                                   "namedTable": {"names": ["t"]}}},
+                "condition": {"scalarFunction": {
+                    "functionReference": 1,
+                    "arguments": [{"value": _sel(0)},
+                                  {"value": {"literal": {"i64": "2"}}}],
+                }},
+            }},
+            "names": ["bb"]}}],
+    }
+    got = run_query(plan, named_tables={"t": t}).to_pyarrow()
+    assert got.column_names == ["bb"]
+    assert got["bb"].to_pylist() == [4.0, 6.0]

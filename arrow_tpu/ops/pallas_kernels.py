@@ -33,7 +33,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["partition_histogram", "tile_compact_local",
-           "dense_group_reduce"]
+           "dense_group_reduce", "filter_compact_chunks"]
 
 _LANES = 128
 _SUBLANES = 8
@@ -289,3 +289,92 @@ def tile_compact_local(sel: jax.Array):
         interpret=_interpret(),
     )(blocks)
     return loc.reshape((n,)), cnt.reshape((nsteps,))
+
+
+# ---- single-pass filter compaction ------------------------------------------
+
+_FC_ROWS = 256       # rows per filter-compaction tile
+
+
+def _filter_dma_kernel(starts_ref, sel_ref, chunks_ref, out_ref,
+                       scratch, sem):
+    """Single-pass filter compaction: local one-hot-MXU compact + one
+    dynamic-offset DMA per tile.
+
+    The round-2 lesson (ops/selection.py `_compaction_impl`): index-based
+    two-level designs lose because the stitch is XLA 1D gathers
+    (near-serial on TPU), and the winning global 1-bit sort still moves
+    every payload through O(log^2 n) comparator passes. This kernel does
+    the whole job in ONE streaming pass: each R-row tile compacts its
+    selected rows in VMEM (one-hot matmul — exact in bf16 for u8 chunk
+    planes) and DMAs the R-row block to the tile's global start offset
+    (scalar-prefetched exclusive counts). TPU grid steps run in order on
+    the single v5e core, so the next tile's write lands exactly after
+    this tile's `count` kept rows, overwriting the R-count garbage rows —
+    the classic count→scan→place compaction with the 'place' done by the
+    DMA engine instead of gathers.
+    """
+    t = pl.program_id(0)
+    R = _FC_ROWS
+    S = R // _LANES
+    sel = sel_ref[0].astype(jnp.float32)               # (S, 128)
+    # exclusive prefix count in row-major order
+    lane_cum = jnp.cumsum(sel, axis=1)
+    row_tot = lane_cum[:, -1:]
+    row_off = jnp.cumsum(row_tot, axis=0) - row_tot
+    ps = (lane_cum - sel) + row_off                    # (S, 128) exclusive
+    ps_flat = ps.reshape((1, R))
+    sel_flat = sel.reshape((1, R))
+    # oh[p, i] = selected row i lands in output slot p
+    slot = jax.lax.broadcasted_iota(jnp.float32, (R, R), 0)
+    oh = ((ps_flat == slot) * sel_flat).astype(jnp.bfloat16)   # (R, R)
+    chunks = chunks_ref[0].astype(jnp.bfloat16)        # (R, C) u8 planes
+    compacted = jax.lax.dot_general(
+        oh, chunks, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)            # exact: <=1 term
+    scratch[:] = compacted.astype(jnp.uint8)
+    start = starts_ref[t]
+    copy = pltpu.make_async_copy(
+        scratch, out_ref.at[pl.ds(start, R)], sem)
+    copy.start()
+    copy.wait()
+
+
+@jax.jit
+def filter_compact_chunks(sel: jax.Array, chunks: jax.Array) -> jax.Array:
+    """(cap,) bool selection + (cap, C) u8 chunk planes -> (cap, C) u8
+    with the selected rows left-packed in order (rows past the selected
+    count are zero/garbage padding; callers track out_len separately).
+
+    C is the total byte width of all fixed-width columns side by side
+    (bitcast per column, concatenated) — one kernel pass compacts every
+    column at once.
+    """
+    cap, C = chunks.shape
+    R = _FC_ROWS
+    assert cap % R == 0, cap
+    T = cap // R
+    counts = jnp.sum(sel.reshape((T, R)), axis=1, dtype=jnp.int32)
+    starts = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32),
+         jnp.cumsum(counts, dtype=jnp.int32)[:-1]])
+    sel_blocks = sel.reshape((T, R // _LANES, _LANES)).astype(jnp.int32)
+    chunk_blocks = chunks.reshape((T, R, C))
+    out = pl.pallas_call(
+        _filter_dma_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(T,),
+            in_specs=[pl.BlockSpec((1, R // _LANES, _LANES),
+                                   lambda i, *_: _iz(i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+                      pl.BlockSpec((1, R, C), lambda i, *_: _iz(i, 0, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            scratch_shapes=[pltpu.VMEM((R, C), jnp.uint8),
+                            pltpu.SemaphoreType.DMA],
+        ),
+        out_shape=jax.ShapeDtypeStruct((cap + R, C), jnp.uint8),
+        interpret=_interpret(),
+    )(starts, sel_blocks, chunk_blocks)
+    return out[:cap]

@@ -534,10 +534,85 @@ def _filter_batch_sorted(b: Batch, mask: Array,
     return Batch(b.schema, arrays, out_len, b.index)
 
 
+_DMA_TILE = 256  # pallas_kernels._FC_ROWS
+
+
+def _filter_batch_dma(b: Batch, mask: Array,
+                      null_selection: str) -> Optional[Batch]:
+    """Single-pass Pallas compaction (``pallas_kernels.
+    filter_compact_chunks``): every fixed-width column bitcasts to u8
+    chunk planes, ONE kernel pass compacts them all (local one-hot MXU
+    compact + dynamic-offset DMA per tile), planes bitcast back.
+    Returns None when the batch doesn't fit the kernel (varlen/nested
+    columns, capacity not tile-aligned) — caller falls back to the
+    sort path."""
+    cap = b.capacity
+    if cap % _DMA_TILE != 0 or cap < _DMA_TILE:
+        return None
+    for i in range(b.num_columns):
+        a = b.column(i)
+        if a.type.is_varlen or a.type.is_nested:
+            return None
+    sel, emit_valid, out_len = _selection_mask(mask, null_selection)
+
+    planes = []
+    layout = []  # (col, kind, n_bytes, dtype)
+    for i in range(b.num_columns):
+        a = b.column(i)
+        v = a.values
+        if v.dtype == jnp.bool_:
+            v = v.astype(jnp.uint8)
+        pl8 = jax.lax.bitcast_convert_type(v, jnp.uint8)
+        if pl8.ndim == 1:
+            pl8 = pl8[:, None]
+        planes.append(pl8)
+        layout.append((i, "values", pl8.shape[1], v.dtype))
+        validity = a.validity
+        if validity is not None or emit_valid is not None:
+            vv = validity if validity is not None else \
+                jnp.ones((cap,), jnp.bool_)
+            if emit_valid is not None:
+                vv = vv & emit_valid
+            planes.append(vv.astype(jnp.uint8)[:, None])
+            layout.append((i, "validity", 1, jnp.bool_))
+    from .pallas_kernels import filter_compact_chunks
+    chunks = jnp.concatenate(planes, axis=1) if planes else \
+        jnp.zeros((cap, 0), jnp.uint8)
+    out = filter_compact_chunks(sel, chunks)
+
+    pos = 0
+    results = {}
+    for (i, kind, w, dtype) in layout:
+        piece = out[:, pos:pos + w]
+        pos += w
+        if kind == "validity":
+            results[(i, "validity")] = piece[:, 0].astype(jnp.bool_)
+        else:
+            v = jax.lax.bitcast_convert_type(piece, jnp.dtype(dtype)) \
+                if dtype != jnp.bool_ else piece[:, 0]
+            if v.ndim > 1:
+                v = v.reshape((cap,))
+            if dtype == jnp.bool_:
+                v = v.astype(jnp.bool_)
+            results[(i, "values")] = v
+    arrays = []
+    for i in range(b.num_columns):
+        a = b.column(i)
+        arrays.append(Array(a.type, results[(i, "values")],
+                            results.get((i, "validity")),
+                            dictionary=a.dictionary, length=out_len))
+    return Batch(b.schema, arrays, out_len, b.index)
+
+
 def filter_batch(b: Batch, mask: Array,
                  options: Optional[FilterOptions] = None) -> Batch:
     opts = options or FilterOptions()
     impl = _compaction_impl()
+    if impl == "dma":
+        out = _filter_batch_dma(b, mask, opts.null_selection_behavior)
+        if out is not None:
+            return out
+        return _filter_batch_sorted(b, mask, opts.null_selection_behavior)
     if impl == "sort":
         return _filter_batch_sorted(b, mask, opts.null_selection_behavior)
     indices = get_take_indices(mask, opts.null_selection_behavior)

@@ -135,16 +135,8 @@ def _raw_lanes(a: Array) -> List[jax.Array]:
     class as the reference's full byte re-compare after a SwissTable
     stamp match)."""
     if a.type.is_varlen:
-        from .hashing import string_fingerprint_exact
-        off = a.offsets
-        lens = (off[1:] - off[:-1]).astype(jnp.uint32)
-        fp1 = string_fingerprint_exact(a)
-        fp2 = string_fingerprint_exact(a, mult=0xC2B2AE3D27D4EB4F)
-        return [lens,
-                fp1.astype(jnp.uint32),
-                (fp1 >> jnp.uint64(32)).astype(jnp.uint32),
-                fp2.astype(jnp.uint32),
-                (fp2 >> jnp.uint64(32)).astype(jnp.uint32)]
+        from .hashing import varlen_content_lanes
+        return varlen_content_lanes(a)
     return value_lanes32(a.values, a.type)
 
 

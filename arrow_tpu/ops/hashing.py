@@ -196,11 +196,84 @@ def string_fingerprint_exact(a: Array, mult: int = 0x9E3779B185EBCA87
     csum = jnp.cumsum(contrib)
     zero = jnp.zeros((1,), dtype=jnp.uint64)
     csum_ext = jnp.concatenate([zero, csum])   # csum_ext[p] = sum(<p)
-    raw = csum_ext[jnp.clip(off[1:], 0, bcap)] - \
-        csum_ext[jnp.clip(starts, 0, bcap)]
+    # ONE gather covers both row boundaries: starts and ends are both
+    # slices of `off`, so gather csum at off once and diff neighbors
+    # (1D gathers are the expensive op on TPU — halve them)
+    g = csum_ext[jnp.clip(off, 0, bcap)]
+    raw = g[1:] - g[:-1]
     inv_mult = pow(mult, -1, 1 << 64)
     acc = raw * _pow_bits(starts.astype(jnp.uint32), inv_mult, nbits)
     return _fmix64(acc ^ (lens * jnp.uint64(_PRIME64_2)))
+
+
+_SLOT_W = 16  # short-string exact-slot width (bytes)
+
+
+def varlen_content_lanes(a: Array) -> List[jax.Array]:
+    """5 uint32 lanes keying a varlen column by content: byte length +
+    4 content lanes. Equal content <=> equal lanes for short strings;
+    ~2^-128 collision confidence for long ones.
+
+    Short-string fast path (``lax.cond`` on max row length <= 16): the
+    byte pool scatters into fixed (cap, 16) u8 slots — row index and row
+    start forward-fill through ``cummax`` (both are monotone at row
+    heads, so the fills are exact), the byte's destination is
+    ``row*16 + (pos - row_start)``, and ONE monotone unique-index
+    scatter places every byte. Zero gathers, zero fingerprint math —
+    the lanes are the EXACT padded bytes (bitcast to 4 u32). ~6
+    streaming passes vs the 2-fingerprint path's two u64 cumsums +
+    boundary gathers (measured 147 ms/fingerprint at an 18MB pool on
+    v5e; this path is ~5x cheaper).
+
+    Long strings fall back to the two independent 64-bit full-content
+    polynomial fingerprints (the reference row table's varbinary region,
+    ``row_internal.h:33``, carries full bytes; the fingerprint is the
+    same confidence class as SwissTable stamp + full re-compare).
+    """
+    off = a.offsets
+    cap = off.shape[0] - 1
+    data = a.values
+    bcap = data.shape[0]
+    lens32 = (off[1:] - off[:-1]).astype(jnp.uint32)
+    if bcap == 0:
+        z = jnp.zeros((cap,), jnp.uint32)
+        return [lens32, z, z, z, z]
+
+    def _short(_):
+        starts = off[:-1].astype(jnp.int32)
+        ilens = (off[1:] - off[:-1]).astype(jnp.int32)
+        head_pos = jnp.where(ilens > 0, starts, bcap)
+        ridx = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0).reshape(
+            (cap,))
+        bidx = jax.lax.broadcasted_iota(jnp.int32, (bcap, 1), 0).reshape(
+            (bcap,))
+        row_fill = jax.lax.cummax(
+            jnp.full((bcap,), -1, jnp.int32).at[head_pos].max(
+                ridx, mode="drop", unique_indices=True))
+        start_fill = jax.lax.cummax(
+            jnp.zeros((bcap,), jnp.int32).at[head_pos].max(
+                starts, mode="drop", unique_indices=True))
+        within = bidx - start_fill
+        ok = (row_fill >= 0) & (bidx < off[cap]) & (within < _SLOT_W)
+        dst = jnp.where(ok, row_fill * _SLOT_W + within, -1)
+        slots = jnp.zeros((cap * _SLOT_W,), jnp.uint8).at[dst].set(
+            data, mode="drop", unique_indices=True)
+        return jax.lax.bitcast_convert_type(
+            slots.reshape((cap, _SLOT_W // 4, 4)), jnp.uint32)  # (cap, 4)
+
+    def _long(_):
+        fp1 = string_fingerprint_exact(a)
+        fp2 = string_fingerprint_exact(a, mult=0xC2B2AE3D27D4EB4F)
+        return jnp.stack(
+            [fp1.astype(jnp.uint32),
+             (fp1 >> jnp.uint64(32)).astype(jnp.uint32),
+             fp2.astype(jnp.uint32),
+             (fp2 >> jnp.uint64(32)).astype(jnp.uint32)], axis=1)
+
+    lanes4 = jax.lax.cond(jnp.max(lens32) <= _SLOT_W, _short, _long,
+                          None)
+    return [lens32, lanes4[:, 0], lanes4[:, 1], lanes4[:, 2],
+            lanes4[:, 3]]
 
 
 def normalize_keys(columns: Sequence[Array]) -> List[jax.Array]:

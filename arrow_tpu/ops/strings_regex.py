@@ -138,7 +138,13 @@ def _via_pc(name: str, a: Array, pc_options, fallback):
                       a.validity, length=a.length)
         uniq_pa = array_to_pyarrow(a.dictionary)
     elif a.type.is_varlen and a.capacity >= _PUSHDOWN_MIN_ROWS:
-        c, n, slots, lens, err = jax.device_get(_pushdown_encode(a))
+        # codes STAY on device (2M rows of i32 = 8MB — fetching them
+        # through the axon relay and re-uploading was the round-3
+        # host_boundary bottleneck); only the <=R unique slots (~64KB)
+        # cross to the host for RE2
+        c_dev, n_dev, slots_dev, lens_dev, err_dev = _pushdown_encode(a)
+        n, slots, lens, err = jax.device_get(
+            (n_dev, slots_dev, lens_dev, err_dev))
         n = int(n)
         if n <= _PUSHDOWN_MAX_DISTINCT and not int(err):
             uniq_cap = _PUSHDOWN_MAX_DISTINCT
@@ -151,7 +157,7 @@ def _via_pc(name: str, a: Array, pc_options, fallback):
                     [slots[i, :lens[i]].tobytes().decode(
                         "utf-8", errors="surrogateescape")
                      for i in range(n)], type=pa.string())
-            codes = Array(dt.int32, jnp.asarray(c), a.validity,
+            codes = Array(dt.int32, c_dev, a.validity,
                           length=a.length)
 
     if codes is not None:

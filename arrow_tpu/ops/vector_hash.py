@@ -55,15 +55,11 @@ _I32MAX = np.int32(2147483647)   # np, not jnp: see distinct._I32MAX note
 def _key_lanes(a: Array, include_validity: bool) -> jax.Array:
     """(capacity, L) uint32 lane matrix for equality grouping."""
     if a.type.is_varlen:
-        # 128-bit exact-content fingerprint + length lane (see hashing.py)
-        fp1 = string_fingerprint_exact(a)
-        fp2 = string_fingerprint_exact(a, mult=0xC2B2AE3D27D4EB4F)
-        lens = (a.offsets[1:] - a.offsets[:-1]).astype(jnp.uint32)
-        lanes = [fp1.astype(jnp.uint32),
-                 (fp1 >> jnp.uint64(32)).astype(jnp.uint32),
-                 fp2.astype(jnp.uint32),
-                 (fp2 >> jnp.uint64(32)).astype(jnp.uint32),
-                 lens]
+        # content lanes: exact byte slots for short strings, 128-bit
+        # fingerprint + length for long ones (hashing.py
+        # varlen_content_lanes)
+        from .hashing import varlen_content_lanes
+        lanes = varlen_content_lanes(a)
         if include_validity and a.validity is not None:
             ok = a.validity
             lanes = [ok.astype(jnp.uint32)] + [

@@ -41,6 +41,12 @@ _TILE = _LANES * _SUBLANES  # rows per grid step
 
 
 def _interpret() -> bool:
+    # ARROW_TPU_PALLAS_INTERPRET=1 forces interpreter mode for the mixed
+    # case where the default backend is the (axon) TPU but the computation
+    # is placed on a CPU mesh (e.g. dryrun_multichip with a live tunnel).
+    import os
+    if os.environ.get("ARROW_TPU_PALLAS_INTERPRET"):
+        return True
     return jax.default_backend() != "tpu"
 
 

@@ -44,7 +44,9 @@ _SLOW_KEYWORDS = ("spill", "overflow", "grace", "external_sort",
                   "bloom_selective", "multibatch", "segment_keys",
                   "substrait_join", "substrait_cross", "full_pipeline",
                   "count_distinct_merge", "variance_stddev",
-                  "pivot_wider")
+                  "pivot_wider",
+                  # 40s each on the 1-CPU box (multi-impl sweeps)
+                  "dense_group_by_matches", "dense_group_by_mixed")
 
 
 def pytest_addoption(parser):

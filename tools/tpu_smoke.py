@@ -12,7 +12,9 @@ Programs covered (bench.py shapes unless --scale given):
   sort        20M-row (int64, dict-string) sort_indices
   group_by    30M-row sum/min/count at 1K and 3M distinct keys
   join        1M x 20M build+probe
-  q3_stages   filter->join->project->aggregate->topk at SF-0.5 capacities
+(The q3 pipeline's compile coverage comes from `bench.py --one q3`,
+which runs the full plan at SF-0.5 — its stages reuse the programs
+smoked here plus the plan engine's host orchestration.)
 
 Run whenever the axon tunnel is live:
     python tools/tpu_smoke.py [--scale 1.0] [--only filter,sort]

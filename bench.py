@@ -626,6 +626,17 @@ def main():
 if __name__ == "__main__":
     import sys
     if len(sys.argv) >= 3 and sys.argv[1] == "--one":
-        print(json.dumps(run_one(sys.argv[2])))
+        res = run_one(sys.argv[2])
+        print(json.dumps(res))
+        # persist into the shared state so long manual runs (cache-warming
+        # passes with generous timeouts) land their fresh numbers too
+        try:
+            state = _load_state()
+            state["chip"] = res.pop("chip", state.get("chip", "tpu"))
+            state["configs"][sys.argv[2]] = res
+            with open(_STATE_PATH, "w") as f:
+                json.dump(state, f, indent=1)
+        except Exception:
+            pass
     else:
         main()

@@ -136,6 +136,36 @@ def _fmix64(h: jax.Array) -> jax.Array:
     return h
 
 
+_SCAN_BLOCK = 8192  # rows per blocked-scan block (see _cumsum_u64)
+
+
+def _cumsum_u64(x: jax.Array) -> jax.Array:
+    """u64 inclusive prefix sum via an explicit two-level blocked scan.
+
+    A flat ``jnp.cumsum`` over a multi-million-element u64 vector lowers
+    on TPU to ONE tupled (u32, u32) reduce-window whose scoped-VMEM
+    scratch scales with the input (19.07MB at a 16.7M-byte pool > the
+    16MB limit — the round-3 host_boundary pushdown compile SIGSEGV,
+    ``.bench_logs/host_boundary.log``; bisected to this op by
+    ``tools/pushdown_bisect.py``). Splitting into per-block scans +
+    a small block-offset scan keeps every reduce-window's operand
+    block-sized; the barriers stop XLA re-fusing the levels back into
+    one scratch-hungry kernel."""
+    n = x.shape[0]
+    C = _SCAN_BLOCK
+    if n <= C:
+        return jnp.cumsum(x)
+    pad = (-n) % C
+    if pad:
+        x = jnp.concatenate([x, jnp.zeros((pad,), x.dtype)])
+    rows = jax.lax.optimization_barrier(x.reshape((-1, C)))
+    within = jax.lax.optimization_barrier(jnp.cumsum(rows, axis=1))
+    row_tot = within[:, -1]
+    row_off = jnp.cumsum(row_tot) - row_tot
+    out = (within + row_off[:, None]).reshape((-1,))
+    return out[:n]
+
+
 def _pow_bits(exp: jax.Array, base: int, nbits: int) -> jax.Array:
     """Elementwise ``base ** exp mod 2**64`` by square-and-multiply over
     the bits of ``exp`` with HOST-precomputed squares: ``nbits`` fused
@@ -193,7 +223,7 @@ def string_fingerprint_exact(a: Array, mult: int = 0x9E3779B185EBCA87
     # per-row sum = difference of the inclusive prefix sum at row ends:
     # two (cap,)-sized gathers instead of an 18M-way colliding
     # scatter-add (XLA serializes colliding scatters on TPU)
-    csum = jnp.cumsum(contrib)
+    csum = _cumsum_u64(contrib)
     zero = jnp.zeros((1,), dtype=jnp.uint64)
     csum_ext = jnp.concatenate([zero, csum])   # csum_ext[p] = sum(<p)
     # ONE gather covers both row boundaries: starts and ends are both

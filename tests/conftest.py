@@ -46,7 +46,8 @@ _SLOW_KEYWORDS = ("spill", "overflow", "grace", "external_sort",
                   "count_distinct_merge", "variance_stddev",
                   "pivot_wider",
                   # 40s each on the 1-CPU box (multi-impl sweeps)
-                  "dense_group_by_matches", "dense_group_by_mixed")
+                  "dense_group_by_matches", "dense_group_by_mixed",
+                  "pushdown_encode_large", "pushdown_slot_overflow")
 
 
 def pytest_addoption(parser):

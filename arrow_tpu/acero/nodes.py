@@ -236,7 +236,18 @@ def _slice_array(a: Array, target: int, targets) -> Array:
     return Array(t, a.values[:target], validity, length=a.length)
 
 
-def maybe_compact(b: Batch) -> Batch:
+def compact_scalars(b: Batch) -> list:
+    """The device scalars ``maybe_compact`` needs, for callers that batch
+    them into one coalesced ``device_get`` with other per-batch scalars
+    (each blocking fetch through the axon tunnel costs ~25ms RTT —
+    measured round 4, tools/probe_prims2.py)."""
+    acc = [jnp.asarray(b.length)]
+    for i in range(b.num_columns):
+        _usage_scalars(b.column(i), b.length, acc)
+    return acc
+
+
+def maybe_compact(b: Batch, vals: Optional[list] = None) -> Batch:
     """Shrink a sparsely-filled batch to its capacity bucket — rows AND
     varlen byte pools / list child rows.
 
@@ -265,10 +276,9 @@ def maybe_compact(b: Batch) -> Batch:
     if not all(_compact_sliceable(b.column(i).type)
                for i in range(b.num_columns)):
         return _compact_take(b)
-    acc = [jnp.asarray(b.length)]
-    for i in range(b.num_columns):
-        _usage_scalars(b.column(i), b.length, acc)
-    vals = [int(np.asarray(v)) for v in jax.device_get(acc)]
+    if vals is None:
+        vals = [int(np.asarray(v))
+                for v in jax.device_get(compact_scalars(b))]
     n = vals[0]
     target = min(pad_capacity(max(n, 1)), b.capacity)
     targets: list = []
@@ -988,7 +998,7 @@ class HashJoinNode(ExecNode):
         self.join, self._build, self._probe, self._finish = cached_stage(
             key, lambda: (lambda j: (j, jax.jit(j.build),
                                      checked_jit(j.probe,
-                                                 static_argnums=(2,)),
+                                                 static_argnums=(2, 3)),
                                      jax.jit(j.finish)))(
                 HashJoin(self.inputs[0].output_schema(),
                          self.inputs[1].output_schema(), options)))
@@ -1022,9 +1032,13 @@ class HashJoinNode(ExecNode):
         """Build with overflow recovery: more distinct keys than
         max_build_rows -> double the group capacity and rebuild (the
         host-side bucketed re-execution promised by ops/join.py's
-        deferred-error design)."""
+        deferred-error design). Returns (BuildState, probe impl) — the
+        error flag and the packed-key eligibility bits come back in ONE
+        coalesced device_get."""
         bs = self._build(build_in)
-        while int(np.asarray(jax.device_get(bs.error))):
+        err, bits = (int(np.asarray(v)) for v in
+                     jax.device_get((bs.error, bs.pack_bits)))
+        while err:
             g = self.join.options.max_build_rows * 2
             if g > (1 << 27):
                 raise RuntimeError(
@@ -1034,22 +1048,33 @@ class HashJoinNode(ExecNode):
             o2.max_build_rows = g
             self._make_stages(o2)
             bs = self._build(build_in)
-        return bs
+            err, bits = (int(np.asarray(v)) for v in
+                         jax.device_get((bs.error, bs.pack_bits)))
+        impl = "packed" if (bits <= 30 and self.join.packed_eligible()
+                            and build_in.capacity < (1 << 26)) else "sort"
+        return bs, impl
 
-    def _probe_retry(self, bs, b: Batch, fanout):
+    def _probe_retry(self, bs, b: Batch, fanout, impl="sort"):
         """Probe one batch; a fanout overflow retries (from the SAME
         pre-probe state — probe is pure) at doubled static fanout; each
-        doubling is one new cached compile per bucket."""
-        out, bs2 = self._probe(bs, b, fanout)
-        while int(np.asarray(jax.device_get(bs2.error))):
+        doubling is one new cached compile per bucket. The overflow flag
+        and the output's compaction scalars come back in ONE device_get;
+        the prefetched scalars ride into maybe_compact so the caller
+        doesn't sync again."""
+        out, bs2 = self._probe(bs, b, fanout, impl)
+        while True:
+            scalars = [bs2.error] + (compact_scalars(out)
+                                     if out is not None else [])
+            vals = [int(np.asarray(v)) for v in jax.device_get(scalars)]
+            if not vals[0]:
+                return out, bs2, vals[1:]
             fanout = 2 * (fanout or self.join.options.fanout_capacity
                           or b.capacity)
             if fanout > (1 << 27):
                 raise RuntimeError(
                     "hashjoin fanout overflow beyond 2^27 pair slots "
                     "in one batch; reduce max_batch_rows upstream")
-            out, bs2 = self._probe(bs, b, fanout)
-        return out, bs2
+            out, bs2 = self._probe(bs, b, fanout, impl)
 
     def batches(self) -> Iterator[Batch]:
         if self._dist is not None:
@@ -1077,9 +1102,13 @@ class HashJoinNode(ExecNode):
         else:
             build_in = concat_batches(build_batches)
         del build_batches
-        bs = self._build_recover(build_in)
-        bits = self._bloom_build(bs) if self._bloom_kind is not None \
-            else None
+        bs, impl = self._build_recover(build_in)
+        # Bloom pushdown only pays on the generic multi-lane probe: the
+        # packed single-key find (263M rows/s measured) costs about as
+        # little as the bloom mask itself, and skipping bloom saves two
+        # ~25ms host round-trips per probe batch.
+        bits = self._bloom_build(bs) \
+            if (self._bloom_kind is not None and impl != "packed") else None
         seen = passed = 0
         i = 0
         for b in materialized_stream(self.inputs[0]):
@@ -1089,8 +1118,8 @@ class HashJoinNode(ExecNode):
                 if neg is not None:
                     yield maybe_compact(neg.with_index(i))
                     i += 1
-                n_in = int(np.asarray(jax.device_get(b.length)))
-                n_pos = int(np.asarray(jax.device_get(pos.length)))
+                n_in, n_pos = (int(np.asarray(v)) for v in
+                               jax.device_get((b.length, pos.length)))
                 seen += n_in
                 passed += n_pos
                 if seen >= (1 << 17) and passed * 10 > seen * 9:
@@ -1103,9 +1132,9 @@ class HashJoinNode(ExecNode):
                 if self.join.options.fanout_capacity is None:
                     fanout = b.capacity
                 b = maybe_compact(pos)
-            out, bs = self._probe_retry(bs, b, fanout)
+            out, bs, cvals = self._probe_retry(bs, b, fanout, impl)
             if out is not None:
-                yield maybe_compact(out.with_index(i))
+                yield maybe_compact(out.with_index(i), vals=cvals)
                 i += 1
         tail = self._finish(bs)
         if tail is not None:
@@ -1149,11 +1178,11 @@ class HashJoinNode(ExecNode):
                 runs = list(bp.read_partition(p))
                 build_in = concat_batches(runs) if runs else \
                     empty_batch(rschema)
-                bs = self._build_recover(build_in)
+                bs, impl = self._build_recover(build_in)
                 for b in pp.read_partition(p):
-                    out, bs = self._probe_retry(bs, b, None)
+                    out, bs, cvals = self._probe_retry(bs, b, None, impl)
                     if out is not None:
-                        yield maybe_compact(out.with_index(i))
+                        yield maybe_compact(out.with_index(i), vals=cvals)
                         i += 1
                 tail = self._finish(bs)
                 if tail is not None:

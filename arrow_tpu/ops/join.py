@@ -5,30 +5,52 @@ Reference: ``cpp/src/arrow/acero/swiss_join.cc`` + ``swiss_join_internal.h``
 materialize), match bit-vectors for outer joins, ``key_to_payload`` offsets
 for duplicate keys (``swiss_join_internal.h:483``).
 
-TPU-native redesign (second generation — fully sort-merge shaped):
-  * Build: ONE sort-group pass over the build side (ops/distinct) yields,
-    with no colliding scatters: dense first-appearance group ids per
-    distinct key, contiguous payload runs per key (the row-major
-    key_to_payload layout), per-group counts/starts from run boundaries,
-    and the unique key lanes in gid order.
-  * Probe: sort-merge find — the build's unique key lanes concat with the
-    probe keys and ONE variadic sort groups equal keys; a segmented
-    last-build scan hands every probe row its gid (the per-round
-    table-gather loop of a hash probe ran ~7x slower on v5e). Fanout
-    expansion uses the scatter + prefix-max-scan trick (unique-index
-    scatters + doubling scans only).
-  * Outer joins: a matched-bitmap per build row is scatter-OR'd during
-    probes; unmatched build rows are emitted at finish via filter.
+TPU-native redesign, third generation. Primitive costs measured on v5e
+(tools/probe_prims*.py, round 4) shape every choice here:
+
+  * lax.sort cost scales with the number of KEY operands; payload
+    operands are nearly free (1-key 352M rows/s vs 4-key 150M; +4
+    payloads costs nothing). 1D gathers/scatters serialize per index
+    (~110-142M/s); packed ``lax.cummax`` runs at 1.4G elem/s.
+
+  * Build: ONE sort-group pass (ops/distinct) over the build side yields
+    contiguous payload runs per distinct key, per-seg [start, end) spans
+    in sorted-payload space, and the unique key lanes per seg. The
+    right-output columns ride that same sort as (free) payload planes, so
+    the build payload is pre-permuted into run order — ``RowArray`` built
+    by the sort itself.
+
+  * Probe find — the packed fast path: when the build key's per-lane
+    value ranges fit 30 bits total (fetched once at build), every key
+    packs into ONE uint32 (plus a build/probe side bit), so the
+    merge-find sort runs single-key at ~350M rows/s. The build rows
+    carry their [start, end) spans as payloads; two packed-cummax
+    segmented broadcasts hand every probe row its span with ZERO
+    gathers; one int64 scatter returns spans to probe-row order. Probe
+    keys outside the build's lane ranges clamp to a miss sentinel (they
+    cannot match). Measured end-to-end 263M rows/s on 20M probe vs 1M
+    build (vs 76.7M for the generic multi-lane path).
+
+  * Pair expansion: one int64 scatter of (probe row | payload-delta) at
+    each row's output offset + one cummax forward fill — every slot j
+    recovers (r, brow = j + delta) with no gathers.
+
+  * Materialize: all fixed-width output columns pack into ONE (rows, W)
+    uint32 plane matrix per side (ops/planes) and gather by ROW — W
+    lanes per index at ~the single-lane index rate (probe_prims2).
+
+  * Outer joins: matched bits are kept in sorted-payload space
+    (per-pair) plus per-seg group hits; ``finish`` rebases to original
+    rows with one unique scatter.
 
 Dynamic output size is held by a static ``fanout_capacity`` with a
 deferred overflow error (Arrow instead chunk-appends into 32Ki batches,
-``JoinResultMaterialize``; bucketed re-execution at a larger capacity is
-the host-side recovery).
+``JoinResultMaterialize``; re-execution at a larger capacity is the
+host-side recovery).
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass
 from typing import List, Optional, Sequence, Tuple
 
 import jax
@@ -38,55 +60,82 @@ from ..core import datatype as dt
 from ..core.array import Array, row_mask
 from ..core.batch import Batch
 from ..core.schema import Field, Schema
-from .grouper import Grouper
-from .selection import filter_batch, take_batch, take_array
+from .grouper import Grouper, group_key_lanes
+from .planes import pack_columns, plane_width, unpack_columns
+from .selection import filter_batch, take_array
 
 __all__ = ["HashJoin", "BuildState"]
 
 _PROBE_SIDES = ("inner", "left outer", "full outer",
                 "left semi", "left anti")
 
+# packed-key sentinels (> any real packed value, which is < 2^30)
+_MISS_B = jnp.uint32(0x7FFFFFFF)   # inactive build slot
+_MISS_P = jnp.uint32(0x7FFFFFFE)   # miss / inactive probe row
+# packed-geometry bias (static capacity limits checked by callers)
+_GBIAS = 1 << 26
+_GSENT = 1                          # "emitted but unmatched" delta code
+
 
 @jax.tree_util.register_pytree_node_class
 class BuildState:
-    """Device-side build result (pytree)."""
+    """Device-side build result (pytree). Spans/payload live in SORTED
+    payload space (the one sort's output order); ``perm`` maps sorted
+    position -> original build row for varlen fallbacks and finish."""
 
-    __slots__ = ("grouper_state", "batch", "counts", "starts", "perm",
-                 "matched", "num_rows", "error", "key_lanes", "bgids")
+    __slots__ = ("num_groups", "batch", "starts_seg", "ends_seg",
+                 "seg_lanes", "gid_of_seg", "perm", "bsegs",
+                 "matched", "matched_seg", "num_rows", "error",
+                 "pack_lo", "pack_span", "pack_shift", "pack_bits",
+                 "packed_seg", "payload_mat")
 
-    def __init__(self, grouper_state, batch, counts, starts, perm, matched,
-                 num_rows, error, key_lanes=None, bgids=None):
-        self.grouper_state = grouper_state  # int32 scalar: num build groups
+    def __init__(self, num_groups, batch, starts_seg, ends_seg, seg_lanes,
+                 gid_of_seg, perm, bsegs, matched, matched_seg, num_rows,
+                 error, pack_lo, pack_span, pack_shift, pack_bits,
+                 packed_seg, payload_mat):
+        self.num_groups = num_groups    # int32: distinct build keys
         self.batch = batch
-        self.counts = counts
-        self.starts = starts
-        self.perm = perm
-        self.matched = matched
+        self.starts_seg = starts_seg    # (G,) run start (sorted space)
+        self.ends_seg = ends_seg        # (G,) run end   (exclusive)
+        self.seg_lanes = seg_lanes      # (G, L) run-head lanes, seg order
+        self.gid_of_seg = gid_of_seg    # (G,) seg -> first-appearance gid
+        self.perm = perm                # (cap,) sorted pos -> build row
+        self.bsegs = bsegs              # (cap,) build row -> seg (-1 null)
+        self.matched = matched          # (cap,) per-pair hits, SORTED space
+        self.matched_seg = matched_seg  # (G,) group-level hits, seg index
         self.num_rows = num_rows
         self.error = error
-        self.key_lanes = key_lanes   # (G, L) unique build key lanes, gid order
-        self.bgids = bgids           # (cap,) build row -> gid (-1 null key)
+        self.pack_lo = pack_lo          # (L,) u32 per-lane min
+        self.pack_span = pack_span      # (L,) u32 per-lane (max - min)
+        self.pack_shift = pack_shift    # (L,) u32 bit offsets
+        self.pack_bits = pack_bits      # int32: total packed bits
+        self.packed_seg = packed_seg    # (G,) u32 packed key per seg
+        self.payload_mat = payload_mat  # (cap, WR) u32 planes or None
 
     def tree_flatten(self):
-        return ((self.grouper_state, self.batch, self.counts, self.starts,
-                 self.perm, self.matched, self.num_rows, self.error,
-                 self.key_lanes, self.bgids), None)
+        return ((self.num_groups, self.batch, self.starts_seg,
+                 self.ends_seg, self.seg_lanes, self.gid_of_seg, self.perm,
+                 self.bsegs, self.matched, self.matched_seg, self.num_rows,
+                 self.error, self.pack_lo, self.pack_span, self.pack_shift,
+                 self.pack_bits, self.packed_seg, self.payload_mat), None)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(*children)
 
-    def _with_error(self, error):
-        return BuildState(self.grouper_state, self.batch, self.counts,
-                          self.starts, self.perm, self.matched,
-                          self.num_rows, self.error | error,
-                          self.key_lanes, self.bgids)
+    def _replace(self, **kw):
+        vals = {k: getattr(self, k) for k in self.__slots__}
+        vals.update(kw)
+        return BuildState(**vals)
 
-    def _with_matched(self, matched, error=None):
-        return BuildState(self.grouper_state, self.batch, self.counts,
-                          self.starts, self.perm, matched, self.num_rows,
-                          self.error if error is None else
-                          (self.error | error), self.key_lanes, self.bgids)
+    def _with_error(self, error):
+        return self._replace(error=self.error | error)
+
+    # compatibility shim for older callers (grouper_state was the group
+    # count scalar)
+    @property
+    def grouper_state(self):
+        return self.num_groups
 
 
 def _all_valid(keys: Sequence[Array], cap: int) -> jax.Array:
@@ -95,6 +144,19 @@ def _all_valid(keys: Sequence[Array], cap: int) -> jax.Array:
         if k.validity is not None:
             ok = ok & k.validity
     return ok
+
+
+def _pack_lanes(lanes: jax.Array, lo, span, shift) -> jax.Array:
+    """(n, L) u32 lanes -> (n,) u32 packed keys; rows with any lane
+    outside [lo, lo+span] -> _MISS_P (cannot equal any build key)."""
+    n, L = lanes.shape
+    packed = jnp.zeros((n,), jnp.uint32)
+    miss = jnp.zeros((n,), jnp.bool_)
+    for j in range(L):
+        d = lanes[:, j] - lo[j]            # u32 wraparound
+        miss = miss | (d > span[j])
+        packed = packed | jnp.left_shift(jnp.where(miss, 0, d), shift[j])
+    return jnp.where(miss, _MISS_P, packed)
 
 
 class HashJoin:
@@ -168,16 +230,23 @@ class HashJoin:
             fields.append(Field(name, f.type, f.nullable or right_nullable))
         self.out_schema = Schema(tuple(fields))
 
+        # plane-packable output columns (ops/planes): packed ones gather
+        # as one row-matrix; the rest fall back to per-column takes
+        self._rpack = [n for n in self.right_out if plane_width(
+            right_schema.field(n).type) is not None]
+        self._lpack = [n for n in self.left_out if plane_width(
+            left_schema.field(n).type) is not None]
+
     # ------------------------------------------------------------------
     def build(self, right: Batch) -> BuildState:
         """Insert the (accumulated) build side. One call; use
         ops.concat.concat_batches upstream for multi-batch builds.
 
-        One sort-group pass yields everything (no colliding scatters):
-        payload runs (perm), per-gid starts/counts (run boundaries), and
-        the unique key lanes in gid order for the sort-merge probe."""
+        One sort-group pass yields everything: payload runs in sorted
+        space, per-seg [start, end) spans, seg-ordered unique key lanes,
+        AND the pre-permuted right-output payload planes (they ride the
+        sort as payloads — payload operands are nearly free on v5e)."""
         from .distinct import sort_group
-        from .grouper import group_key_lanes
         cap = right.capacity
         keys = [right.column(k) for k in self.right_keys]
         ok = _all_valid(keys, cap)
@@ -185,32 +254,94 @@ class HashJoin:
         active = row_mask(cap, right.length) & ok
         G = self.max_build_rows
         R = min(cap, G)
-        # single-shot build: NO hash table at all — first-appearance ids
-        # from the sort ARE the gids (the claim-tournament insert costs
-        # ~5s/1M-slot table on v5e; it exists for streaming consumes only)
-        g, _ = sort_group(lanes, active, rep_capacity=R)
+
+        # right-output payload planes AND the key lanes ride the sort as
+        # payloads (payload operands are nearly free on v5e)
+        rp_cols = [right.column(n) for n in self._rpack]
+        WR = 0
+        payloads = ()
+        if rp_cols:
+            rp_mat, _ = pack_columns(rp_cols)
+            WR = rp_mat.shape[1]
+            payloads = tuple(rp_mat[:, j] for j in range(WR))
+        L = lanes.shape[1]
+        payloads = payloads + tuple(lanes[:, j] for j in range(L))
+
+        g, s_payloads = sort_group(lanes, active, rep_capacity=R,
+                                   payloads=payloads)
         GG = min(R, G)
-        starts = jnp.full((G,), cap, jnp.int32).at[:GG].set(
-            g.head_pos[:GG])
-        # per-seg run widths -> counts in gid order (unique scatter)
-        sidx = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0).reshape((R,))
+        sidx = jax.lax.broadcasted_iota(jnp.int32, (G, 1), 0).reshape((G,))
+        ridx = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0).reshape((R,))
+        starts_seg = jnp.full((G,), cap, jnp.int32).at[:GG].set(
+            g.head_pos_seg[:GG])
         nxt = jnp.concatenate([g.head_pos_seg[1:],
                                jnp.full((1,), cap, jnp.int32)])
-        in_use = sidx < g.num_unique
-        ends_seg = jnp.where(sidx < g.num_unique - 1, nxt, g.n_active)
-        ends_seg = jnp.where(in_use, ends_seg, g.head_pos_seg)
-        cnt_seg = (ends_seg - g.head_pos_seg).astype(jnp.int32)
-        counts = jnp.zeros((G,), jnp.int32).at[
-            jnp.where(in_use, jnp.clip(g.gid_of_seg, 0, G - 1), G)].set(
-            cnt_seg, mode="drop", unique_indices=True)
-        key_lanes = jnp.zeros((G, lanes.shape[1]), jnp.uint32).at[
-            :GG].set(lanes[jnp.clip(g.unique_rows[:GG], 0, cap - 1)])
-        bgids = g.codes
+        in_use_r = ridx < g.num_unique
+        ends_r = jnp.where(ridx < g.num_unique - 1, nxt, g.n_active)
+        ends_r = jnp.where(in_use_r, ends_r, g.head_pos_seg)
+        ends_seg = jnp.full((G,), cap, jnp.int32).at[:GG].set(ends_r[:GG])
+
+        # seg-ordered unique key lanes: scatter run-head lanes at seg
+        # (the lanes arrive pre-sorted as the last L sort payloads)
+        s_lanes = jnp.stack(list(s_payloads[WR:WR + L]), axis=1)
+        head_seg = jnp.where(g.head & (g.seg < GG), g.seg, G)
+        seg_lanes = jnp.zeros((G, L), jnp.uint32).at[head_seg].set(
+            s_lanes, mode="drop", unique_indices=True)
+        gid_of_seg = jnp.full((G,), -1, jnp.int32).at[:GG].set(
+            g.gid_of_seg[:GG])
+
+        # packing spec from the build side's own lane ranges. Each lane's
+        # window is measured in BOTH unsigned and signed space and the
+        # tighter one wins: wraparound subtraction (lane - lo mod 2^32)
+        # maps any contiguous window bijectively onto [0, span], so
+        # signed windows (two's-complement int lanes straddling the sign
+        # boundary) pack just as well as unsigned ones.
+        BIGU = jnp.uint32(0xFFFFFFFF)
+        act2 = active[:, None]
+        lo_u = jnp.min(jnp.where(act2, lanes, BIGU), axis=0)
+        hi_u = jnp.max(jnp.where(act2, lanes, jnp.uint32(0)), axis=0)
+        span_u = hi_u - lo_u                 # u32 wrap if no active rows
+        lanes_i = lanes.view(jnp.int32)
+        lo_i = jnp.min(jnp.where(act2, lanes_i, jnp.int32(2**31 - 1)),
+                       axis=0)
+        hi_i = jnp.max(jnp.where(act2, lanes_i, jnp.int32(-2**31)),
+                       axis=0)
+        span_i = hi_i.view(jnp.uint32) - lo_i.view(jnp.uint32)
+        use_i = span_i < span_u
+        lo = jnp.where(use_i, lo_i.view(jnp.uint32), lo_u)
+        span = jnp.minimum(span_i, span_u)
+        bits = jnp.uint32(32) - jax.lax.clz(span)
+        # shift_j = sum of bits of lanes AFTER j (lane 0 in the top bits)
+        rev = jnp.cumsum(bits[::-1])
+        shift = jnp.concatenate([rev[::-1][1:], jnp.zeros((1,),
+                                                          bits.dtype)])
+        pack_bits = jnp.sum(bits).astype(jnp.int32)
+        packed_seg = _pack_lanes(seg_lanes, lo, span,
+                                 shift.astype(jnp.uint32))
+        packed_seg = jnp.where(sidx < g.num_unique, packed_seg, _MISS_B)
+
+        payload_mat = None
+        if rp_cols:
+            payload_mat = jnp.stack(list(s_payloads[:WR]), axis=1)
+
+        bsegs = jnp.where(
+            g.codes >= 0,
+            g.seg_of_gid[jnp.clip(g.codes, 0, R - 1)], jnp.int32(-1))
         matched = jnp.zeros((cap,), dtype=jnp.bool_)
+        matched_seg = jnp.zeros((G,), dtype=jnp.bool_)
         error = jnp.where(g.num_unique > G, 1, 0).astype(jnp.int32)
-        return BuildState(g.num_unique, right, counts, starts, g.perm,
-                          matched, jnp.asarray(right.length, jnp.int32),
-                          error, key_lanes, bgids)
+        return BuildState(
+            g.num_unique, right, starts_seg, ends_seg, seg_lanes,
+            gid_of_seg, g.perm, bsegs, matched, matched_seg,
+            jnp.asarray(right.length, jnp.int32), error,
+            lo, span, shift.astype(jnp.uint32), pack_bits, packed_seg,
+            payload_mat)
+
+    # ------------------------------------------------------------------
+    def packed_eligible(self) -> bool:
+        """Static capacity guards for the packed probe/geometry paths
+        (the dynamic total-bits check reads ``BuildState.pack_bits``)."""
+        return self.max_build_rows < (1 << 26)
 
     # ------------------------------------------------------------------
     def bloom_build(self, bs: BuildState) -> jax.Array:
@@ -220,15 +351,14 @@ class HashJoin:
         from .bloom import bloom_m_log2, build_bloom
         G = self.max_build_rows
         gidx = jax.lax.broadcasted_iota(jnp.int32, (G, 1), 0).reshape((G,))
-        active = gidx < bs.grouper_state
-        return build_bloom(bs.key_lanes, active, bloom_m_log2(G))
+        active = gidx < bs.num_groups
+        return build_bloom(bs.seg_lanes, active, bloom_m_log2(G))
 
     def bloom_mask(self, bits: jax.Array, left: Batch) -> Array:
         """bool mask: True where the probe row's key MAY match the build
         side. Null-key / out-of-range rows -> False (they never key-match
         any build row, for every join type)."""
         from .bloom import query_bloom
-        from .grouper import group_key_lanes
         cap = left.capacity
         keys = [left.column(k) for k in self.left_keys]
         ok = _all_valid(keys, cap) & row_mask(cap, left.length)
@@ -243,7 +373,6 @@ class HashJoin:
         (they never match, but outer joins still emit them from their
         partition)."""
         from .bloom import _lane_hashes
-        from .grouper import group_key_lanes
         names = self.right_keys if side == "build" else self.left_keys
         keys = [b.column(k) for k in names]
         lanes = group_key_lanes(keys, self.grouper.key_nullable)
@@ -251,26 +380,95 @@ class HashJoin:
         return (h1 & jnp.uint32(K - 1)).astype(jnp.int32)
 
     # ------------------------------------------------------------------
-    def _probe_gids(self, bs: BuildState, left: Batch,
-                    keys: Sequence[Array], ok: jax.Array) -> jax.Array:
-        """Sort-merge find: concat (unique build key lanes ++ probe keys),
-        one variadic sort groups equal keys with build rows first, a
-        segmented last-build scan carries each run's gid to its probe
-        rows. Replaces the per-round table-gather loop (7x slower on
-        v5e)."""
-        from .grouper import group_key_lanes
+    def _probe_spans_packed(self, bs: BuildState, left: Batch,
+                            keys: Sequence[Array], ok: jax.Array,
+                            want_seg: bool):
+        """Packed single-key merge find. Returns (start, cnt, seg) per
+        probe row in ROW order — spans into sorted payload space; misses
+        get cnt=0 (start -1). ``seg`` is None unless want_seg."""
+        capP = left.capacity
+        G = self.max_build_rows
+        lanes_p = group_key_lanes(keys, self.grouper.key_nullable)
+        act_p = row_mask(capP, left.length) & ok
+        packed_p = _pack_lanes(lanes_p, bs.pack_lo, bs.pack_span,
+                               bs.pack_shift)
+        packed_p = jnp.where(act_p, packed_p, _MISS_P)
+
+        keyv = jnp.concatenate([
+            (bs.packed_seg << jnp.uint32(1)),
+            (packed_p << jnp.uint32(1)) | jnp.uint32(1)])
+        z_p = jnp.zeros((capP,), jnp.int32)
+        startp = jnp.concatenate(
+            [jnp.clip(bs.starts_seg, 0, (1 << 26) - 1), z_p])
+        endp = jnp.concatenate(
+            [jnp.clip(bs.ends_seg, 0, (1 << 26) - 1), z_p])
+        piota = jax.lax.broadcasted_iota(jnp.int32, (capP, 1), 0).reshape(
+            (capP,))
+        outp = jnp.concatenate([jnp.full((G,), -1, jnp.int32), piota])
+        ops = [keyv, startp, endp, outp]
+        segp = None
+        if want_seg:
+            sidx = jax.lax.broadcasted_iota(jnp.int32, (G, 1), 0).reshape(
+                (G,))
+            ops.append(jnp.concatenate([sidx, z_p]))
+        out = jax.lax.sort(ops, num_keys=1, is_stable=False)
+        skey, sstart, send, soutp = out[:4]
+        sseg = out[4] if want_seg else None
+
+        lane = skey >> jnp.uint32(1)
+        isb = (skey & jnp.uint32(1)) == 0
+        head = jnp.concatenate([jnp.ones((1,), jnp.bool_),
+                                lane[1:] != lane[:-1]])
+        run = (jnp.cumsum(head, dtype=jnp.int32) - 1).astype(jnp.int64)
+        code_s = jnp.where(isb, sstart + 1, 0).astype(jnp.int64)
+        code_e = jnp.where(isb, send + 1, 0).astype(jnp.int64)
+        M27 = jnp.int64((1 << 27) - 1)
+        c_s = (jax.lax.cummax((run << 27) | code_s) & M27).astype(
+            jnp.int32) - 1
+        c_e = (jax.lax.cummax((run << 27) | code_e) & M27).astype(
+            jnp.int32) - 1
+        dst = jnp.where(soutp >= 0, soutp, capP)
+        spanv = jnp.where(
+            c_s >= 0,
+            ((c_s.astype(jnp.int64) + 1) << 27) |
+            (c_e.astype(jnp.int64) + 1),
+            jnp.int64(0))
+        spans = jnp.zeros((capP,), jnp.int64).at[dst].set(
+            spanv, mode="drop", unique_indices=True)
+        start = ((spans >> 27) & M27).astype(jnp.int32) - 1
+        end = (spans & M27).astype(jnp.int32) - 1
+        cnt = jnp.maximum(end - start, 0)
+        cnt = jnp.where(start >= 0, cnt, 0)
+        seg = None
+        if want_seg:
+            code_g = jnp.where(isb, sseg + 1, 0).astype(jnp.int64)
+            c_g = (jax.lax.cummax((run << 27) | code_g) & M27).astype(
+                jnp.int32) - 1
+            segv = jnp.where(c_s >= 0, c_g, jnp.int32(-1))
+            seg = jnp.full((capP,), -1, jnp.int32).at[dst].set(
+                segv, mode="drop", unique_indices=True)
+            seg = jnp.where(cnt > 0, seg, jnp.int32(-1))
+        return start, cnt, seg
+
+    def _probe_spans_sort(self, bs: BuildState, left: Batch,
+                          keys: Sequence[Array], ok: jax.Array,
+                          want_seg: bool):
+        """Generic multi-lane merge find (the fallback when keys don't
+        pack): concat (seg-ordered build lanes ++ probe lanes), one
+        variadic sort groups equal keys with build rows first, segmented
+        carries hand every probe row its seg; spans gather per row."""
         from .segment import segmented_carry_last
         capP = left.capacity
         lanes_p = group_key_lanes(keys, self.grouper.key_nullable)
         act_p = row_mask(capP, left.length) & ok
         G = self.max_build_rows
         L = lanes_p.shape[1]
-        gidx = jax.lax.broadcasted_iota(jnp.int32, (G, 1), 0).reshape((G,))
-        lanesA = jnp.concatenate([bs.key_lanes, lanes_p])
-        actA = jnp.concatenate([gidx < bs.grouper_state, act_p])
+        sidx = jax.lax.broadcasted_iota(jnp.int32, (G, 1), 0).reshape((G,))
+        lanesA = jnp.concatenate([bs.seg_lanes, lanes_p])
+        actA = jnp.concatenate([sidx < bs.num_groups, act_p])
         side = jnp.concatenate([jnp.zeros((G,), jnp.uint32),
                                 jnp.ones((capP,), jnp.uint32)])
-        gpay = jnp.concatenate([gidx, jnp.full((capP,), -1, jnp.int32)])
+        gpay = jnp.concatenate([sidx, jnp.full((capP,), -1, jnp.int32)])
         piota = jax.lax.broadcasted_iota(jnp.int32, (capP, 1), 0).reshape(
             (capP,))
         outp = jnp.concatenate([jnp.full((G,), -1, jnp.int32), piota])
@@ -289,32 +487,48 @@ class HashJoin:
             [jnp.ones((1,), jnp.bool_), diff | ~s_act[:-1]])
         carried = segmented_carry_last(s_gpay, head)
         val = jnp.where(s_act, carried, jnp.int32(-1))
-        gids = jnp.full((capP,), -1, jnp.int32).at[
+        seg = jnp.full((capP,), -1, jnp.int32).at[
             jnp.where(s_outp >= 0, s_outp, capP)].set(
             val, mode="drop", unique_indices=True)
-        return gids
+        segc = jnp.clip(seg, 0, G - 1)
+        start = jnp.where(seg >= 0, bs.starts_seg[segc], jnp.int32(-1))
+        cnt = jnp.where(seg >= 0,
+                        bs.ends_seg[segc] - bs.starts_seg[segc], 0)
+        return start, cnt, (seg if want_seg else None)
+
+    def _probe_spans(self, bs, left, keys, ok, impl: str, want_seg: bool):
+        if impl == "packed" and self.packed_eligible() and \
+                bs.batch.capacity < (1 << 26) and \
+                left.capacity < (1 << 27):
+            return self._probe_spans_packed(bs, left, keys, ok, want_seg)
+        return self._probe_spans_sort(bs, left, keys, ok, want_seg)
 
     # ------------------------------------------------------------------
     def probe(self, bs: BuildState, left: Batch,
-              fanout_capacity: Optional[int] = None
+              fanout_capacity: Optional[int] = None,
+              impl: str = "sort"
               ) -> Tuple[Optional[Batch], BuildState]:
         """Probe one batch. Returns (output batch or None for right-side
-        joins, updated build state)."""
+        joins, updated build state). ``impl`` is static: "packed" uses
+        the single-key packed find (valid only when the caller verified
+        ``BuildState.pack_bits <= 30`` on the host), "sort" the generic
+        multi-lane find."""
         cap = left.capacity
         keys = [left.column(k) for k in self.left_keys]
         ok = _all_valid(keys, cap)
         in_range = row_mask(cap, left.length)
-        gids = self._probe_gids(bs, left, keys, ok)
-        cnt = jnp.where(gids >= 0, bs.counts[jnp.clip(gids, 0)], 0)
-
         jt = self.join_type
+        want_seg = jt in ("right semi", "right anti", "right outer",
+                          "full outer")
+        start, cnt, seg = self._probe_spans(bs, left, keys, ok, impl,
+                                            want_seg)
+
         if jt in ("left semi", "left anti"):
             if self.residual is None:
                 sel = (cnt > 0) if jt == "left semi" else \
                     (in_range & (cnt == 0))
             else:
-                # a probe row matches only if >=1 pair passes the filter
-                pass_any, err = self._pass_any(bs, left, gids, cnt,
+                pass_any, err = self._pass_any(bs, left, start, cnt,
                                                fanout_capacity)
                 bs = bs._with_error(err)
                 sel = pass_any if jt == "left semi" else \
@@ -326,97 +540,127 @@ class HashJoin:
 
         if jt in ("right semi", "right anti", "right outer"):
             if self.residual is None:
-                # only update the matched bitmap; emission at finish
-                bs = self._update_matched(bs, gids, cnt)
+                bs = self._update_matched_seg(bs, seg, cnt)
             else:
-                bs = self._update_matched_residual(bs, left, gids, cnt,
+                bs = self._update_matched_residual(bs, left, start, cnt,
                                                    fanout_capacity)
             if jt == "right outer":
-                outb, bs2 = self._expand(bs, left, gids, cnt,
+                outb, bs2 = self._expand(bs, left, start, cnt,
                                          fanout_capacity,
                                          emit_unmatched_probe=False,
                                          update_matched=False)
                 return outb, bs2
             return None, bs
 
-        emit_unmatched_probe = jt in ("left outer", "full outer")
-        return self._expand(bs, left, gids, cnt, fanout_capacity,
+        if jt == "full outer":
+            if self.residual is None:
+                bs = self._update_matched_seg(bs, seg, cnt)
+                return self._expand(bs, left, start, cnt, fanout_capacity,
+                                    emit_unmatched_probe=True,
+                                    update_matched=False)
+            return self._expand(bs, left, start, cnt, fanout_capacity,
+                                emit_unmatched_probe=True,
+                                update_matched=True)
+
+        emit_unmatched_probe = jt == "left outer"
+        return self._expand(bs, left, start, cnt, fanout_capacity,
                             emit_unmatched_probe=emit_unmatched_probe,
-                            update_matched=(jt == "full outer"))
+                            update_matched=False)
 
-    def _update_matched(self, bs: BuildState, gids, cnt) -> BuildState:
-        # build rows matched by any probe row: all rows in matched groups
+    def _update_matched_seg(self, bs: BuildState, seg, cnt) -> BuildState:
+        """Group-level matched update (no residual): every build row of a
+        probed seg is matched."""
         G = self.max_build_rows
-        grp_hit = jnp.zeros((G + 1,), dtype=jnp.bool_).at[
-            jnp.where(gids >= 0, gids, G)].max(
-            jnp.ones_like(gids, dtype=jnp.bool_), mode="drop")[:G]
-        # mark build rows whose group was hit
-        bgids = bs.bgids
-        matched = bs.matched | ((bgids >= 0) & grp_hit[jnp.clip(bgids, 0)])
-        return BuildState(bs.grouper_state, bs.batch, bs.counts, bs.starts,
-                          bs.perm, matched, bs.num_rows, bs.error,
-                          bs.key_lanes, bs.bgids)
-
+        hit = jnp.zeros((G,), dtype=jnp.bool_).at[
+            jnp.where((seg >= 0) & (cnt > 0), seg, G)].max(
+            jnp.ones_like(seg, dtype=jnp.bool_), mode="drop")
+        return bs._replace(matched_seg=bs.matched_seg | hit)
 
     # ------------------------------------------------------------------
-    def _pair_geometry(self, bs: BuildState, left: Batch, gids, cnt,
+    def _pair_geometry(self, bs: BuildState, left: Batch, start, cnt,
                        fanout_capacity, emit_unmatched_probe: bool):
-        """Expand (probe row, gid) matches into flat pair slots.
+        """Expand (probe row, span) matches into flat pair slots.
 
-        Returns (r, o, brow, has_match, valid_j, pass_, total, overflow):
-        ``r`` probe row per slot, ``o`` the match ordinal within the row,
-        ``brow`` the build row, ``pass_`` = has_match AND the residual
-        filter (``swiss_join.cc`` JoinResidualFilter semantics: a
-        false/null filter pair is a non-match)."""
+        Returns (r, o, brow_sorted, has_match, valid_j, pass_, total,
+        overflow): ``r`` probe row per slot, ``o`` the match ordinal,
+        ``brow_sorted`` the build row in SORTED payload space, ``pass_``
+        = has_match AND the residual filter (``swiss_join.cc``
+        JoinResidualFilter semantics)."""
         cap = left.capacity
         T = fanout_capacity or self.options.fanout_capacity or cap
         in_range = row_mask(cap, left.length)
+        cnt = jnp.where(in_range, cnt, 0)
         emit = cnt
         if emit_unmatched_probe:
             emit = jnp.where(in_range & (cnt == 0), 1, cnt)
         offsets = jnp.cumsum(emit) - emit          # exclusive prefix sum
         total = jnp.sum(emit).astype(jnp.int32)
         overflow = jnp.int32(total > T)
-
         iota_c = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0).reshape(
             (cap,))
         spos = jnp.where(emit > 0, offsets, T)
-        # scatter (row id, start) at each row's first output slot, then
-        # forward-max-scan fills the fanout gaps
-        A = jnp.full((T,), -1, dtype=jnp.int32).at[spos].max(
-            iota_c, mode="drop", unique_indices=True)
-        B = jnp.full((T,), -1, dtype=jnp.int32).at[spos].max(
-            offsets.astype(jnp.int32), mode="drop", unique_indices=True)
-        from .segment import running_scan
-        r_of_j = running_scan(A, jnp.maximum, -1)
-        start_of_j = running_scan(B, jnp.maximum, -1)
         jidx = jax.lax.broadcasted_iota(jnp.int32, (T, 1), 0).reshape((T,))
-        valid_j = (jidx < total) & (r_of_j >= 0)
-        r = jnp.clip(r_of_j, 0)
-        o = jidx - start_of_j
-        gid_j = gids[r]
-        has_match = valid_j & (gid_j >= 0) & (o < cnt[r])
-        brow_sorted_pos = bs.starts[jnp.clip(gid_j, 0)] + o
-        brow = bs.perm[jnp.clip(brow_sorted_pos, 0, bs.batch.capacity - 1)]
-        brow = jnp.where(has_match, brow, 0)
+
+        bcap = bs.batch.capacity
+        if cap < (1 << 27) and bcap < (1 << 26) and T < (1 << 26):
+            # packed geometry: ONE i64 scatter + ONE cummax recovers
+            # (r, brow) per slot with zero gathers
+            delta = jnp.where(
+                cnt > 0,
+                (start - offsets + _GBIAS + 2).astype(jnp.int64),
+                jnp.int64(_GSENT))
+            packv = (iota_c.astype(jnp.int64) << 28) | delta
+            A = jnp.full((T,), -1, jnp.int64).at[spos].max(
+                packv, mode="drop", unique_indices=True)
+            c = jax.lax.cummax(A)
+            valid_j = (jidx < total) & (c >= 0)
+            r = jnp.clip((c >> 28).astype(jnp.int32), 0, cap - 1)
+            db = (c & jnp.int64((1 << 28) - 1)).astype(jnp.int32)
+            has_match = valid_j & (db != _GSENT)
+            brow_sorted = jidx + (db - (_GBIAS + 2))
+            brow_sorted = jnp.where(has_match,
+                                    jnp.clip(brow_sorted, 0, bcap - 1), 0)
+            # first slot of each probe row (o == 0) without a gather:
+            # the row id changes at the slot boundary
+            prev_r = jnp.concatenate([jnp.full((1,), -1, r.dtype), r[:-1]])
+            o = jnp.where(r != prev_r, 0, 1)  # consumers only test o == 0
+        else:
+            A = jnp.full((T,), -1, dtype=jnp.int32).at[spos].max(
+                iota_c, mode="drop", unique_indices=True)
+            B = jnp.full((T,), -1, dtype=jnp.int32).at[spos].max(
+                offsets.astype(jnp.int32), mode="drop",
+                unique_indices=True)
+            from .segment import running_scan
+            r_of_j = running_scan(A, jnp.maximum, -1)
+            start_of_j = running_scan(B, jnp.maximum, -1)
+            valid_j = (jidx < total) & (r_of_j >= 0)
+            r = jnp.clip(r_of_j, 0)
+            o = jidx - start_of_j
+            has_match = valid_j & (cnt[r] > 0) & (o < cnt[r])
+            brow_sorted = jnp.clip(start[r] + o, 0, bcap - 1)
+            brow_sorted = jnp.where(has_match, brow_sorted, 0)
 
         pass_ = has_match
         if self.residual is not None:
             pass_ = has_match & self._residual_pass(
-                bs, left, r, brow, has_match, total)
-        return r, o, brow, has_match, valid_j, pass_, total, overflow
+                bs, left, r, brow_sorted, has_match, total)
+        return r, o, brow_sorted, has_match, valid_j, pass_, total, \
+            overflow
 
-    def _residual_pass(self, bs: BuildState, left: Batch, r, brow,
+    def _residual_pass(self, bs: BuildState, left: Batch, r, brow_sorted,
                        has_match, total) -> jax.Array:
         """Evaluate the residual filter on the materialized pairs; null
         results count as false (Arrow filter-null semantics)."""
         from ..compute.expressions import execute_scalar_expression
         from ..compute.scalar import Scalar
         T = r.shape[0]
+        bcap = bs.batch.capacity
+        brow = bs.perm[jnp.clip(brow_sorted, 0, bcap - 1)]
         left_idx = Array(dt.int32, r, None, length=total)
-        right_idx = Array(dt.int32, brow, None, length=total)
+        right_idx = Array(dt.int32, jnp.clip(brow, 0, bcap - 1), None,
+                          length=total)
         lgrow = -(-T // max(left.capacity, 1))
-        rgrow = -(-T // max(bs.batch.capacity, 1))
+        rgrow = -(-T // max(bcap, 1))
         fields = []
         arrays = []
         for n in self._resid_left:
@@ -438,58 +682,91 @@ class HashJoin:
             pv = pv & res.validity
         return pv
 
-    def _pass_any(self, bs: BuildState, left: Batch, gids, cnt,
+    def _pass_any(self, bs: BuildState, left: Batch, start, cnt,
                   fanout_capacity):
         """(probe row -> any pair passes the residual filter, overflow)."""
         cap = left.capacity
         r, o, brow, has_match, valid_j, pass_, total, overflow = \
-            self._pair_geometry(bs, left, gids, cnt, fanout_capacity,
+            self._pair_geometry(bs, left, start, cnt, fanout_capacity,
                                 emit_unmatched_probe=False)
         pass_any = jnp.zeros((cap,), jnp.bool_).at[
             jnp.where(pass_, r, cap)].max(
             jnp.ones_like(r, dtype=jnp.bool_), mode="drop")
         return pass_any, overflow
 
-    def _update_matched_residual(self, bs: BuildState, left: Batch, gids,
+    def _update_matched_residual(self, bs: BuildState, left: Batch, start,
                                  cnt, fanout_capacity) -> BuildState:
         """Per-pair matched update: with a residual filter a build ROW is
         matched only if one of its own pairs passed (group-level hit
-        tracking is not enough)."""
+        tracking is not enough). Matched bits live in SORTED space."""
         r, o, brow, has_match, valid_j, pass_, total, overflow = \
-            self._pair_geometry(bs, left, gids, cnt, fanout_capacity,
+            self._pair_geometry(bs, left, start, cnt, fanout_capacity,
                                 emit_unmatched_probe=False)
         bcap = bs.batch.capacity
         matched = bs.matched.at[jnp.where(pass_, brow, bcap)].max(
             jnp.ones_like(brow, dtype=jnp.bool_), mode="drop")
-        return bs._with_matched(matched, overflow)
+        return bs._replace(matched=matched, error=bs.error | overflow)
 
-    def _expand(self, bs: BuildState, left: Batch, gids, cnt,
-                fanout_capacity, emit_unmatched_probe: bool,
-                update_matched: bool):
-        cap = left.capacity
-        r, o, brow, has_match, valid_j, pass_, total, overflow = \
-            self._pair_geometry(bs, left, gids, cnt, fanout_capacity,
-                                emit_unmatched_probe)
-        error = bs.error | overflow
-
-        # gather output columns; fanout repeats rows, so varlen pools
-        # scale by ceil(T / source capacity) (see take_array grow)
+    # ------------------------------------------------------------------
+    def _materialize(self, bs: BuildState, left: Batch, r, brow_sorted,
+                     bvalid, total) -> Batch:
+        """Gather output columns: ONE packed row-gather per side for the
+        plane-packable columns; per-column takes for the rest."""
         T = r.shape[0]
-        arrays = []
+        cap = left.capacity
+        bcap = bs.batch.capacity
+        cols = {}
+
+        if self._lpack:
+            lmat, lspec = pack_columns(
+                [left.column(n) for n in self._lpack])
+            got = lmat[r]                     # (T, WL) row-gather
+            dicts = [left.column(n).dictionary for n in self._lpack]
+            for n, a in zip(self._lpack, unpack_columns(
+                    got, lspec, total, dictionaries=dicts)):
+                cols[("l", n)] = a
+        if self._rpack and bs.payload_mat is not None:
+            from .planes import pack_spec
+            rspec = pack_spec([bs.batch.column(n) for n in self._rpack])
+            got = bs.payload_mat[brow_sorted]  # (T, WR) row-gather
+            dicts = [bs.batch.column(n).dictionary for n in self._rpack]
+            for n, a in zip(self._rpack, unpack_columns(
+                    got, rspec, total, dictionaries=dicts,
+                    extra_valid=bvalid)):
+                cols[("r", n)] = a
+
         left_idx = Array(dt.int32, r, None, length=total)
         lgrow = -(-T // max(cap, 1))
         for n in self.left_out:
-            a = take_array(left.column(n), left_idx, grow=lgrow)
-            arrays.append(a)
-        bvalid = pass_
-        right_idx = Array(dt.int32, brow, None, length=total)
-        rgrow = -(-T // max(bs.batch.capacity, 1))
-        for n in self.right_out:
-            a = take_array(bs.batch.column(n), right_idx, grow=rgrow)
-            v = a.validity
-            v = bvalid if v is None else (v & bvalid)
-            arrays.append(a.with_validity(v))
-        out = Batch(self.out_schema, arrays, total)
+            if ("l", n) in cols:
+                continue
+            cols[("l", n)] = take_array(left.column(n), left_idx,
+                                        grow=lgrow)
+        if any(("r", n) not in cols for n in self.right_out):
+            brow = bs.perm[jnp.clip(brow_sorted, 0, bcap - 1)]
+            right_idx = Array(dt.int32, jnp.clip(brow, 0, bcap - 1), None,
+                              length=total)
+            rgrow = -(-T // max(bcap, 1))
+            for n in self.right_out:
+                if ("r", n) in cols:
+                    continue
+                a = take_array(bs.batch.column(n), right_idx, grow=rgrow)
+                v = a.validity
+                v = bvalid if v is None else (v & bvalid)
+                cols[("r", n)] = a.with_validity(v)
+        arrays = [cols[("l", n)] for n in self.left_out] + \
+            [cols[("r", n)] for n in self.right_out]
+        return Batch(self.out_schema, arrays, total)
+
+    def _expand(self, bs: BuildState, left: Batch, start, cnt,
+                fanout_capacity, emit_unmatched_probe: bool,
+                update_matched: bool):
+        cap = left.capacity
+        r, o, brow_sorted, has_match, valid_j, pass_, total, overflow = \
+            self._pair_geometry(bs, left, start, cnt, fanout_capacity,
+                                emit_unmatched_probe)
+        error = bs.error | overflow
+        out = self._materialize(bs, left, r, brow_sorted, pass_, total)
 
         if self.residual is not None:
             # drop pairs the filter rejected; probe rows whose every pair
@@ -507,9 +784,10 @@ class HashJoin:
 
         if update_matched:
             bcap = bs.batch.capacity
-            matched = bs.matched.at[jnp.where(pass_, brow, bcap)].max(
-                jnp.ones_like(brow, dtype=jnp.bool_), mode="drop")
-            bs = bs._with_matched(matched, overflow)
+            matched = bs.matched.at[jnp.where(pass_, brow_sorted,
+                                              bcap)].max(
+                jnp.ones_like(brow_sorted, dtype=jnp.bool_), mode="drop")
+            bs = bs._replace(matched=matched, error=error)
         else:
             bs = bs._with_error(overflow)
         return out, bs
@@ -519,12 +797,20 @@ class HashJoin:
         """Emit trailing rows for right-side join types."""
         jt = self.join_type
         if jt in ("right outer", "full outer", "right semi", "right anti"):
+            cap = bs.batch.capacity
+            G = self.max_build_rows
+            # matched bits: per-pair (sorted space) -> original rows,
+            # plus group-level seg hits
+            m_orig = jnp.zeros((cap,), jnp.bool_).at[bs.perm].set(
+                bs.matched, mode="drop", unique_indices=True)
+            seg_hit = jnp.where(
+                bs.bsegs >= 0,
+                bs.matched_seg[jnp.clip(bs.bsegs, 0, G - 1)], False)
+            matched = m_orig | seg_hit
             if jt == "right semi":
-                sel = bs.matched
-            elif jt == "right anti":
-                sel = ~bs.matched & row_mask(bs.batch.capacity, bs.num_rows)
+                sel = matched
             else:
-                sel = ~bs.matched & row_mask(bs.batch.capacity, bs.num_rows)
+                sel = ~matched & row_mask(cap, bs.num_rows)
             picked = filter_batch(
                 bs.batch, Array(dt.bool_, sel, None, length=bs.num_rows))
             arrays = []
@@ -532,10 +818,6 @@ class HashJoin:
             for n in self.left_out:
                 f = self.left_schema.field(n)
                 t = f.type
-                vals = jnp.zeros((picked.capacity,) +
-                                 (() if not t.is_varlen else ()),
-                                 dtype=t.storage_np) if not t.is_varlen \
-                    else None
                 if t.is_varlen:
                     arrays.append(Array(
                         t, jnp.zeros((16,), jnp.uint8),
@@ -544,7 +826,9 @@ class HashJoin:
                         length=n_out))
                 else:
                     arrays.append(Array(
-                        t, vals, jnp.zeros((picked.capacity,), jnp.bool_),
+                        t, jnp.zeros((picked.capacity,),
+                                     dtype=t.storage_np),
+                        jnp.zeros((picked.capacity,), jnp.bool_),
                         length=n_out))
             for n in self.right_out:
                 arrays.append(picked.column(n))

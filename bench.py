@@ -292,6 +292,13 @@ def bench_join(dev):
     while fanout < int(np_ * 0.6):
         fanout *= 2
 
+    # the same routing HashJoinNode applies: ONE host fetch of the build's
+    # packed-key eligibility picks the single-key packed probe
+    bs0 = jax.jit(hj.build)(right)
+    bits = int(np.asarray(jax.device_get(bs0.pack_bits)))
+    impl = "packed" if (bits <= 30 and hj.packed_eligible()
+                        and right.capacity < (1 << 26)) else "sort"
+
     @jax.jit
     def run(s, l, r):
         bs = hj.build(r)
@@ -300,7 +307,7 @@ def bench_join(dev):
             pv = l.column("pv").values + (s + i).astype(jnp.float32) * 1e-6
             l2 = l.set_column("pv", at.Array(at.float32, pv, None,
                                              length=np_))
-            out, _ = hj.probe(bs, l2, fanout_capacity=fanout)
+            out, _ = hj.probe(bs, l2, fanout_capacity=fanout, impl=impl)
             acc = acc + out.column("bv").values[::65537].sum()
             return acc + out.length.astype(jnp.float32)
         return lax.fori_loop(0, K, body, jnp.float32(0))

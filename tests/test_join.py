@@ -366,3 +366,49 @@ def test_join_grace_spill_oracle(rng, join_type):
     expected = oracle_join(left, right, join_type, ["k"], ["k"])
     got = got.rename_columns(expected.schema.names)
     assert_join_equal(got, expected, msg=f"grace {join_type}")
+
+
+# ---- packed single-key probe vs generic multi-lane probe ------------------
+
+@pytest.mark.parametrize("join_type", JOIN_TYPES)
+def test_join_packed_vs_sort_impl(rng, join_type):
+    """The round-4 packed single-key probe (ops/join.py
+    _probe_spans_packed) must agree with the generic multi-lane find for
+    every join type, including duplicate build keys and nulls."""
+    import jax
+    from arrow_tpu.acero.options import HashJoinNodeOptions
+    from arrow_tpu.ops.join import HashJoin
+    left, right = make_tables(rng, nl=700, nr=300, kmax=60, null_prob=0.15)
+    lb = at.Batch.from_pyarrow(left.combine_chunks().to_batches()[0])
+    rb = at.Batch.from_pyarrow(right.combine_chunks().to_batches()[0])
+    hj = HashJoin(lb.schema, rb.schema, HashJoinNodeOptions(
+        join_type, ["k"], ["k"], max_build_rows=1 << 10,
+        output_suffix_for_left="_l", output_suffix_for_right="_r"))
+    bs = jax.jit(hj.build)(rb)
+    assert int(jax.device_get(bs.pack_bits)) <= 30
+    outs = {}
+    for impl in ("packed", "sort"):
+        out, bs2 = hj.probe(bs, lb, 1 << 13, impl)
+        rows = []
+        if out is not None:
+            rows += list(zip(*out.to_pyarrow().to_pydict().values()))
+        tail = hj.finish(bs2)
+        if tail is not None:
+            rows += list(zip(*tail.to_pyarrow().to_pydict().values()))
+        outs[impl] = sorted(rows, key=lambda r: tuple(
+            (v is None, v) for v in r))
+    assert outs["packed"] == outs["sort"], join_type
+
+
+def test_join_unpackable_keys_fall_back(rng):
+    """Keys whose lane ranges exceed 30 bits must route to the generic
+    probe and still match the oracle."""
+    nl, nr = 400, 150
+    lk = rng.integers(-1 << 60, 1 << 60, nl)
+    rk = np.concatenate([lk[:50], rng.integers(-1 << 60, 1 << 60, nr - 50)])
+    left = pa.table({"k": pa.array(lk), "lv": pa.array(np.arange(nl))})
+    right = pa.table({"k": pa.array(rk), "rv": pa.array(np.arange(nr))})
+    got = run_join(left, right, "inner", ["k"], ["k"],
+                   output_suffix_for_left="_l", output_suffix_for_right="_r")
+    expected = oracle_join(left, right, "inner", ["k"], ["k"])
+    assert_join_equal(got.rename_columns(expected.schema.names), expected)

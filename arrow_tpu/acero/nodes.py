@@ -247,6 +247,64 @@ def compact_scalars(b: Batch) -> list:
     return acc
 
 
+def _current_dims(a: Array, acc: list) -> None:
+    """Current capacities matching ``_usage_scalars`` traversal order."""
+    t = a.type
+    if t.is_varlen:
+        acc.append(a.values.shape[0])
+    elif isinstance(t, dt.ListType):
+        acc.append(a.dictionary.capacity)
+        _current_dims(a.dictionary, acc)
+    elif isinstance(t, dt.StructType):
+        for c in (a.children or ()):
+            _current_dims(c, acc)
+
+
+def compact_ratcheted(b: Batch, vals: list, ratchet: Optional[list]):
+    """Targeted compaction with MONOTONE capacity targets.
+
+    ``vals`` = fetched ``compact_scalars``; ``ratchet`` = previous target
+    list (None on first call). Each dimension's target is
+    max(previous target, tight pow2 bucket), clamped to the current
+    capacity — so targets only ever grow, and a steady-state loop (the
+    streaming merge's round-robin) re-uses ONE compiled slice program
+    instead of recompiling per round as leftover sizes oscillate
+    (VERDICT r3 weak #6: a 1K-row string merge spent 310s compiling).
+    Returns (batch, new_ratchet)."""
+    from ..core.interop import pad_capacity
+    if not all(_compact_sliceable(b.column(i).type)
+               for i in range(b.num_columns)):
+        return _compact_take(b), ratchet
+    n = vals[0]
+    tight = [min(pad_capacity(max(n, 1)), b.capacity)]
+    j = 1
+    sub: list = []
+    for i in range(b.num_columns):
+        j, _ = _slice_targets(b.column(i), vals, j, sub)
+    tight += sub
+    cur = [b.capacity]
+    for i in range(b.num_columns):
+        _current_dims(b.column(i), cur)
+    if ratchet is None:
+        ratchet = list(tight)
+    else:
+        ratchet = [max(r, t) for r, t in zip(ratchet, tight)]
+    targets = [min(r, c) for r, c in zip(ratchet, cur)]
+    if targets == cur:
+        return b, ratchet
+    target, rest = targets[0], targets[1:]
+
+    def run(bb: Batch) -> Batch:
+        it = iter(rest)
+        arrays = [_slice_array(bb.column(i), target, it)
+                  for i in range(bb.num_columns)]
+        return Batch(bb.schema, arrays, bb.length)
+
+    fn = cached_stage(("compact_r", b.schema, tuple(cur), tuple(targets)),
+                      lambda: jax.jit(run))
+    return fn(b).with_index(b.index), ratchet
+
+
 def maybe_compact(b: Batch, vals: Optional[list] = None) -> Batch:
     """Shrink a sparsely-filled batch to its capacity bucket — rows AND
     varlen byte pools / list child rows.
@@ -578,7 +636,8 @@ class AggregateNode(ExecNode):
                plan_sig(self.options.aggregates), max_groups)
         self.ha, self._consume, self._finalize = cached_stage(
             key, lambda: (
-                lambda ha: (ha, jax.jit(ha.consume),
+                lambda ha: (ha, jax.jit(ha.consume,
+                                        static_argnums=(3, 4)),
                             jax.jit(ha.finalize)))(
                 HashAggregate(self._in_schema, self.options.keys,
                               self.options.aggregates,
@@ -586,20 +645,34 @@ class AggregateNode(ExecNode):
         self._max_groups = max_groups
         self._key = key
 
-    def _consume_any(self, state, b):
-        """Route one batch: dense-domain fast path when the per-batch
-        probe qualifies (HashAggregate.dense_probe — the GrouperFastImpl
-        analog), else the sort-grouper consume. Mixed streams are safe:
-        both paths fold through the same state."""
+    def _consume_any(self, state, b, first: bool = False):
+        """Route one batch (the GrouperFastImpl-analog dispatch,
+        ``grouper.cc:548``): ONE coalesced device fetch of the key-lane
+        range probe picks dense-domain kernel / range-packed sort keys /
+        generic consume; ``first`` additionally skips the table
+        merge-insert for the stream's first batch. Mixed streams are
+        safe: every path folds through the same state."""
         import os
-        if os.environ.get("ARROW_TPU_DENSE_AGG", "1") != "0":
-            cfg = self.ha.dense_probe(b)
-            if cfg is not None:
-                dkey = self._key + ("dense", cfg["G"])
-                consume_d = cached_stage(dkey, lambda: jax.jit(
-                    self.ha.consume_dense, static_argnums=(3,)))
-                return consume_d(state, b, np.int64(cfg["lo"]), cfg["G"])
-        return self._consume(state, b)
+        route = ("generic", None)
+        if os.environ.get("ARROW_TPU_DENSE_AGG", "1") != "0" and \
+                (self.ha.dense_static_ok() or b.capacity >= (1 << 20)):
+            pkey = self._key + ("probe", b.capacity)
+            probe_j = cached_stage(
+                pkey, lambda: jax.jit(self.ha.probe_scalars))
+            vals = jax.device_get(probe_j(b))
+            route = self.ha.probe_route(b, vals)
+        kind, params = route
+        if kind == "dense":
+            dkey = self._key + ("dense", params["G"])
+            consume_d = cached_stage(dkey, lambda: jax.jit(
+                self.ha.consume_dense, static_argnums=(3,)))
+            return consume_d(state, b, np.int64(params["lo"]),
+                             params["G"])
+        if kind == "packed":
+            lo, shift, outmap, K, fold = params
+            return self._consume(state, b, (lo, shift, outmap),
+                                 (K, fold), first)
+        return self._consume(state, b, None, None, first)
 
     def output_schema(self) -> Schema:
         if self.ha is not None:
@@ -634,8 +707,10 @@ class AggregateNode(ExecNode):
             kept: Optional[list] = []
             kept_bytes = 0
             state = self.ha.init_state()
+            first = True
             for b in materialized_stream(self.inputs[0]):
-                state = self._consume_any(state, b)
+                state = self._consume_any(state, b, first=first)
+                first = False
                 if kept is not None:
                     kept.append(b)
                     kept_bytes += batch_device_bytes(b)
@@ -646,8 +721,10 @@ class AggregateNode(ExecNode):
                     self._max_groups * 2 <= (1 << 26):
                 self._make_agg_stages(self._max_groups * 2)
                 state = self.ha.init_state()
+                first = True
                 for b in kept:
-                    state = self._consume_any(state, b)
+                    state = self._consume_any(state, b, first=first)
+                    first = False
                 err = int(np.asarray(jax.device_get(state[0].error)))
             if err:
                 raise RuntimeError(
@@ -1442,6 +1519,7 @@ def streaming_sorted_merge(iters, schema: Schema, sort_keys,
             arrays.append(a)
         carry = Batch(schema, arrays, carry.length)
     out_i = 0
+    carry_ratchet = None
     while not long_strings:
         alive = [i for i in range(k) if tails[i] is not None]
         if not alive:
@@ -1452,10 +1530,19 @@ def streaming_sorted_merge(iters, schema: Schema, sort_keys,
                            lambda: jax.jit(make_round()))
         emit, carry = rnd(bound, carry, *pending)
         pending = []
-        if int(np.asarray(jax.device_get(emit.length))):
-            yield maybe_compact(emit.with_index(out_i))
+        # ONE coalesced fetch per round: emit length + emit/carry
+        # compaction scalars (each device_get costs a tunnel RTT)
+        e_scal = compact_scalars(emit)
+        c_scal = compact_scalars(carry)
+        vals = [int(np.asarray(v)) for v in jax.device_get(
+            e_scal + c_scal)]
+        ev, cv = vals[:len(e_scal)], vals[len(e_scal):]
+        if ev[0]:
+            yield maybe_compact(emit.with_index(out_i), vals=ev)
             out_i += 1
-        carry = maybe_compact(carry)
+        # ratcheted targets keep the carry capacity STABLE across rounds
+        # so the round program compiles once, not once per leftover size
+        carry, carry_ratchet = compact_ratcheted(carry, cv, carry_ratchet)
         pull(min(alive, key=lambda i: tuple(tails[i])))
     if long_strings:
         # exact fallback for over-budget strings: everything not yet

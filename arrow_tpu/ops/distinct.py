@@ -63,9 +63,13 @@ class SortGroup(NamedTuple):
     num_unique: jax.Array
 
 
+_FOLD_SENTINEL = np.uint32(0xFFFFFFFF)
+
+
 def sort_group(lanes: jax.Array, active: jax.Array,
                rep_capacity: Optional[int] = None,
-               payloads: Tuple[jax.Array, ...] = ()):
+               payloads: Tuple[jax.Array, ...] = (),
+               folded: bool = False, need_codes: bool = True):
     """Returns (SortGroup, sorted_payloads).
 
     `rep_capacity` bounds the per-distinct-key bookkeeping arrays
@@ -78,23 +82,42 @@ def sort_group(lanes: jax.Array, active: jax.Array,
     `payloads` ride the ONE variadic sort as extra operands — aggregate
     input columns arrive already key-grouped with no post-sort random
     gathers (TPU gathers at engine sizes cost a large fraction of the
-    sort itself)."""
+    sort itself).
+
+    `folded=True`: the caller already wrote 0xFFFFFFFF into lane 0 of
+    every inactive row AND guarantees real lane-0 values never reach the
+    sentinel (range-packed lanes, ops/grouper packed consume). The
+    separate inactive key operand is dropped — sort KEY count is what
+    lax.sort cost scales with on v5e (tools/probe_prims.py round 4).
+
+    `need_codes=False` skips the per-ORIGINAL-row group-id scatter
+    (codes=None in the result) — a full capacity-sized scatter that
+    segment-reduction consumers (ops/segment via head/seg/perm) never
+    read."""
     cap, L = lanes.shape
     R = min(rep_capacity, cap) if rep_capacity else cap
-    inactive = (~active).astype(jnp.uint32)
     iota = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0).reshape((cap,))
-    ops = [inactive] + [lanes[:, j] for j in range(L)] + [iota] + \
-        list(payloads)
     # UNSTABLE sort: stability costs about one extra key lane of sort
     # time on TPU; the only consumer of intra-run order was the
     # first-appearance rank, recovered below with one packed cummax
     # (ops/segment.segmented_carry_last's trick)
-    out = jax.lax.sort(ops, num_keys=L + 1, is_stable=False)
-    s_inactive = out[0]
-    s_lane_cols = out[1:1 + L]
-    perm = out[1 + L]
-    s_payloads = tuple(out[2 + L:])
-    s_active = s_inactive == 0
+    if folded:
+        ops = [lanes[:, j] for j in range(L)] + [iota] + list(payloads)
+        out = jax.lax.sort(ops, num_keys=L, is_stable=False)
+        s_lane_cols = out[:L]
+        perm = out[L]
+        s_payloads = tuple(out[1 + L:])
+        s_active = s_lane_cols[0] != _FOLD_SENTINEL
+    else:
+        inactive = (~active).astype(jnp.uint32)
+        ops = [inactive] + [lanes[:, j] for j in range(L)] + [iota] + \
+            list(payloads)
+        out = jax.lax.sort(ops, num_keys=L + 1, is_stable=False)
+        s_inactive = out[0]
+        s_lane_cols = out[1:1 + L]
+        perm = out[1 + L]
+        s_payloads = tuple(out[2 + L:])
+        s_active = s_inactive == 0
     prev_diff = s_lane_cols[0][1:] != s_lane_cols[0][:-1]
     for c in s_lane_cols[1:]:
         prev_diff = prev_diff | (c[1:] != c[:-1])
@@ -131,10 +154,13 @@ def sort_group(lanes: jax.Array, active: jax.Array,
     gid_of_seg = jnp.zeros((R,), dtype=jnp.int32).at[order].set(
         ridx, unique_indices=True)
     unique_rows = rep[order]
-    codes_sorted = gid_of_seg[jnp.clip(seg, 0, R - 1)]
-    codes = jnp.zeros((cap,), dtype=jnp.int32).at[perm].set(
-        codes_sorted, unique_indices=True)
-    codes = jnp.where(active, codes, jnp.int32(-1))
+    if need_codes:
+        codes_sorted = gid_of_seg[jnp.clip(seg, 0, R - 1)]
+        codes = jnp.zeros((cap,), dtype=jnp.int32).at[perm].set(
+            codes_sorted, unique_indices=True)
+        codes = jnp.where(active, codes, jnp.int32(-1))
+    else:
+        codes = None
     head_pos = head_pos_of_seg[order]
     g = SortGroup(perm, s_active, head, seg, codes, gid_of_seg, order,
                   unique_rows, head_pos, head_pos_of_seg, n_active,

@@ -253,10 +253,25 @@ class Grouper:
 
     def consume_with_group(self, state: GrouperState,
                            keys: Sequence[Array], length=None, active=None,
-                           payloads=()):
+                           payloads=(), pack=None, first: bool = False,
+                           need_codes: bool = True):
         """Like consume, but also returns (rep_gids, SortGroup) so callers
         can run segment-reduction aggregation over the sorted batch
-        (ops/segment) instead of row scatters."""
+        (ops/segment) instead of row scatters.
+
+        ``pack``: optional (lo, shift, outmap, K) range-packing of the L
+        key lanes into K < L sort lanes (lo/shift/outmap are DYNAMIC
+        (L,)-arrays — no recompile when the key ranges shift; K is
+        static). Valid only when the caller verified the per-bin bit
+        totals fit 30 bits on the host (AggregateNode probe). The
+        persistent table always stores the ORIGINAL lanes, so packing is
+        purely a per-batch sort-key reduction — sort cost scales with
+        KEY operand count on v5e (tools/probe_prims.py).
+
+        ``first``: the state is known empty — the batch-local
+        first-appearance ids ARE the persistent gids and the (S+R)-row
+        merge-insert sort is skipped entirely; the lane-sorted table
+        builds directly from this batch's sort."""
         cap = keys[0].capacity
         if length is None:
             length = keys[0].length
@@ -265,7 +280,9 @@ class Grouper:
         if active is not None:
             in_range = in_range & active
         return self.consume_lanes_grouped(state, lanes, in_range,
-                                          payloads=payloads)
+                                          payloads=payloads, pack=pack,
+                                          first=first,
+                                          need_codes=need_codes)
 
     def _consume_lanes(self, state: GrouperState, lanes: jax.Array,
                        active: jax.Array
@@ -282,22 +299,73 @@ class Grouper:
         return state, row_gids
 
     def consume_lanes_grouped(self, state: GrouperState, lanes: jax.Array,
-                              active: jax.Array, payloads=()):
+                              active: jax.Array, payloads=(), pack=None,
+                              first: bool = False,
+                              need_codes: bool = True):
         """(new_state, rep_gids (R,), SortGroup, sorted_payloads) —
         rep_gids maps the batch-local first-appearance ids to persistent
         group ids; payloads ride the one variadic sort (see
-        distinct.sort_group)."""
-        from .distinct import sort_group
+        distinct.sort_group). See ``consume_with_group`` for
+        pack/first/need_codes."""
+        from .distinct import _FOLD_SENTINEL, sort_group
         cap, L = lanes.shape
         R = min(cap, self.table_size)
-        g, s_payloads = sort_group(lanes, active, rep_capacity=R,
-                                   payloads=payloads)
-        rep_rows = jnp.clip(g.unique_rows[:R], 0, cap - 1)
+        folded = False
+        if pack is not None:
+            lo, shift, outmap, K, fold = pack
+            cols = []
+            for k in range(K):
+                pk = jnp.zeros((cap,), jnp.uint32)
+                for j in range(L):
+                    d = lanes[:, j] - lo[j]
+                    pk = pk | jnp.where(outmap[j] == k,
+                                        jnp.left_shift(d, shift[j]),
+                                        jnp.uint32(0))
+                cols.append(pk)
+            if fold:
+                cols[0] = jnp.where(active, cols[0],
+                                    jnp.uint32(_FOLD_SENTINEL))
+            sort_lanes = jnp.stack(cols, axis=1)
+            folded = bool(fold)
+        else:
+            sort_lanes = lanes
+        # the ORIGINAL lanes ride the sort as trailing payloads: the rep
+        # table rows come back via one unique scatter instead of an
+        # R x L random gather
+        extras = tuple(lanes[:, j] for j in range(L))
+        g, s_payloads = sort_group(sort_lanes, active, rep_capacity=R,
+                                   payloads=tuple(payloads) + extras,
+                                   folded=folded, need_codes=need_codes)
+        s_lane_cols = s_payloads[len(payloads):]
+        s_payloads = s_payloads[:len(payloads)]
         ridx = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0).reshape((R,))
         rep_active = ridx < jnp.minimum(g.num_unique, R)
-        rep_lanes = lanes[rep_rows]
-        new_state, rep_gids = self._consume_lanes_table(state, rep_lanes,
-                                                        rep_active)
+        # rep lanes in first-appearance (gid) order via one unique scatter
+        segc = jnp.clip(g.seg, 0, R - 1)
+        rep_pos = jnp.where(g.head & (g.seg < R),
+                            g.gid_of_seg[segc], R)
+        rep_lanes = jnp.zeros((R, L), jnp.uint32).at[rep_pos].set(
+            jnp.stack(list(s_lane_cols), axis=1), mode="drop",
+            unique_indices=True)
+        if first:
+            S = self.table_size
+            rep_gids = jnp.where(rep_active, ridx, jnp.int32(-1))
+            # lane-sorted table directly from this batch's sort
+            tab_pos = jnp.where(g.head & (g.seg < S), g.seg, S)
+            table_lanes = jnp.zeros((S, L), jnp.uint32).at[tab_pos].set(
+                jnp.stack(list(s_lane_cols), axis=1), mode="drop",
+                unique_indices=True)
+            gid_pad = jnp.full((S,), -1, jnp.int32).at[:R].set(
+                jnp.where(ridx < g.num_unique, g.gid_of_seg,
+                          jnp.int32(-1)))
+            num_groups = jnp.minimum(g.num_unique, R)
+            error = state.error | jnp.where(
+                g.num_unique > self.max_groups, 1, 0).astype(jnp.int32)
+            new_state = GrouperState(table_lanes, gid_pad, num_groups,
+                                     error)
+        else:
+            new_state, rep_gids = self._consume_lanes_table(
+                state, rep_lanes, rep_active)
         overflow = jnp.where(g.num_unique > R, 4, 0).astype(jnp.int32)
         new_state = GrouperState(new_state.table_lanes, new_state.table_gid,
                                  new_state.num_groups,

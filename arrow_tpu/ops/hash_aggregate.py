@@ -138,12 +138,23 @@ class HashAggregate:
         uniques = None
         return (grouper_state, agg_states, uniques)
 
-    def consume(self, state, batch: Batch):
+    def consume(self, state, batch: Batch, pack_arrays=None,
+                pack_static=None, first: bool = False):
         """One fused pass: sort-group the batch by key (one lexsort), run
         the grouper table over the unique reps, then segment-reduce every
         aggregate (ops/segment) — the only row-granularity op is the sort;
-        all scatters write one element per distinct group."""
+        all scatters write one element per distinct group.
+
+        ``pack_arrays`` (dynamic (lo, shift, outmap)) + ``pack_static``
+        (static (K, fold)): per-batch sort-key range packing;
+        ``first``: the empty-state fast path (skips the merge-insert
+        table sort). Both host-routed by AggregateNode (and bench) via
+        ``probe_route``. Callers jitting this mark args 3 and 4 static."""
         from .segment import make_segment_context
+        pack = None
+        if pack_arrays is not None:
+            pack = (pack_arrays[0], pack_arrays[1], pack_arrays[2],
+                    pack_static[0], pack_static[1])
         grouper_state, agg_states, uniques = state
         key_cols = [batch.column(k) for k in self.keys]
         # aggregate input columns ride the grouping sort as payloads —
@@ -163,10 +174,17 @@ class HashAggregate:
             payloads.append(col.values)
             if col.validity is not None:
                 payloads.append(col.validity)
+        # the per-row group-id scatter (codes) is only needed by
+        # aggregators without a segment-consume override
+        from .aggregates import GroupedAggregator
+        need_codes = any(
+            type(a).consume_grouped is GroupedAggregator.consume_grouped
+            for a in self._aggregators)
         grouper_state, rep_gids, g, s_payloads = \
             self.grouper.consume_with_group(
                 grouper_state, key_cols, length=batch.length,
-                payloads=tuple(payloads))
+                payloads=tuple(payloads), pack=pack, first=first,
+                need_codes=need_codes)
         sorted_cols = {}
         it = iter(s_payloads)
         for key, has_valid in payload_plan:
@@ -202,36 +220,110 @@ class HashAggregate:
     DENSE_CAP = 4096          # max dense slots: kernel work is O(n*G)
     _DENSE_FNS = {"count", "count_all", "sum", "mean", "min", "max"}
 
-    def dense_probe(self, batch: Batch):
-        """Host-side eligibility probe (one tiny device sync). Returns
-        {"lo": int, "G": int} when ``consume_dense`` applies to this
-        batch, else None. Callers (AggregateNode, bench) probe per batch;
-        mixed-path streams stay correct via merge_rows."""
+    def dense_static_ok(self) -> bool:
+        """Static (schema-level) eligibility for the dense-domain kernel."""
         if len(self.keys) != 1:
-            return None
+            return False
         f = self.in_schema.field(self.keys[0])
         if not f.type.is_integer:
-            return None
+            return False
         for agg in self._aggregators:
             if agg.name not in self._DENSE_FNS:
-                return None
+                return False
             if agg.name in ("sum", "mean", "min", "max"):
                 it = agg.in_type
                 if it is None or not (it.is_floating
                                       and it.bit_width == 32):
-                    return None
-        key = batch.column(self.keys[0])
-        lo, hi = jax.device_get(_probe_key_domain(key))
-        lo, hi = int(lo), int(hi)
-        if hi < lo:
-            return None     # no active rows
-        needed = (hi - lo + 1) + (1 if key.validity is not None else 0)
-        if needed > min(self.DENSE_CAP, self.max_groups):
-            return None
-        G = 128
-        while G < needed:
-            G *= 2
-        return {"lo": lo, "G": G}
+                    return False
+        return True
+
+    def probe_scalars(self, batch: Batch):
+        """Device scalars for the host routing decision, fetched in ONE
+        device_get by the caller: per-lane (lo, span) windows of the
+        normalized key lanes (tighter of the unsigned/signed window, as
+        in ops/join build-side packing) + the dense key domain when the
+        dense kernel is statically eligible."""
+        from ..core.array import row_mask
+        from .grouper import group_key_lanes
+        key_cols = [batch.column(k) for k in self.keys]
+        lanes = group_key_lanes(key_cols, self.grouper.key_nullable)
+        cap = batch.capacity
+        act = row_mask(cap, batch.length)
+        act2 = act[:, None]
+        BIGU = jnp.uint32(0xFFFFFFFF)
+        lo_u = jnp.min(jnp.where(act2, lanes, BIGU), axis=0)
+        hi_u = jnp.max(jnp.where(act2, lanes, jnp.uint32(0)), axis=0)
+        span_u = hi_u - lo_u
+        lanes_i = lanes.view(jnp.int32)
+        lo_i = jnp.min(jnp.where(act2, lanes_i, jnp.int32(2**31 - 1)),
+                       axis=0)
+        hi_i = jnp.max(jnp.where(act2, lanes_i, jnp.int32(-2**31)),
+                       axis=0)
+        span_i = hi_i.view(jnp.uint32) - lo_i.view(jnp.uint32)
+        use_i = span_i < span_u
+        out = {"lo": jnp.where(use_i, lo_i.view(jnp.uint32), lo_u),
+               "span": jnp.minimum(span_i, span_u)}
+        if self.dense_static_ok():
+            dlo, dhi = _probe_key_domain(key_cols[0])
+            out["dlo"], out["dhi"] = dlo, dhi
+        return out
+
+    def probe_route(self, batch: Batch, vals):
+        """Host routing from fetched ``probe_scalars``: ("dense", cfg) |
+        ("packed", params) | ("generic", None). ``params`` =
+        (lo, shift, outmap, K): dynamic arrays + a static sort-lane
+        count — the greedy bin packing puts as many key lanes as fit
+        into 30-bit uint32 sort keys (bin 0 reserves the top value as
+        the folded inactive sentinel, distinct.sort_group)."""
+        import numpy as np
+        if "dlo" in vals:
+            lo, hi = int(vals["dlo"]), int(vals["dhi"])
+            if hi >= lo:
+                key = batch.column(self.keys[0])
+                needed = (hi - lo + 1) + (
+                    1 if key.validity is not None else 0)
+                if needed <= min(self.DENSE_CAP, self.max_groups):
+                    G = 128
+                    while G < needed:
+                        G *= 2
+                    return ("dense", {"lo": lo, "G": G})
+        spans = [int(s) for s in np.asarray(vals["span"])]
+        los = np.asarray(vals["lo"], dtype=np.uint32)
+        L = len(spans)
+        bits = [s.bit_length() for s in spans]
+        # first-fit-decreasing into 32-bit bins
+        order = sorted(range(L), key=lambda j: -bits[j])
+        bin_used: list = []
+        outmap = np.zeros((L,), np.int32)
+        shifts = np.zeros((L,), np.uint32)
+        for j in order:
+            for k in range(len(bin_used)):
+                if bin_used[k] + bits[j] <= 32:
+                    break
+            else:
+                k = len(bin_used)
+                bin_used.append(0)
+            outmap[j] = k
+            shifts[j] = bin_used[k]
+            bin_used[k] += bits[j]
+        K = len(bin_used)
+        # fold the inactive sentinel into a bin with <= 30 used bits
+        # (distinct.sort_group folded mode) by swapping it to bin 0
+        fold = False
+        for k in range(K):
+            if bin_used[k] <= 30:
+                if k != 0:
+                    outmap = np.where(outmap == 0, -1, outmap)
+                    outmap = np.where(outmap == k, 0, outmap)
+                    outmap = np.where(outmap == -1, k, outmap)
+                fold = True
+                break
+        # sort-key count: K packed lanes (+1 inactive key when unfolded)
+        # vs L lanes + 1 inactive key on the generic path
+        if K + (0 if fold else 1) >= L + 1 or K > 2:
+            return ("generic", None)
+        return ("packed", (jnp.asarray(los), jnp.asarray(shifts),
+                           jnp.asarray(outmap.astype(np.int32)), K, fold))
 
     def consume_dense(self, state, batch: Batch, lo, G: int):
         """Dense-domain consume: jit-compatible given static G; ``lo`` is

@@ -85,9 +85,14 @@ def make_segment_context(g: SortGroup, rep_gids: jax.Array,
         in_use,
         gid_global_of_local[jnp.clip(local_of_seg, 0, R - 1)],
         jnp.int32(-1))
-    row_gids = jnp.where(
-        g.codes >= 0,
-        gid_global_of_local[jnp.clip(g.codes, 0, R - 1)], jnp.int32(-1))
+    if g.codes is None:
+        row_gids = None   # no aggregator reads per-row gids (the codes
+        #                   scatter was skipped — sort_group need_codes)
+    else:
+        row_gids = jnp.where(
+            g.codes >= 0,
+            gid_global_of_local[jnp.clip(g.codes, 0, R - 1)],
+            jnp.int32(-1))
     return SegmentContext(g.perm, g.s_active, g.head, g.seg, starts, ends,
                           gid_global, row_gids, g.num_unique,
                           sorted_cols if sorted_cols is not None else {})

@@ -158,10 +158,12 @@ def bench_group_by(dev, distinct):
                         AggregateSpec("min", "v"),
                         AggregateSpec("count_all")],
                        max_groups=max_groups)
-    # same host-side routing AggregateNode._consume_any applies: the
-    # dense-domain fast path when the key-domain probe qualifies
-    # (HashAggregate.dense_probe), else the sort-grouper
-    cfg = ha.dense_probe(batch)
+    # same host-side routing AggregateNode._consume_any applies: ONE
+    # coalesced probe fetch picks dense kernel / range-packed sort keys
+    # / generic; the single-batch stream also takes the first-consume
+    # fast path (no merge-insert table sort)
+    vals = jax.device_get(jax.jit(ha.probe_scalars)(batch))
+    kind, params = ha.probe_route(batch, vals)
 
     @jax.jit
     def run(s, b):
@@ -169,11 +171,16 @@ def bench_group_by(dev, distinct):
             v2 = b.column("v").values + (s + i).astype(jnp.float32) * 1e-6
             b2 = b.set_column("v", at.Array(at.float32, v2, None, length=n))
             state = ha.init_state()
-            if cfg is not None:
-                state = ha.consume_dense(state, b2, np.int64(cfg["lo"]),
-                                         cfg["G"])
+            if kind == "dense":
+                state = ha.consume_dense(state, b2,
+                                         np.int64(params["lo"]),
+                                         params["G"])
+            elif kind == "packed":
+                lo, shift, outmap, Kp, fold = params
+                state = ha.consume(state, b2, (lo, shift, outmap),
+                                   (Kp, fold), True)
             else:
-                state = ha.consume(state, b2)
+                state = ha.consume(state, b2, None, None, True)
             out = ha.finalize(state)
             acc = acc + out.arrays[1].values[::4097].sum().astype(
                 jnp.float32)

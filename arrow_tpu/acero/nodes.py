@@ -1113,8 +1113,8 @@ class HashJoinNode(ExecNode):
         error flag and the packed-key eligibility bits come back in ONE
         coalesced device_get."""
         bs = self._build(build_in)
-        err, bits = (int(np.asarray(v)) for v in
-                     jax.device_get((bs.error, bs.pack_bits)))
+        err, bits, ng, na = (int(np.asarray(v)) for v in jax.device_get(
+            (bs.error, bs.pack_bits, bs.num_groups, bs.num_active)))
         while err:
             g = self.join.options.max_build_rows * 2
             if g > (1 << 27):
@@ -1125,10 +1125,18 @@ class HashJoinNode(ExecNode):
             o2.max_build_rows = g
             self._make_stages(o2)
             bs = self._build(build_in)
-            err, bits = (int(np.asarray(v)) for v in
-                         jax.device_get((bs.error, bs.pack_bits)))
-        impl = "packed" if (bits <= 30 and self.join.packed_eligible()
-                            and build_in.capacity < (1 << 26)) else "sort"
+            err, bits, ng, na = (int(np.asarray(v)) for v in
+                                 jax.device_get(
+                (bs.error, bs.pack_bits, bs.num_groups, bs.num_active)))
+        if bits <= 30 and self.join.packed_eligible() and \
+                build_in.capacity < (1 << 26):
+            # unique build keys (the PK-FK shape) take the compaction
+            # probe — no pair-slot scatters at all
+            impl = "packed_u" if (ng == na and
+                                  self.join.supports_unique_fast()) \
+                else "packed"
+        else:
+            impl = "sort"
         return bs, impl
 
     def _probe_retry(self, bs, b: Batch, fanout, impl="sort"):

@@ -23,17 +23,22 @@ TPU-native redesign, third generation. Primitive costs measured on v5e
   * Probe find — the packed fast path: when the build key's per-lane
     value ranges fit 30 bits total (fetched once at build), every key
     packs into ONE uint32 (plus a build/probe side bit), so the
-    merge-find sort runs single-key at ~350M rows/s. The build rows
-    carry their [start, end) spans as payloads; two packed-cummax
-    segmented broadcasts hand every probe row its span with ZERO
-    gathers; one int64 scatter returns spans to probe-row order. Probe
-    keys outside the build's lane ranges clamp to a miss sentinel (they
-    cannot match). Measured end-to-end 263M rows/s on 20M probe vs 1M
-    build (vs 76.7M for the generic multi-lane path).
+    merge-find sort runs single-key. The build sorts by the packed key
+    (lanes as tiebreakers), so payload-run starts are MONOTONE along
+    the merged order and plain int32 ``cummax`` forward fills hand
+    every probe row its [start, end) span with zero gathers. (64-bit
+    packed-cummax tricks are emulated on v5e and measured ~20x slower
+    — everything here is int32.) Probe keys outside the build's lane
+    ranges clamp to a miss sentinel (they cannot match).
 
-  * Pair expansion: one int64 scatter of (probe row | payload-delta) at
-    each row's output offset + one cummax forward fill — every slot j
-    recovers (r, brow = j + delta) with no gathers.
+  * Unique-build keys (the PK-FK shape, detected at build): fanout <= 1,
+    so pair expansion degenerates to ONE 1-bit-key compaction sort with
+    every output plane riding as payload — no pair-slot scatters at
+    all (``_probe_unique_compact``).
+
+  * General fanout: int32 scatters of (row, offset) at each row's
+    first output slot + cummax forward fills recover (r, brow) per
+    pair slot.
 
   * Materialize: all fixed-width output columns pack into ONE (rows, W)
     uint32 plane matrix per side (ops/planes) and gather by ROW — W
@@ -85,14 +90,15 @@ class BuildState:
 
     __slots__ = ("num_groups", "batch", "starts_seg", "ends_seg",
                  "seg_lanes", "gid_of_seg", "perm", "bsegs",
-                 "matched", "matched_seg", "num_rows", "error",
+                 "matched", "matched_seg", "num_rows", "num_active",
+                 "error",
                  "pack_lo", "pack_span", "pack_shift", "pack_bits",
                  "packed_seg", "payload_mat")
 
     def __init__(self, num_groups, batch, starts_seg, ends_seg, seg_lanes,
                  gid_of_seg, perm, bsegs, matched, matched_seg, num_rows,
-                 error, pack_lo, pack_span, pack_shift, pack_bits,
-                 packed_seg, payload_mat):
+                 num_active, error, pack_lo, pack_span, pack_shift,
+                 pack_bits, packed_seg, payload_mat):
         self.num_groups = num_groups    # int32: distinct build keys
         self.batch = batch
         self.starts_seg = starts_seg    # (G,) run start (sorted space)
@@ -104,6 +110,7 @@ class BuildState:
         self.matched = matched          # (cap,) per-pair hits, SORTED space
         self.matched_seg = matched_seg  # (G,) group-level hits, seg index
         self.num_rows = num_rows
+        self.num_active = num_active    # int32: non-null-key build rows
         self.error = error
         self.pack_lo = pack_lo          # (L,) u32 per-lane min
         self.pack_span = pack_span      # (L,) u32 per-lane (max - min)
@@ -116,8 +123,9 @@ class BuildState:
         return ((self.num_groups, self.batch, self.starts_seg,
                  self.ends_seg, self.seg_lanes, self.gid_of_seg, self.perm,
                  self.bsegs, self.matched, self.matched_seg, self.num_rows,
-                 self.error, self.pack_lo, self.pack_span, self.pack_shift,
-                 self.pack_bits, self.packed_seg, self.payload_mat), None)
+                 self.num_active, self.error, self.pack_lo, self.pack_span,
+                 self.pack_shift, self.pack_bits, self.packed_seg,
+                 self.payload_mat), None)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -267,35 +275,13 @@ class HashJoin:
         L = lanes.shape[1]
         payloads = payloads + tuple(lanes[:, j] for j in range(L))
 
-        g, s_payloads = sort_group(lanes, active, rep_capacity=R,
-                                   payloads=payloads)
-        GG = min(R, G)
-        sidx = jax.lax.broadcasted_iota(jnp.int32, (G, 1), 0).reshape((G,))
-        ridx = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0).reshape((R,))
-        starts_seg = jnp.full((G,), cap, jnp.int32).at[:GG].set(
-            g.head_pos_seg[:GG])
-        nxt = jnp.concatenate([g.head_pos_seg[1:],
-                               jnp.full((1,), cap, jnp.int32)])
-        in_use_r = ridx < g.num_unique
-        ends_r = jnp.where(ridx < g.num_unique - 1, nxt, g.n_active)
-        ends_r = jnp.where(in_use_r, ends_r, g.head_pos_seg)
-        ends_seg = jnp.full((G,), cap, jnp.int32).at[:GG].set(ends_r[:GG])
-
-        # seg-ordered unique key lanes: scatter run-head lanes at seg
-        # (the lanes arrive pre-sorted as the last L sort payloads)
-        s_lanes = jnp.stack(list(s_payloads[WR:WR + L]), axis=1)
-        head_seg = jnp.where(g.head & (g.seg < GG), g.seg, G)
-        seg_lanes = jnp.zeros((G, L), jnp.uint32).at[head_seg].set(
-            s_lanes, mode="drop", unique_indices=True)
-        gid_of_seg = jnp.full((G,), -1, jnp.int32).at[:GG].set(
-            g.gid_of_seg[:GG])
-
-        # packing spec from the build side's own lane ranges. Each lane's
-        # window is measured in BOTH unsigned and signed space and the
-        # tighter one wins: wraparound subtraction (lane - lo mod 2^32)
-        # maps any contiguous window bijectively onto [0, span], so
-        # signed windows (two's-complement int lanes straddling the sign
-        # boundary) pack just as well as unsigned ones.
+        # packing spec BEFORE the sort: the build sorts by the PACKED
+        # key first (lanes as tiebreakers for the unpackable case), so
+        # seg order == packed-key order and the probe's int32 monotone
+        # span fills are valid. Each lane's window is measured in BOTH
+        # unsigned and signed space and the tighter one wins: wraparound
+        # subtraction (lane - lo mod 2^32) maps any contiguous window
+        # bijectively onto [0, span], so signed windows pack too.
         BIGU = jnp.uint32(0xFFFFFFFF)
         act2 = active[:, None]
         lo_u = jnp.min(jnp.where(act2, lanes, BIGU), axis=0)
@@ -315,9 +301,36 @@ class HashJoin:
         rev = jnp.cumsum(bits[::-1])
         shift = jnp.concatenate([rev[::-1][1:], jnp.zeros((1,),
                                                           bits.dtype)])
+        shiftu = shift.astype(jnp.uint32)
         pack_bits = jnp.sum(bits).astype(jnp.int32)
-        packed_seg = _pack_lanes(seg_lanes, lo, span,
-                                 shift.astype(jnp.uint32))
+        pk_rows = _pack_lanes(lanes, lo, span, shiftu)
+        sort_lanes = jnp.concatenate([pk_rows[:, None], lanes], axis=1)
+
+        g, s_payloads = sort_group(sort_lanes, active, rep_capacity=R,
+                                   payloads=payloads)
+        GG = min(R, G)
+        sidx = jax.lax.broadcasted_iota(jnp.int32, (G, 1), 0).reshape((G,))
+        ridx = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0).reshape((R,))
+        starts_seg = jnp.full((G,), cap, jnp.int32).at[:GG].set(
+            g.head_pos_seg[:GG])
+        nxt = jnp.concatenate([g.head_pos_seg[1:],
+                               jnp.full((1,), cap, jnp.int32)])
+        in_use_r = ridx < g.num_unique
+        ends_r = jnp.where(ridx < g.num_unique - 1, nxt, g.n_active)
+        ends_r = jnp.where(in_use_r, ends_r, g.head_pos_seg)
+        ends_seg = jnp.full((G,), cap, jnp.int32).at[:GG].set(ends_r[:GG])
+
+        # seg-ordered (== packed-key-ordered) unique key lanes: scatter
+        # run-head lanes at seg (the lanes arrive pre-sorted as the last
+        # L sort payloads)
+        s_lanes = jnp.stack(list(s_payloads[WR:WR + L]), axis=1)
+        head_seg = jnp.where(g.head & (g.seg < GG), g.seg, G)
+        seg_lanes = jnp.zeros((G, L), jnp.uint32).at[head_seg].set(
+            s_lanes, mode="drop", unique_indices=True)
+        gid_of_seg = jnp.full((G,), -1, jnp.int32).at[:GG].set(
+            g.gid_of_seg[:GG])
+
+        packed_seg = _pack_lanes(seg_lanes, lo, span, shiftu)
         packed_seg = jnp.where(sidx < g.num_unique, packed_seg, _MISS_B)
 
         payload_mat = None
@@ -333,7 +346,7 @@ class HashJoin:
         return BuildState(
             g.num_unique, right, starts_seg, ends_seg, seg_lanes,
             gid_of_seg, g.perm, bsegs, matched, matched_seg,
-            jnp.asarray(right.length, jnp.int32), error,
+            jnp.asarray(right.length, jnp.int32), g.n_active, error,
             lo, span, shift.astype(jnp.uint32), pack_bits, packed_seg,
             payload_mat)
 
@@ -380,16 +393,31 @@ class HashJoin:
         return (h1 & jnp.uint32(K - 1)).astype(jnp.int32)
 
     # ------------------------------------------------------------------
-    def _probe_spans_packed(self, bs: BuildState, left: Batch,
-                            keys: Sequence[Array], ok: jax.Array,
-                            want_seg: bool):
-        """Packed single-key merge find. Returns (start, cnt, seg) per
-        probe row in ROW order — spans into sorted payload space; misses
-        get cnt=0 (start -1). ``seg`` is None unless want_seg."""
+    def _probe_sorted(self, bs: BuildState, left: Batch,
+                      keys: Sequence[Array], ok: jax.Array,
+                      payloads: Tuple[jax.Array, ...] = (),
+                      want_end: bool = True, want_seg: bool = False):
+        """Packed single-key merge find, SORTED-order outputs.
+
+        64-bit arithmetic is emulated on v5e (an i64 cummax measured
+        ~20x an i32 one — round-4 phase probe), so every fill here is a
+        plain int32 ``cummax``: run starts are MONOTONE along the sorted
+        order (runs ascend by key; ``starts_seg`` ascends with seg), so
+        a forward max-fill is exactly a forward copy-fill, and "did my
+        run have a build row" falls out of comparing the last-build-pos
+        fill with the last-head-pos fill.
+
+        Returns a dict of (G+capP,)-arrays in sorted order:
+        isp (probe position), act (active probe), hit, bstart (build
+        payload row; valid where hit), bend (if want_end), outp
+        (original probe row; -1 for build positions), inr (in-range
+        flag), plus the riding ``payloads`` (probe-side values; build
+        positions carry zeros)."""
         capP = left.capacity
         G = self.max_build_rows
         lanes_p = group_key_lanes(keys, self.grouper.key_nullable)
-        act_p = row_mask(capP, left.length) & ok
+        in_range = row_mask(capP, left.length)
+        act_p = in_range & ok
         packed_p = _pack_lanes(lanes_p, bs.pack_lo, bs.pack_span,
                                bs.pack_shift)
         packed_p = jnp.where(act_p, packed_p, _MISS_P)
@@ -398,56 +426,78 @@ class HashJoin:
             (bs.packed_seg << jnp.uint32(1)),
             (packed_p << jnp.uint32(1)) | jnp.uint32(1)])
         z_p = jnp.zeros((capP,), jnp.int32)
-        startp = jnp.concatenate(
-            [jnp.clip(bs.starts_seg, 0, (1 << 26) - 1), z_p])
-        endp = jnp.concatenate(
-            [jnp.clip(bs.ends_seg, 0, (1 << 26) - 1), z_p])
+        z_b = jnp.zeros((G,), jnp.int32)
+        startp = jnp.concatenate([bs.starts_seg, z_p])
         piota = jax.lax.broadcasted_iota(jnp.int32, (capP, 1), 0).reshape(
             (capP,))
         outp = jnp.concatenate([jnp.full((G,), -1, jnp.int32), piota])
-        ops = [keyv, startp, endp, outp]
-        segp = None
+        inrp = jnp.concatenate([z_b, in_range.astype(jnp.int32)])
+        ops = [keyv, startp, outp, inrp]
+        if want_end:
+            ops.append(jnp.concatenate([bs.ends_seg, z_p]))
         if want_seg:
             sidx = jax.lax.broadcasted_iota(jnp.int32, (G, 1), 0).reshape(
                 (G,))
             ops.append(jnp.concatenate([sidx, z_p]))
+        for p in payloads:
+            ops.append(jnp.concatenate([z_b.astype(p.dtype), p]))
         out = jax.lax.sort(ops, num_keys=1, is_stable=False)
-        skey, sstart, send, soutp = out[:4]
-        sseg = out[4] if want_seg else None
+        skey, sstart, soutp, sinr = out[:4]
+        j = 4
+        send = sseg = None
+        if want_end:
+            send = out[j]
+            j += 1
+        if want_seg:
+            sseg = out[j]
+            j += 1
+        s_payloads = tuple(out[j:])
 
+        N = G + capP
+        pos1 = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0).reshape(
+            (N,)) + 1
         lane = skey >> jnp.uint32(1)
         isb = (skey & jnp.uint32(1)) == 0
         head = jnp.concatenate([jnp.ones((1,), jnp.bool_),
                                 lane[1:] != lane[:-1]])
-        run = (jnp.cumsum(head, dtype=jnp.int32) - 1).astype(jnp.int64)
-        code_s = jnp.where(isb, sstart + 1, 0).astype(jnp.int64)
-        code_e = jnp.where(isb, send + 1, 0).astype(jnp.int64)
-        M27 = jnp.int64((1 << 27) - 1)
-        c_s = (jax.lax.cummax((run << 27) | code_s) & M27).astype(
-            jnp.int32) - 1
-        c_e = (jax.lax.cummax((run << 27) | code_e) & M27).astype(
-            jnp.int32) - 1
-        dst = jnp.where(soutp >= 0, soutp, capP)
-        spanv = jnp.where(
-            c_s >= 0,
-            ((c_s.astype(jnp.int64) + 1) << 27) |
-            (c_e.astype(jnp.int64) + 1),
-            jnp.int64(0))
-        spans = jnp.zeros((capP,), jnp.int64).at[dst].set(
-            spanv, mode="drop", unique_indices=True)
-        start = ((spans >> 27) & M27).astype(jnp.int32) - 1
-        end = (spans & M27).astype(jnp.int32) - 1
-        cnt = jnp.maximum(end - start, 0)
-        cnt = jnp.where(start >= 0, cnt, 0)
+        # i32 monotone forward fills
+        bstart = jax.lax.cummax(jnp.where(isb, sstart + 1, 0)) - 1
+        bpos = jax.lax.cummax(jnp.where(isb, pos1, 0))
+        hpos = jax.lax.cummax(jnp.where(head, pos1, 0))
+        isp = ~isb
+        act = isp & (skey < (jnp.uint32(_MISS_P) << jnp.uint32(1)))
+        hit = act & (bpos >= hpos) & (bstart >= 0)
+        res = {"isp": isp, "act": act, "hit": hit, "bstart": bstart,
+               "outp": soutp, "inr": sinr != 0, "payloads": s_payloads}
+        if want_end:
+            res["bend"] = jax.lax.cummax(
+                jnp.where(isb, send + 1, 0)) - 1
+        if want_seg:
+            res["bseg"] = jax.lax.cummax(
+                jnp.where(isb, sseg + 1, 0)) - 1
+        return res
+
+    def _probe_spans_packed(self, bs: BuildState, left: Batch,
+                            keys: Sequence[Array], ok: jax.Array,
+                            want_seg: bool):
+        """Packed find with ROW-order span outputs: the sorted-order
+        find plus int32 scatter-backs. Returns (start, cnt, seg)."""
+        capP = left.capacity
+        s = self._probe_sorted(bs, left, keys, ok, want_end=True,
+                               want_seg=want_seg)
+        dst = jnp.where(s["outp"] >= 0, s["outp"], capP)
+        hit = s["hit"]
+        start = jnp.full((capP,), -1, jnp.int32).at[dst].set(
+            jnp.where(hit, s["bstart"], -1), mode="drop",
+            unique_indices=True)
+        cnt = jnp.zeros((capP,), jnp.int32).at[dst].set(
+            jnp.where(hit, s["bend"] - s["bstart"], 0), mode="drop",
+            unique_indices=True)
         seg = None
         if want_seg:
-            code_g = jnp.where(isb, sseg + 1, 0).astype(jnp.int64)
-            c_g = (jax.lax.cummax((run << 27) | code_g) & M27).astype(
-                jnp.int32) - 1
-            segv = jnp.where(c_s >= 0, c_g, jnp.int32(-1))
             seg = jnp.full((capP,), -1, jnp.int32).at[dst].set(
-                segv, mode="drop", unique_indices=True)
-            seg = jnp.where(cnt > 0, seg, jnp.int32(-1))
+                jnp.where(hit, s["bseg"], -1), mode="drop",
+                unique_indices=True)
         return start, cnt, seg
 
     def _probe_spans_sort(self, bs: BuildState, left: Batch,
@@ -496,6 +546,106 @@ class HashJoin:
                         bs.ends_seg[segc] - bs.starts_seg[segc], 0)
         return start, cnt, (seg if want_seg else None)
 
+    def supports_unique_fast(self) -> bool:
+        """Static eligibility for the unique-build compaction probe
+        ("packed_u"): the caller additionally verifies (on the host, from
+        the build sync) that every build key is distinct."""
+        return (self.join_type in ("inner", "left outer", "left semi",
+                                   "left anti")
+                and self.residual is None and self.packed_eligible())
+
+    def _probe_unique_compact(self, bs: BuildState, left: Batch,
+                              fanout_capacity):
+        """Unique-build-key probe (the PK-FK join shape): every probe row
+        matches at most ONE build row, so pair expansion degenerates to a
+        row COMPACTION — one 1-bit-key sort with every output plane
+        riding as payload (the same gather-free compaction the filter
+        kernel uses; 230M rows/s on v5e) — no pair-slot scatters at all.
+        Output rows come out key-ordered (join output order is
+        unspecified)."""
+        cap = left.capacity
+        keys = [left.column(k) for k in self.left_keys]
+        ok = _all_valid(keys, cap)
+        lp_cols = [left.column(n) for n in self._lpack]
+        payloads = ()
+        lspec = None
+        if lp_cols:
+            lmat, lspec = pack_columns(lp_cols)
+            payloads = tuple(lmat[:, j] for j in range(lmat.shape[1]))
+        need_r = any(n not in self._lpack for n in self.left_out)
+        s = self._probe_sorted(bs, left, keys, ok, payloads=payloads,
+                               want_end=False)
+        hit = s["hit"]
+        isp = s["isp"]
+        jt = self.join_type
+        if jt == "left semi":
+            keep = hit
+        elif jt == "left anti":
+            keep = isp & s["inr"] & ~hit
+        elif jt == "left outer":
+            keep = isp & s["inr"]
+        else:                       # inner
+            keep = hit
+        total = jnp.sum(keep, dtype=jnp.int32)
+        T = fanout_capacity or self.options.fanout_capacity or cap
+        overflow = jnp.int32(total > T)
+
+        kb = (~keep).astype(jnp.uint8)
+        ops = [kb, s["bstart"], hit.astype(jnp.int32)] + \
+            list(s["payloads"])
+        if need_r:
+            ops.append(s["outp"])
+        out2 = jax.lax.sort(ops, num_keys=1, is_stable=False)
+        c_bstart = out2[1]
+        c_hit = out2[2] != 0
+        c_pay = out2[3:3 + len(payloads)]
+        c_r = out2[3 + len(payloads)] if need_r else None
+
+        bcap = bs.batch.capacity
+        brow = jnp.where(c_hit, jnp.clip(c_bstart, 0, bcap - 1), 0)
+        cols = {}
+        if lp_cols:
+            cmat = jnp.stack(list(c_pay), axis=1)
+            dicts = [left.column(n).dictionary for n in self._lpack]
+            for n, a in zip(self._lpack, unpack_columns(
+                    cmat, lspec, total, dictionaries=dicts)):
+                cols[("l", n)] = a
+        if self._rpack and bs.payload_mat is not None and self.right_out:
+            from .planes import pack_spec
+            rspec = pack_spec([bs.batch.column(n) for n in self._rpack])
+            got = bs.payload_mat[brow]
+            dicts = [bs.batch.column(n).dictionary for n in self._rpack]
+            for n, a in zip(self._rpack, unpack_columns(
+                    got, rspec, total, dictionaries=dicts,
+                    extra_valid=c_hit)):
+                cols[("r", n)] = a
+        N = kb.shape[0]
+        if need_r:
+            left_idx = Array(dt.int32, jnp.clip(c_r, 0, cap - 1), None,
+                             length=total)
+            lgrow = -(-N // max(cap, 1))
+            for n in self.left_out:
+                if ("l", n) in cols:
+                    continue
+                cols[("l", n)] = take_array(left.column(n), left_idx,
+                                            grow=lgrow)
+        if any(("r", n) not in cols for n in self.right_out):
+            brow_orig = bs.perm[brow]
+            right_idx = Array(dt.int32, jnp.clip(brow_orig, 0, bcap - 1),
+                              None, length=total)
+            rgrow = -(-N // max(bcap, 1))
+            for n in self.right_out:
+                if ("r", n) in cols:
+                    continue
+                a = take_array(bs.batch.column(n), right_idx, grow=rgrow)
+                v = a.validity
+                v = c_hit if v is None else (v & c_hit)
+                cols[("r", n)] = a.with_validity(v)
+        arrays = [cols[("l", n)] for n in self.left_out] + \
+            [cols[("r", n)] for n in self.right_out]
+        out = Batch(self.out_schema, arrays, total)
+        return out, bs._with_error(overflow)
+
     def _probe_spans(self, bs, left, keys, ok, impl: str, want_seg: bool):
         if impl == "packed" and self.packed_eligible() and \
                 bs.batch.capacity < (1 << 26) and \
@@ -513,6 +663,10 @@ class HashJoin:
         the single-key packed find (valid only when the caller verified
         ``BuildState.pack_bits <= 30`` on the host), "sort" the generic
         multi-lane find."""
+        if impl == "packed_u" and self.supports_unique_fast():
+            return self._probe_unique_compact(bs, left, fanout_capacity)
+        if impl == "packed_u":
+            impl = "packed"
         cap = left.capacity
         keys = [left.column(k) for k in self.left_keys]
         ok = _all_valid(keys, cap)
@@ -601,44 +755,23 @@ class HashJoin:
         spos = jnp.where(emit > 0, offsets, T)
         jidx = jax.lax.broadcasted_iota(jnp.int32, (T, 1), 0).reshape((T,))
 
+        # int32 scatter + cummax fills ONLY (64-bit packing tricks are
+        # emulated on v5e and measured ~20x slower — round-4 phase probe)
         bcap = bs.batch.capacity
-        if cap < (1 << 27) and bcap < (1 << 26) and T < (1 << 26):
-            # packed geometry: ONE i64 scatter + ONE cummax recovers
-            # (r, brow) per slot with zero gathers
-            delta = jnp.where(
-                cnt > 0,
-                (start - offsets + _GBIAS + 2).astype(jnp.int64),
-                jnp.int64(_GSENT))
-            packv = (iota_c.astype(jnp.int64) << 28) | delta
-            A = jnp.full((T,), -1, jnp.int64).at[spos].max(
-                packv, mode="drop", unique_indices=True)
-            c = jax.lax.cummax(A)
-            valid_j = (jidx < total) & (c >= 0)
-            r = jnp.clip((c >> 28).astype(jnp.int32), 0, cap - 1)
-            db = (c & jnp.int64((1 << 28) - 1)).astype(jnp.int32)
-            has_match = valid_j & (db != _GSENT)
-            brow_sorted = jidx + (db - (_GBIAS + 2))
-            brow_sorted = jnp.where(has_match,
-                                    jnp.clip(brow_sorted, 0, bcap - 1), 0)
-            # first slot of each probe row (o == 0) without a gather:
-            # the row id changes at the slot boundary
-            prev_r = jnp.concatenate([jnp.full((1,), -1, r.dtype), r[:-1]])
-            o = jnp.where(r != prev_r, 0, 1)  # consumers only test o == 0
-        else:
-            A = jnp.full((T,), -1, dtype=jnp.int32).at[spos].max(
-                iota_c, mode="drop", unique_indices=True)
-            B = jnp.full((T,), -1, dtype=jnp.int32).at[spos].max(
-                offsets.astype(jnp.int32), mode="drop",
-                unique_indices=True)
-            from .segment import running_scan
-            r_of_j = running_scan(A, jnp.maximum, -1)
-            start_of_j = running_scan(B, jnp.maximum, -1)
-            valid_j = (jidx < total) & (r_of_j >= 0)
-            r = jnp.clip(r_of_j, 0)
-            o = jidx - start_of_j
-            has_match = valid_j & (cnt[r] > 0) & (o < cnt[r])
-            brow_sorted = jnp.clip(start[r] + o, 0, bcap - 1)
-            brow_sorted = jnp.where(has_match, brow_sorted, 0)
+        A = jnp.full((T,), -1, dtype=jnp.int32).at[spos].max(
+            iota_c, mode="drop", unique_indices=True)
+        B = jnp.full((T,), -1, dtype=jnp.int32).at[spos].max(
+            offsets.astype(jnp.int32), mode="drop",
+            unique_indices=True)
+        from .segment import running_scan
+        r_of_j = running_scan(A, jnp.maximum, -1)
+        start_of_j = running_scan(B, jnp.maximum, -1)
+        valid_j = (jidx < total) & (r_of_j >= 0)
+        r = jnp.clip(r_of_j, 0)
+        o = jidx - start_of_j
+        has_match = valid_j & (cnt[r] > 0) & (o < cnt[r])
+        brow_sorted = jnp.clip(start[r] + o, 0, bcap - 1)
+        brow_sorted = jnp.where(has_match, brow_sorted, 0)
 
         pass_ = has_match
         if self.residual is not None:

@@ -79,8 +79,63 @@ _binary_arith("divide", _divide, doc="a / b (int: truncated)")
 _binary_arith("power", lambda a, b: jnp.power(a, b), doc="a ** b")
 _binary_arith("atan2", jnp.arctan2, force_float=True)
 _binary_arith("logb", lambda a, b: jnp.log(a) / jnp.log(b), force_float=True)
-_binary_arith("max_element_wise", jnp.maximum)
-_binary_arith("min_element_wise", jnp.minimum)
+class ElementWiseAggregateOptions:
+    """``compute/api_scalar.h`` ElementWiseAggregateOptions."""
+
+    def __init__(self, skip_nulls: bool = True):
+        self.skip_nulls = skip_nulls
+
+
+def _minmax_element_wise(name, op):
+    @register_function(name, Kind.SCALAR, -1,
+                       null_handling=NullHandling.COMPUTED,
+                       options_class=ElementWiseAggregateOptions,
+                       doc="per-row min/max across args; skip_nulls=True "
+                           "(default) ignores null slots — "
+                           "scalar_compare.cc:915")
+    def _fn(args, options, _op=op):
+        from ..compute.scalar import Scalar
+        skip = options is None or getattr(options, "skip_nulls", True)
+        vals, out_t = promote_args(args)
+        masks = []
+        for a in args:
+            if isinstance(a, Scalar):
+                masks.append(None if a.is_valid else False)
+            else:
+                masks.append(a.validity)
+        out = None
+        valid = None
+        for v, m in zip(vals, masks):
+            pm = None if m is None else (
+                jnp.zeros_like(v, dtype=jnp.bool_) if m is False else m)
+            if out is None:
+                out, valid = v, pm
+                continue
+            if skip:
+                # null slots lose to any valid slot
+                both = None
+                if valid is None and pm is None:
+                    out = _op(out, v)
+                    continue
+                av = jnp.ones_like(v, dtype=jnp.bool_) if valid is None \
+                    else valid
+                bv = jnp.ones_like(v, dtype=jnp.bool_) if pm is None \
+                    else pm
+                picked = _op(jnp.where(av, out, v), jnp.where(bv, v, out))
+                out = jnp.where(av & ~bv, out,
+                                jnp.where(bv & ~av, v, picked))
+                valid = av | bv
+            else:
+                out = _op(out, v)
+                if pm is not None:
+                    valid = pm if valid is None else (valid & pm)
+        return output_like(out.astype(out_t.storage_np), out_t, args,
+                           validity=valid)
+    return _fn
+
+
+_minmax_element_wise("max_element_wise", jnp.maximum)
+_minmax_element_wise("min_element_wise", jnp.minimum)
 _binary_arith("bit_wise_and", jnp.bitwise_and)
 _binary_arith("bit_wise_or", jnp.bitwise_or)
 _binary_arith("bit_wise_xor", jnp.bitwise_xor)
@@ -103,7 +158,19 @@ def _mod(args, options):
 
 _unary_arith("negate", jnp.negative)
 _unary_arith("abs", jnp.abs)
-_unary_arith("sign", jnp.sign)
+
+
+@register_function("sign", Kind.SCALAR, 1,
+                   doc="-1/0/1; int8 for integer input, same type for "
+                       "float (NaN -> NaN) — scalar_arithmetic.cc Sign")
+def _sign(args, options):
+    (a,) = args
+    v = values_of(a)
+    out = jnp.sign(v)
+    # Arrow's sign returns int8 for any integer input and the input
+    # type for floats (found by the randomized oracle harness, round 4)
+    out_t = a.type if a.type.is_floating else dt.int8
+    return output_like(out.astype(out_t.storage_np), out_t, args)
 
 _unary_float("sqrt", jnp.sqrt)
 _unary_float("exp", jnp.exp)

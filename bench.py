@@ -300,11 +300,15 @@ def bench_join(dev):
         fanout *= 2
 
     # the same routing HashJoinNode applies: ONE host fetch of the build's
-    # packed-key eligibility picks the single-key packed probe
+    # packed-key eligibility + key uniqueness picks the probe impl
     bs0 = jax.jit(hj.build)(right)
-    bits = int(np.asarray(jax.device_get(bs0.pack_bits)))
-    impl = "packed" if (bits <= 30 and hj.packed_eligible()
-                        and right.capacity < (1 << 26)) else "sort"
+    bits, ng, na = (int(np.asarray(v)) for v in jax.device_get(
+        (bs0.pack_bits, bs0.num_groups, bs0.num_active)))
+    if bits <= 30 and hj.packed_eligible() and right.capacity < (1 << 26):
+        impl = "packed_u" if (ng == na and hj.supports_unique_fast()) \
+            else "packed"
+    else:
+        impl = "sort"
 
     @jax.jit
     def run(s, l, r):

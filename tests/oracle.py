@@ -9,7 +9,7 @@ import arrow_tpu as at
 
 
 def assert_array_equal(result: "at.Array", expected: pa.Array, msg="",
-                       rtol=0.0):
+                       rtol=0.0, atol=0.0):
     """Bit-exact comparison by default; pass rtol for transcendentals
     (XLA libm and Arrow libm legitimately differ in the last ulps)."""
     got = result.to_pyarrow()
@@ -23,7 +23,8 @@ def assert_array_equal(result: "at.Array", expected: pa.Array, msg="",
         if pa.types.is_floating(got.type):
             gv = got.to_numpy(zero_copy_only=False)
             ev = expected.to_numpy(zero_copy_only=False)
-            if np.allclose(gv, ev, equal_nan=True, rtol=rtol, atol=0) and \
+            if np.allclose(gv, ev, equal_nan=True, rtol=rtol,
+                           atol=atol) and \
                     got.is_null().equals(expected.is_null()):
                 return
         raise AssertionError(

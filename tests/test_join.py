@@ -400,6 +400,46 @@ def test_join_packed_vs_sort_impl(rng, join_type):
     assert outs["packed"] == outs["sort"], join_type
 
 
+@pytest.mark.parametrize("join_type",
+                         ["inner", "left outer", "left semi", "left anti"])
+def test_join_unique_build_compaction_impl(rng, join_type):
+    """The unique-build (PK-FK) compaction probe must agree with the
+    generic path, including null keys on both sides."""
+    import jax
+    from arrow_tpu.acero.options import HashJoinNodeOptions
+    from arrow_tpu.ops.join import HashJoin
+    nl, nr = 600, 180
+    lk = [None if rng.random() < 0.1 else int(v)
+          for v in rng.integers(0, 400, nl)]
+    rv = list(rng.permutation(400)[:nr - 12])
+    rk = [None] * 12 + [int(v) for v in rv]   # unique non-null keys
+    left = pa.table({"k": pa.array(lk, pa.int64()),
+                     "lv": pa.array(np.arange(nl))})
+    right = pa.table({"k": pa.array(rk, pa.int64()),
+                      "rv": pa.array(np.arange(nr) * 10)})
+    lb = at.Batch.from_pyarrow(left.combine_chunks().to_batches()[0])
+    rb = at.Batch.from_pyarrow(right.combine_chunks().to_batches()[0])
+    hj = HashJoin(lb.schema, rb.schema, HashJoinNodeOptions(
+        join_type, ["k"], ["k"], max_build_rows=1 << 9,
+        output_suffix_for_left="_l", output_suffix_for_right="_r"))
+    bs = jax.jit(hj.build)(rb)
+    ng, na = (int(v) for v in jax.device_get((bs.num_groups,
+                                              bs.num_active)))
+    assert ng == na, "build keys must be unique for this test"
+    outs = {}
+    for impl in ("packed_u", "sort"):
+        out, bs2 = hj.probe(bs, lb, 1 << 13, impl)
+        rows = []
+        if out is not None:
+            rows += list(zip(*out.to_pyarrow().to_pydict().values()))
+        tail = hj.finish(bs2)
+        if tail is not None:
+            rows += list(zip(*tail.to_pyarrow().to_pydict().values()))
+        outs[impl] = sorted(rows, key=lambda r: tuple(
+            (v is None, v) for v in r))
+    assert outs["packed_u"] == outs["sort"], join_type
+
+
 def test_join_unpackable_keys_fall_back(rng):
     """Keys whose lane ranges exceed 30 bits must route to the generic
     probe and still match the oracle."""

@@ -146,7 +146,7 @@ def main():
     print(f"materialize T=16M: {sec*1e3:.0f}ms", flush=True)
 
     # -- whole probe ----------------------------------------------------
-    for impl in ("packed", "sort"):
+    for impl in ("packed_u", "packed", "sort"):
         @jax.jit
         def run_probe(s, b, l, impl=impl):
             def body(i, acc):

@@ -158,6 +158,8 @@ int atb_write(const char* path, int64_t nrows, int ncols,
   return 0;
 }
 
+void atb_close(void* h);   // defined below; used by atb_open's bail-out
+
 struct AtbFile {
   int fd = -1;
   uint8_t* map = nullptr;
@@ -184,47 +186,72 @@ void* atb_open(const char* path) {
   af->map_len = (size_t)st.st_size;
   af->map = (uint8_t*)mmap(nullptr, af->map_len, PROT_READ, MAP_PRIVATE,
                            fd, 0);
-  if (af->map == MAP_FAILED || memcmp(af->map, "ATB1", 4) != 0) {
+  if (af->map == MAP_FAILED) {
+    af->map = nullptr;
     delete af;
     close(fd);
     return nullptr;
   }
-  const uint8_t* p = af->map + 4;
+  // Every header field is UNTRUSTED external bytes (the same threat
+  // model the reference fuzzes via ipc/stream_fuzz.cc): bounds-check
+  // each read against the mapped length and reject any layout whose
+  // buffers would fall outside the file — a corrupted header used to
+  // drive mmap reads past EOF (SIGBUS, found by
+  // tests/test_fuzz_readers.py).
+  auto fail = [&]() {
+    atb_close(af);
+    return (void*)nullptr;
+  };
+  const size_t len = af->map_len;
+  if (len < 16 || memcmp(af->map, "ATB1", 4) != 0) return fail();
+  size_t off = 4;
+  auto can_read = [&](size_t n) { return n <= len && off <= len - n; };
   uint32_t ncols;
-  memcpy(&ncols, p, 4);
-  p += 4;
-  memcpy(&af->nrows, p, 8);
-  p += 8;
+  memcpy(&ncols, af->map + off, 4);
+  off += 4;
+  memcpy(&af->nrows, af->map + off, 8);
+  off += 8;
+  // a column header is >= 20 bytes; nrows buffers must fit the file
+  if (ncols > len / 20 || af->nrows > (uint64_t)len) return fail();
   af->cols.resize(ncols);
   for (uint32_t c = 0; c < ncols; ++c) {
     auto& col = af->cols[c];
+    if (!can_read(4)) return fail();
     uint32_t nl;
-    memcpy(&nl, p, 4);
-    p += 4;
-    col.name.assign((const char*)p, nl);
-    p += nl;
-    col.dtype_code = *p++;
-    col.has_validity = *p++;
-    col.is_varlen = *p++;
-    ++p;  // pad
+    memcpy(&nl, af->map + off, 4);
+    off += 4;
+    if (!can_read(nl) || nl > 4096) return fail();
+    col.name.assign((const char*)(af->map + off), nl);
+    off += nl;
+    if (!can_read(12)) return fail();
+    col.dtype_code = af->map[off++];
+    col.has_validity = af->map[off++];
+    col.is_varlen = af->map[off++];
+    ++off;  // pad
     uint64_t db;
-    memcpy(&db, p, 8);
-    p += 8;
+    memcpy(&db, af->map + off, 8);
+    off += 8;
+    if (db > (uint64_t)len) return fail();
     col.data_bytes = (size_t)db;
   }
-  size_t pos = (size_t)(p - af->map);
+  size_t pos = off;
+  auto advance = [&](size_t n) {
+    pos = align64(pos);
+    if (n > len || pos > len - n) return false;
+    return true;
+  };
   for (auto& col : af->cols) {
     if (col.has_validity) {
-      pos = align64(pos);
+      if (!advance((size_t)af->nrows)) return fail();
       col.validity_off = pos;
       pos += (size_t)af->nrows;
     }
     if (col.is_varlen) {
-      pos = align64(pos);
+      if (!advance(((size_t)af->nrows + 1) * 4)) return fail();
       col.offsets_off = pos;
-      pos += (size_t)(af->nrows + 1) * 4;
+      pos += ((size_t)af->nrows + 1) * 4;
     }
-    pos = align64(pos);
+    if (!advance(col.data_bytes)) return fail();
     col.data_off = pos;
     pos += col.data_bytes;
   }

@@ -217,8 +217,13 @@ class HashAggregate:
     # reduction, and the per-slot partial states fold into the main state
     # through the ordinary ``merge_rows`` protocol, so sort-path and
     # dense-path batches interleave freely.
-    DENSE_CAP = 4096          # max dense slots: kernel work is O(n*G)
-    _DENSE_FNS = {"count", "count_all", "sum", "mean", "min", "max"}
+    # max dense slots: kernel work is O(n*G); override via env for the
+    # crossover probe (tools/dense_crossover.py measures the sort-path
+    # break-even on chip)
+    DENSE_CAP = int(__import__("os").environ.get(
+        "ARROW_TPU_DENSE_CAP", "8192"))
+    _DENSE_FNS = {"count", "count_all", "sum", "mean", "min", "max",
+                  "any", "all"}
 
     def dense_static_ok(self) -> bool:
         """Static (schema-level) eligibility for the dense-domain kernel."""
@@ -230,11 +235,17 @@ class HashAggregate:
         for agg in self._aggregators:
             if agg.name not in self._DENSE_FNS:
                 return False
-            if agg.name in ("sum", "mean", "min", "max"):
-                it = agg.in_type
-                if it is None or not (it.is_floating
-                                      and it.bit_width == 32):
-                    return False
+            it = agg.in_type
+            f32 = it is not None and it.is_floating and it.bit_width == 32
+            i64 = it is not None and it.is_signed_integer \
+                and it.bit_width == 64
+            if agg.name == "mean" and not f32:
+                return False
+            if agg.name in ("sum", "min", "max") and not (f32 or i64):
+                return False
+            if agg.name in ("any", "all") and not isinstance(
+                    it, dt.BoolType):
+                return False
         return True
 
     def probe_scalars(self, batch: Batch):
@@ -341,19 +352,44 @@ class HashAggregate:
             gid = jnp.where(key.validity | ~in_range, gid,
                             jnp.int32(G - 1))
 
+        from .pallas_kernels import _DG_ARITY
         iota = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0).reshape(
             (cap,))
         inputs = [jnp.where(gid >= 0, iota, jnp.int32((1 << 31) - 1))]
         kinds = ["imin"]
-        slot_of = {}            # (col, kind) -> kernel output index
+        slot_of = {}            # sig -> kind-entry index
 
         def add(sig, build):
+            """Register one kind entry (1+ inputs) once per signature."""
             if sig not in slot_of:
-                slot_of[sig] = len(inputs)
-                x, kind = build()
-                inputs.append(x)
+                slot_of[sig] = len(kinds)
+                xs, kind = build()
+                inputs.extend(xs if isinstance(xs, (list, tuple))
+                              else [xs])
                 kinds.append(kind)
             return slot_of[sig]
+
+        BIAS32 = jnp.uint32(0x80000000)
+
+        def _i64_limbs(v, ok):
+            """int64 -> four 16-bit limbs of the SIGN-BIASED value (u32
+            wrap + carry accumulation in the kernel is exact mod 2^64)."""
+            u = v.astype(jnp.uint64) ^ jnp.uint64(1 << 63)
+            out = []
+            for k in range(4):
+                limb = ((u >> jnp.uint64(16 * k)) &
+                        jnp.uint64(0xFFFF)).astype(jnp.int32)
+                out.append(jnp.where(ok, limb, 0))
+            return out
+
+        def _i64_pair(v, ok, is_min):
+            hi = (v >> jnp.int64(32)).astype(jnp.int32)
+            lo = (v.astype(jnp.uint64) &
+                  jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+            lo_b = (lo ^ BIAS32).view(jnp.int32)
+            ident = jnp.int32((1 << 31) - 1) if is_min else \
+                jnp.int32(-(1 << 31))
+            return [jnp.where(ok, hi, ident), jnp.where(ok, lo_b, ident)]
 
         active = gid >= 0
         for spec, agg in zip(self.aggs, self._aggregators):
@@ -361,42 +397,77 @@ class HashAggregate:
                 continue        # served by the kernel's rows output
             col = batch.column(spec.targets[0])
             ok = active if col.validity is None else (active & col.validity)
+            tgt = spec.targets[0]
+            is_i64 = agg.in_type is not None and \
+                agg.in_type.is_signed_integer and \
+                agg.in_type.bit_width == 64
             if agg.name == "count":
                 mode = getattr(agg.options, "mode", "only_valid")
                 if mode == "only_null":
                     okn = active & (~col.validity if col.validity
                                     is not None else
                                     jnp.zeros((cap,), jnp.bool_))
-                    add((spec.targets[0], "count_null"),
+                    add((tgt, "count_null"),
                         lambda okn=okn: (okn.astype(jnp.int32), "count"))
                 elif mode == "all":
                     add((None, "rows"), lambda: (active.astype(jnp.int32),
                                                  "count"))
                 else:
-                    add((spec.targets[0], "countv"),
+                    add((tgt, "countv"),
                         lambda ok=ok: (ok.astype(jnp.int32), "count"))
+                continue
+            add((tgt, "countv"),
+                lambda ok=ok: (ok.astype(jnp.int32), "count"))
+            if agg.name in ("any", "all"):
+                bv = col.values.astype(jnp.bool_)
+                if agg.name == "any":
+                    add((tgt, "any"), lambda bv=bv, ok=ok: (
+                        (bv & ok).astype(jnp.int32), "imax"))
+                else:
+                    add((tgt, "all"), lambda bv=bv, ok=ok: (
+                        (bv | ~ok).astype(jnp.int32), "imin"))
+                continue
+            if is_i64:
+                v = col.values
+                if agg.name == "sum":
+                    add((tgt, "sum64"),
+                        lambda v=v, ok=ok: (_i64_limbs(v, ok), "sumc"))
+                elif agg.name == "min":
+                    add((tgt, "min64"), lambda v=v, ok=ok: (
+                        _i64_pair(v, ok, True), "imin64"))
+                elif agg.name == "max":
+                    add((tgt, "max64"), lambda v=v, ok=ok: (
+                        _i64_pair(v, ok, False), "imax64"))
                 continue
             v = col.values.astype(jnp.float32)
             if agg.name in ("sum", "mean"):
-                add((spec.targets[0], "countv"),
-                    lambda ok=ok: (ok.astype(jnp.int32), "count"))
-                add((spec.targets[0], "sum"),
+                add((tgt, "sum"),
                     lambda v=v, ok=ok: (jnp.where(ok, v, 0.0), "sum"))
             elif agg.name == "min":
-                add((spec.targets[0], "countv"),
-                    lambda ok=ok: (ok.astype(jnp.int32), "count"))
-                add((spec.targets[0], "min"),
+                add((tgt, "min"),
                     lambda v=v, ok=ok: (
                         jnp.where(ok, v, jnp.float32(jnp.inf)), "min"))
             elif agg.name == "max":
-                add((spec.targets[0], "countv"),
-                    lambda ok=ok: (ok.astype(jnp.int32), "count"))
-                add((spec.targets[0], "max"),
+                add((tgt, "max"),
                     lambda v=v, ok=ok: (
                         jnp.where(ok, v, jnp.float32(-jnp.inf)), "max"))
 
-        rows, outs = dense_group_reduce(gid, tuple(inputs), tuple(kinds), G)
-        all_outs = [rows] + list(outs)
+        # int64 sums need FOUR sumc entries (one per limb); expand the
+        # single "sumc" marker into the real kind list
+        flat_kinds = []
+        entry_first_out = []    # kind-entry index -> first output index
+        out_pos = 0
+        for k in kinds:
+            entry_first_out.append(out_pos)
+            if k == "sumc":
+                flat_kinds.extend(["sumc"] * 4)
+                out_pos += 8
+            else:
+                flat_kinds.append(k)
+                out_pos += _DG_ARITY[k][1]
+
+        rows, outs = dense_group_reduce(gid, tuple(inputs),
+                                        tuple(flat_kinds), G)
         first = outs[0]
         present = rows > 0
         order_key = jnp.where(present, first, jnp.int32((1 << 31) - 1))
@@ -410,8 +481,13 @@ class HashAggregate:
             kvalid = perm != jnp.int32(G - 1)
         o_key = Array(key.type, kvals, kvalid, length=o_count)
 
-        def out_for(sig):
-            return all_outs[1 + slot_of[sig]][perm]
+        def outs_for(sig, n):
+            base = entry_first_out[slot_of[sig]]
+            return [outs[base + j][perm] for j in range(n)]
+
+        def _limb_total(lo_i32, carry_i32):
+            lo_u = lo_i32.view(jnp.uint32).astype(jnp.uint64)
+            return (carry_i32.astype(jnp.uint64) << jnp.uint64(32)) | lo_u
 
         o_states = []
         for spec, agg in zip(self.aggs, self._aggregators):
@@ -427,16 +503,42 @@ class HashAggregate:
                     sig = (tgt, "count_null")
                 elif mode == "all":
                     sig = (None, "rows")
-                o_states.append(out_for(sig).astype(jnp.int64))
+                o_states.append(outs_for(sig, 1)[0].astype(jnp.int64))
                 continue
-            cnt = out_for((tgt, "countv")).astype(jnp.int64)
-            if agg.name in ("sum", "mean"):
-                acc = out_for((tgt, "sum")).astype(agg._acc_dtype)
+            cnt = outs_for((tgt, "countv"), 1)[0].astype(jnp.int64)
+            is_i64 = agg.in_type is not None and \
+                agg.in_type.is_signed_integer and \
+                agg.in_type.bit_width == 64
+            if agg.name in ("any", "all"):
+                o_states.append(
+                    (outs_for((tgt, agg.name), 1)[0] != 0, cnt))
+            elif is_i64 and agg.name == "sum":
+                parts = outs_for((tgt, "sum64"), 8)
+                total = jnp.zeros_like(cnt).astype(jnp.uint64)
+                for k in range(4):
+                    lt = _limb_total(parts[2 * k], parts[2 * k + 1])
+                    total = total + (lt << jnp.uint64(16 * k))
+                # un-bias: subtract count * 2^63 (mod 2^64)
+                total = total - (cnt.astype(jnp.uint64) <<
+                                 jnp.uint64(63))
+                acc = total.astype(jnp.int64) \
+                    if agg._acc_dtype == jnp.dtype(jnp.int64) \
+                    else total.astype(agg._acc_dtype)
+                o_states.append((acc, cnt))
+            elif is_i64 and agg.name in ("min", "max"):
+                sig = (tgt, "min64" if agg.name == "min" else "max64")
+                hi, lo_b = outs_for(sig, 2)
+                lo_u = (lo_b.view(jnp.uint32) ^ BIAS32).astype(jnp.uint64)
+                val = ((hi.astype(jnp.int64) << jnp.int64(32)) |
+                       lo_u.astype(jnp.int64))
+                o_states.append((val.astype(agg.in_type.storage_np), cnt))
+            elif agg.name in ("sum", "mean"):
+                acc = outs_for((tgt, "sum"), 1)[0].astype(agg._acc_dtype)
                 o_states.append((acc, cnt))
             elif agg.name == "min":
-                o_states.append((out_for((tgt, "min")), cnt))
+                o_states.append((outs_for((tgt, "min"), 1)[0], cnt))
             elif agg.name == "max":
-                o_states.append((out_for((tgt, "max")), cnt))
+                o_states.append((outs_for((tgt, "max"), 1)[0], cnt))
         return self.merge_rows(state, [o_key], tuple(o_states), o_count)
 
     def merge(self, state, other_state):

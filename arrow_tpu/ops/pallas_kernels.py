@@ -142,7 +142,22 @@ _DG_IDENT = {
     "imin": (1 << 31) - 1,
     "imax": -(1 << 31),
     "count": 0,
+    "sumc": 0,               # 16-bit limb sum w/ u32-wrap + carry
 }
+
+# kind -> (#inputs, #outputs). Multi-slot kinds:
+#   sumc   : 1 in (i32 limb values 0..65535, premasked) ->
+#            (wrap-accumulator i32 [u32 bits], carry-count i32)
+#   imin64 : 2 in (hi i32 = v>>32, lo i32 = biased low word) ->
+#            lexicographic pair minimum (hi, lo) per slot
+_DG_ARITY = {
+    "sum": (1, 1), "min": (1, 1), "max": (1, 1), "imin": (1, 1),
+    "imax": (1, 1), "count": (1, 1), "sumc": (1, 2),
+    "imin64": (2, 2), "imax64": (2, 2),
+}
+
+_I32MIN = -(1 << 31)
+_I32MAX = (1 << 31) - 1
 
 
 def _dense_group_kernel(gid_ref, *refs, kinds, G):
@@ -154,8 +169,13 @@ def _dense_group_kernel(gid_ref, *refs, kinds, G):
     match mask ``eq`` (128, C) is built once and every reduction reuses
     it — the whole kernel is VPU compare/select/reduce work with zero
     scatters; HBM traffic is the streaming read of gid + value columns.
+
+    int64 aggregates run WITHOUT 64-bit arithmetic (Mosaic/v5e has
+    none): sums split into 16-bit limbs accumulated as u32-wrap + carry
+    counts ("sumc", exact mod 2^64 after host-side recombination), and
+    min/max reduce (hi, lo) int32 pairs lexicographically ("imin64").
     """
-    n_in = len(kinds)
+    n_in = sum(_DG_ARITY[k][0] for k in kinds)
     in_refs = refs[:n_in]
     rows_ref = refs[n_in]
     out_refs = refs[n_in + 1:]
@@ -165,8 +185,20 @@ def _dense_group_kernel(gid_ref, *refs, kinds, G):
     @pl.when(step == 0)
     def _init():
         rows_ref[:] = jnp.zeros_like(rows_ref)
-        for kind, oref in zip(kinds, out_refs):
-            oref[:] = jnp.full_like(oref, _DG_IDENT[kind])
+        oj = 0
+        for kind in kinds:
+            if kind == "sumc":
+                out_refs[oj][:] = jnp.zeros_like(out_refs[oj])
+                out_refs[oj + 1][:] = jnp.zeros_like(out_refs[oj + 1])
+            elif kind in ("imin64", "imax64"):
+                hi_id = _I32MAX if kind == "imin64" else _I32MIN
+                out_refs[oj][:] = jnp.full_like(out_refs[oj], hi_id)
+                out_refs[oj + 1][:] = jnp.full_like(out_refs[oj + 1],
+                                                    hi_id)
+            else:
+                out_refs[oj][:] = jnp.full_like(out_refs[oj],
+                                                _DG_IDENT[kind])
+            oj += _DG_ARITY[kind][1]
 
     # blocks arrive TRANSPOSED (128 elements x S columns) so an element
     # column is a (128, 1) slice — every op below is strictly 2D with
@@ -174,43 +206,116 @@ def _dense_group_kernel(gid_ref, *refs, kinds, G):
     # (elements x slots) mask has elements on sublanes, slots on lanes,
     # so per-slot reductions are lane-preserving axis-0 sums.
     gid = gid_ref[0]                                      # (128, S) int32
-    xs = [r[0] for r in in_refs]                          # (128, S) each
     slot_row = jax.lax.broadcasted_iota(jnp.int32, (1, _DG_LANES), 1)
     for gb in range(G // _DG_LANES):
         slots = slot_row + gb * _DG_LANES
         blk = slice(gb * _DG_LANES, (gb + 1) * _DG_LANES)
         rows_acc = jnp.zeros((1, _DG_LANES), jnp.int32)
-        accs = [jnp.full((1, _DG_LANES), _DG_IDENT[k],
-                         dtype=x.dtype) for k, x in zip(kinds, xs)]
+        # chunk-local partials per kind
+        parts = []
+        ij = 0
+        for kind in kinds:
+            ni = _DG_ARITY[kind][0]
+            if kind in ("imin64", "imax64"):
+                hi_id = _I32MAX if kind == "imin64" else _I32MIN
+                parts.append([jnp.full((1, _DG_LANES), hi_id, jnp.int32),
+                              jnp.full((1, _DG_LANES), hi_id, jnp.int32)])
+            elif kind in ("count", "sumc"):
+                parts.append([jnp.zeros((1, _DG_LANES), jnp.int32)])
+            else:       # sum/min/max/imin/imax: the op identity
+                x = in_refs[ij][0]
+                parts.append([jnp.full((1, _DG_LANES), _DG_IDENT[kind],
+                                       dtype=x.dtype)])
+            ij += ni
         for s in range(S):
             eq = gid[:, s:s + 1] == slots                 # (128, 128)
             rows_acc += jnp.sum(eq, axis=0, keepdims=True,
                                 dtype=jnp.int32)
-            for i, (kind, x) in enumerate(zip(kinds, xs)):
-                ident = jnp.asarray(_DG_IDENT[kind], dtype=x.dtype)
-                xb = jnp.where(eq, x[:, s:s + 1], ident)  # (128, 128)
-                if kind == "sum":
-                    accs[i] = accs[i] + jnp.sum(xb, axis=0, keepdims=True,
-                                                dtype=x.dtype)
-                elif kind == "count":
-                    accs[i] = accs[i] + jnp.sum(xb, axis=0, keepdims=True,
-                                                dtype=jnp.int32)
-                elif kind in ("min", "imin"):
-                    accs[i] = jnp.minimum(
-                        accs[i], jnp.min(xb, axis=0, keepdims=True))
-                else:                                      # max / imax
-                    accs[i] = jnp.maximum(
-                        accs[i], jnp.max(xb, axis=0, keepdims=True))
+            ij = 0
+            for i, kind in enumerate(kinds):
+                ni = _DG_ARITY[kind][0]
+                if kind in ("imin64", "imax64"):
+                    is_min = kind == "imin64"
+                    hi = in_refs[ij][0][:, s:s + 1]
+                    lo = in_refs[ij + 1][0][:, s:s + 1]
+                    hi_id = _I32MAX if is_min else _I32MIN
+                    hi_m = jnp.where(eq, hi, hi_id)
+                    if is_min:
+                        m_hi = jnp.min(hi_m, axis=0, keepdims=True)
+                    else:
+                        m_hi = jnp.max(hi_m, axis=0, keepdims=True)
+                    lo_sel = jnp.where((hi_m == m_hi) & eq, lo, hi_id)
+                    if is_min:
+                        m_lo = jnp.min(lo_sel, axis=0, keepdims=True)
+                    else:
+                        m_lo = jnp.max(lo_sel, axis=0, keepdims=True)
+                    # combine with chunk partial (same lex order)
+                    p_hi, p_lo = parts[i]
+                    if is_min:
+                        take = (m_hi < p_hi) | ((m_hi == p_hi) &
+                                                (m_lo < p_lo))
+                    else:
+                        take = (m_hi > p_hi) | ((m_hi == p_hi) &
+                                                (m_lo > p_lo))
+                    parts[i][0] = jnp.where(take, m_hi, p_hi)
+                    parts[i][1] = jnp.where(take, m_lo, p_lo)
+                elif kind == "sumc":
+                    x = in_refs[ij][0]
+                    xb = jnp.where(eq, x[:, s:s + 1], 0)
+                    parts[i][0] = parts[i][0] + jnp.sum(
+                        xb, axis=0, keepdims=True, dtype=jnp.int32)
+                else:
+                    x = in_refs[ij][0]
+                    ident = jnp.asarray(_DG_IDENT[kind], dtype=x.dtype)
+                    xb = jnp.where(eq, x[:, s:s + 1], ident)
+                    if kind == "sum":
+                        parts[i][0] = parts[i][0] + jnp.sum(
+                            xb, axis=0, keepdims=True, dtype=x.dtype)
+                    elif kind == "count":
+                        parts[i][0] = parts[i][0] + jnp.sum(
+                            xb, axis=0, keepdims=True, dtype=jnp.int32)
+                    elif kind in ("min", "imin"):
+                        parts[i][0] = jnp.minimum(
+                            parts[i][0],
+                            jnp.min(xb, axis=0, keepdims=True))
+                    else:                                  # max / imax
+                        parts[i][0] = jnp.maximum(
+                            parts[i][0],
+                            jnp.max(xb, axis=0, keepdims=True))
+                ij += ni
         rows_ref[:, blk] += rows_acc
+        oj = 0
         for i, kind in enumerate(kinds):
-            if kind in ("sum", "count"):
-                out_refs[i][:, blk] += accs[i]
+            if kind == "sumc":
+                # u32-wrap add with carry detection (signed-bias trick:
+                # unsigned overflow <=> (new ^ MIN) < (old ^ MIN))
+                lo_old = out_refs[oj][:, blk]
+                lo_new = lo_old + parts[i][0]   # i32 wraps = u32 wrap
+                carry = ((lo_new ^ _I32MIN) <
+                         (lo_old ^ _I32MIN)).astype(jnp.int32)
+                out_refs[oj][:, blk] = lo_new
+                out_refs[oj + 1][:, blk] = out_refs[oj + 1][:, blk] + carry
+            elif kind in ("imin64", "imax64"):
+                a_hi = out_refs[oj][:, blk]
+                a_lo = out_refs[oj + 1][:, blk]
+                m_hi, m_lo = parts[i]
+                if kind == "imin64":
+                    take = (m_hi < a_hi) | ((m_hi == a_hi) &
+                                            (m_lo < a_lo))
+                else:
+                    take = (m_hi > a_hi) | ((m_hi == a_hi) &
+                                            (m_lo > a_lo))
+                out_refs[oj][:, blk] = jnp.where(take, m_hi, a_hi)
+                out_refs[oj + 1][:, blk] = jnp.where(take, m_lo, a_lo)
+            elif kind in ("sum", "count"):
+                out_refs[oj][:, blk] += parts[i][0]
             elif kind in ("min", "imin"):
-                out_refs[i][:, blk] = jnp.minimum(out_refs[i][:, blk],
-                                                  accs[i])
+                out_refs[oj][:, blk] = jnp.minimum(out_refs[oj][:, blk],
+                                                   parts[i][0])
             else:
-                out_refs[i][:, blk] = jnp.maximum(out_refs[i][:, blk],
-                                                  accs[i])
+                out_refs[oj][:, blk] = jnp.maximum(out_refs[oj][:, blk],
+                                                   parts[i][0])
+            oj += _DG_ARITY[kind][1]
 
 
 @functools.partial(jax.jit, static_argnames=("kinds", "G"))
@@ -232,12 +337,15 @@ def dense_group_reduce(gid: jax.Array, inputs, kinds: tuple, G: int):
     n = gid.shape[0]
     C = _DG_CHUNK
     assert G % _DG_LANES == 0, G
+    assert len(inputs) == sum(_DG_ARITY[k][0] for k in kinds), \
+        (len(inputs), kinds)
     pad = (-n) % C
     if pad:
         gid = jnp.concatenate([gid, jnp.full((pad,), -1, jnp.int32)])
+        # pad values are never read (gid -1 fails every slot match)
         inputs = tuple(
-            jnp.concatenate([x, jnp.full((pad,), _DG_IDENT[k], x.dtype)])
-            for x, k in zip(inputs, kinds))
+            jnp.concatenate([x, jnp.zeros((pad,), x.dtype)])
+            for x in inputs)
     T = (n + pad) // C
     S = C // _DG_LANES
 
@@ -250,10 +358,18 @@ def dense_group_reduce(gid: jax.Array, inputs, kinds: tuple, G: int):
     out_shapes = [jax.ShapeDtypeStruct((1, G), jnp.int32)]
     out_specs = [pl.BlockSpec((1, G), lambda i: _iz(0, 0),
                               memory_space=pltpu.VMEM)]
-    for x in inputs:
-        out_shapes.append(jax.ShapeDtypeStruct((1, G), x.dtype))
-        out_specs.append(pl.BlockSpec((1, G), lambda i: _iz(0, 0),
-                                      memory_space=pltpu.VMEM))
+    ij = 0
+    for k in kinds:
+        ni, no = _DG_ARITY[k]
+        if k in ("sumc", "imin64", "imax64"):
+            dts = [jnp.int32] * no
+        else:
+            dts = [inputs[ij].dtype]
+        for dt_ in dts:
+            out_shapes.append(jax.ShapeDtypeStruct((1, G), dt_))
+            out_specs.append(pl.BlockSpec((1, G), lambda i: _iz(0, 0),
+                                          memory_space=pltpu.VMEM))
+        ij += ni
     in_specs = [pl.BlockSpec((1, _DG_LANES, S), lambda i: _iz(i, 0, 0),
                              memory_space=pltpu.VMEM)] * (1 + len(inputs))
     outs = pl.pallas_call(

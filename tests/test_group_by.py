@@ -426,8 +426,10 @@ def test_dense_group_by_matches_pyarrow_and_sort_path():
                         AggregateSpec("max", "v"), AggregateSpec("mean", "v"),
                         AggregateSpec("count", "v"),
                         AggregateSpec("count_all")], max_groups=2048)
-    cfg = ha.dense_probe(b)
-    assert cfg is not None and cfg["G"] == 1024
+    import jax
+    vals_dev = jax.device_get(jax.jit(ha.probe_scalars)(b))
+    kind, cfg = ha.probe_route(b, vals_dev)
+    assert kind == "dense" and cfg["G"] == 1024
     st = ha.consume_dense(ha.init_state(), b, np.int64(cfg["lo"]), cfg["G"])
     out = ha.finalize(st).to_pyarrow()
     got = pa.table({c: out[c] for c in out.column_names}).sort_by(
@@ -467,3 +469,78 @@ def test_dense_group_by_mixed_stream_and_plan():
     assert got["count_all"].to_pylist() == want["count_all"].to_pylist()
     for a, w in zip(got["v_sum"].to_pylist(), want["v_sum"].to_pylist()):
         assert abs(a - w) < 1e-2 + 1e-4 * abs(w)
+
+
+
+def test_dense_group_by_int64_values_exact():
+    """Round-4 dense widening: int64 sum/min/max run through the dense
+    kernel's limb/pair reductions and must be EXACT (the sums via
+    16-bit-limb u32-wrap+carry accumulators, mod 2^64)."""
+    import numpy as np
+    import pyarrow as pa
+    import jax
+    import arrow_tpu as at
+    from arrow_tpu.ops.hash_aggregate import AggregateSpec, HashAggregate
+
+    rng = np.random.default_rng(11)
+    n = 15000
+    keys = rng.integers(0, 300, n)
+    vals = rng.integers(-(1 << 62), 1 << 62, n, dtype=np.int64)
+    pv = pa.array(vals, mask=rng.random(n) < 0.08)
+    t = pa.table({"k": pa.array(keys), "v": pv})
+    want = t.group_by("k").aggregate(
+        [("v", "sum"), ("v", "min"), ("v", "max"), ([], "count_all")]
+    ).sort_by([("k", "ascending")])
+
+    b = at.Batch.from_pyarrow(pa.record_batch(
+        {"k": pa.array(keys), "v": pv}))
+    ha = HashAggregate(b.schema, ["k"],
+                       [AggregateSpec("sum", "v"),
+                        AggregateSpec("min", "v"),
+                        AggregateSpec("max", "v"),
+                        AggregateSpec("count_all")], max_groups=1024)
+    vals_dev = jax.device_get(jax.jit(ha.probe_scalars)(b))
+    kind, cfg = ha.probe_route(b, vals_dev)
+    assert kind == "dense", kind
+    st = ha.consume_dense(ha.init_state(), b, np.int64(cfg["lo"]),
+                          cfg["G"])
+    out = ha.finalize(st).to_pyarrow()
+    got = pa.table({c: out[c] for c in out.column_names}).sort_by(
+        [("k", "ascending")])
+    for c in ("k", "v_sum", "v_min", "v_max", "count_all"):
+        assert got[c].to_pylist() == want[c].to_pylist(), c
+
+
+def test_dense_group_by_any_all_bool():
+    import numpy as np
+    import pyarrow as pa
+    import jax
+    import arrow_tpu as at
+    from arrow_tpu.ops.hash_aggregate import AggregateSpec, HashAggregate
+
+    rng = np.random.default_rng(13)
+    n = 8000
+    keys = rng.integers(0, 97, n)
+    vals = rng.random(n) < 0.03
+    pv = pa.array(vals, mask=rng.random(n) < 0.1)
+    t = pa.table({"k": pa.array(keys), "v": pv})
+    want = t.group_by("k").aggregate(
+        [("v", "any"), ("v", "all"), ([], "count_all")]
+    ).sort_by([("k", "ascending")])
+
+    b = at.Batch.from_pyarrow(pa.record_batch(
+        {"k": pa.array(keys), "v": pv}))
+    ha = HashAggregate(b.schema, ["k"],
+                       [AggregateSpec("any", "v"),
+                        AggregateSpec("all", "v"),
+                        AggregateSpec("count_all")], max_groups=256)
+    vals_dev = jax.device_get(jax.jit(ha.probe_scalars)(b))
+    kind, cfg = ha.probe_route(b, vals_dev)
+    assert kind == "dense", kind
+    st = ha.consume_dense(ha.init_state(), b, np.int64(cfg["lo"]),
+                          cfg["G"])
+    out = ha.finalize(st).to_pyarrow()
+    got = pa.table({c: out[c] for c in out.column_names}).sort_by(
+        [("k", "ascending")])
+    for c in ("k", "v_any", "v_all", "count_all"):
+        assert got[c].to_pylist() == want[c].to_pylist(), c

@@ -305,6 +305,31 @@ def compact_ratcheted(b: Batch, vals: list, ratchet: Optional[list]):
     return fn(b).with_index(b.index), ratchet
 
 
+class _LazyPlan:
+    """Lazy (fully-async) plan execution context.
+
+    When active, nodes skip every per-batch host synchronization that is
+    a performance heuristic rather than a correctness requirement —
+    batch compaction, bloom pre-filters, and inline overflow checks —
+    and instead REGISTER their deferred-error scalars here. The whole
+    pipeline then runs as one uninterrupted chain of async XLA
+    dispatches (each scalar fetch through the axon tunnel costs ~25ms;
+    an eager Q3 pays ~10 of them). The driver fetches every deferred
+    scalar in ONE device_get at materialization; if any fired, the plan
+    re-runs eagerly (per-batch recovery paths intact) — lazy runs are
+    pure, so the fallback is always safe."""
+
+    def __init__(self):
+        self.active = False
+        self.deferred: list = []    # (label, device scalar)
+
+    def defer(self, label: str, scalar) -> None:
+        self.deferred.append((label, scalar))
+
+
+LAZY = _LazyPlan()
+
+
 def maybe_compact(b: Batch, vals: Optional[list] = None) -> Batch:
     """Shrink a sparsely-filled batch to its capacity bucket — rows AND
     varlen byte pools / list child rows.
@@ -320,7 +345,7 @@ def maybe_compact(b: Batch, vals: Optional[list] = None) -> Batch:
     batch otherwise drags its full input byte pool through every
     downstream stage. Off: ARROW_TPU_NO_COMPACT=1."""
     import os
-    if os.environ.get("ARROW_TPU_NO_COMPACT"):
+    if os.environ.get("ARROW_TPU_NO_COMPACT") or LAZY.active:
         return b
     from ..core.interop import pad_capacity
     for leaf in jax.tree_util.tree_leaves(b):
@@ -716,6 +741,18 @@ class AggregateNode(ExecNode):
                     kept_bytes += batch_device_bytes(b)
                     if kept_bytes > budget:
                         kept = None   # too big to replay; raise on overflow
+            if LAZY.active:
+                from ..ops.grouper import SlotStrings
+                LAZY.defer("aggregate group table", state[0].error)
+                for agg, st in zip(self.ha._aggregators, state[1]):
+                    if hasattr(agg, "error_flag"):
+                        LAZY.defer(f"aggregate {agg.name}",
+                                   agg.error_flag(st))
+                for u in (state[2] or ()):
+                    if isinstance(u, SlotStrings):
+                        LAZY.defer("aggregate key slot", u.error)
+                yield maybe_compact(self._finalize(state).with_index(0))
+                return
             err = int(np.asarray(jax.device_get(state[0].error)))
             while err and kept is not None and \
                     self._max_groups * 2 <= (1 << 26):
@@ -1145,8 +1182,12 @@ class HashJoinNode(ExecNode):
         doubling is one new cached compile per bucket. The overflow flag
         and the output's compaction scalars come back in ONE device_get;
         the prefetched scalars ride into maybe_compact so the caller
-        doesn't sync again."""
+        doesn't sync again. Lazy plans defer the overflow flag instead
+        of blocking (the driver re-runs eagerly if it fired)."""
         out, bs2 = self._probe(bs, b, fanout, impl)
+        if LAZY.active:
+            LAZY.defer("hashjoin fanout", bs2.error)
+            return out, bs2, None
         while True:
             scalars = [bs2.error] + (compact_scalars(out)
                                      if out is not None else [])
@@ -1193,7 +1234,8 @@ class HashJoinNode(ExecNode):
         # little as the bloom mask itself, and skipping bloom saves two
         # ~25ms host round-trips per probe batch.
         bits = self._bloom_build(bs) \
-            if (self._bloom_kind is not None and impl != "packed") else None
+            if (self._bloom_kind is not None and impl != "packed"
+                and not LAZY.active) else None
         seen = passed = 0
         i = 0
         for b in materialized_stream(self.inputs[0]):

@@ -85,7 +85,53 @@ class Declaration:
                 yield b
         return gen()
 
-    def to_table(self, stop_token=None) -> Table:
+    def _auto_lazy(self) -> bool:
+        """True when every source is a single-batch device table — the
+        single-morsel plan shape where the fully-async lazy driver is
+        strictly better (no compaction or inline checks needed)."""
+        from ..core.table import Table as _T
+        if self.factory_name == "table_source":
+            t = getattr(self.options, "table", None)
+            if isinstance(t, _T):
+                return len(t.batches) <= 1
+            return False
+        if not self.inputs:
+            return False
+        if getattr(self.options, "dist", None) is not None:
+            return False
+        return all(d._auto_lazy() for d in self.inputs)
+
+    def to_table(self, stop_token=None, lazy=None) -> Table:
+        import os
+        from . import nodes as _n
+        env = os.environ.get("ARROW_TPU_LAZY_PLAN")
+        if lazy is None:
+            lazy = env == "1" or (env != "0" and self._auto_lazy())
+        if lazy and not _n.LAZY.active:
+            # fully-async run: zero per-batch host syncs; every deferred
+            # overflow scalar fetched in ONE device_get at the end. A
+            # fired check re-runs eagerly (lazy runs are pure).
+            _n.LAZY.active = True
+            _n.LAZY.deferred = []
+            try:
+                t = self._to_table_eager(stop_token)
+                if _n.LAZY.deferred:
+                    import numpy as _np
+                    vals = jax.device_get(
+                        [s for _, s in _n.LAZY.deferred])
+                    fired = any(int(_np.asarray(v)) for v in vals)
+                else:
+                    fired = False
+            finally:
+                _n.LAZY.active = False
+                _n.LAZY.deferred = []
+            if not fired:
+                return t
+            # deferred overflow: the eager driver's per-batch recovery
+            # (fanout doubling, group-table growth) handles it
+        return self._to_table_eager(stop_token)
+
+    def _to_table_eager(self, stop_token=None) -> Table:
         from ..utils.tracing import trace_span
         node = self._build()
         batches = []

@@ -433,7 +433,9 @@ def bench_q3(dev):
             .sort_by([("rev_sum", "descending"),
                       ("o_orderdate", "ascending")]).slice(0, 10)
 
-    pa_sec = _time_host(pa_run, reps=1)
+    # reps>=3: the host-CPU oracle swung 4.7M<->15.6M rows/s at reps=1
+    # (VERDICT r3 weak #2); best-of-3 pins the comparison
+    pa_sec = _time_host(pa_run, reps=3)
 
     def make_decl():
         co = Declaration("hashjoin", HashJoinNodeOptions(

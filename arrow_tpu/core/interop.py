@@ -428,12 +428,74 @@ def batch_to_pyarrow(b: Batch):
     return pa.RecordBatch.from_arrays(cols, schema=b.schema.to_pyarrow())
 
 
+# per-batch varlen byte-pool ceiling: device offsets are int32
+# (``array/array_binary.h:179`` Large* types carry 64-bit offsets; on
+# device the engine instead ENFORCES that every batch's pool fits 31
+# bits and auto-splits oversized morsels at ingest — the documented
+# chunking contract for >2 GB columns). Overridable for tests.
+_MAX_POOL_BYTES = int(__import__("os").environ.get(
+    "ARROW_TPU_MAX_POOL_BYTES", str((1 << 31) - (1 << 20))))
+
+
+def _split_for_pools(rb, limit: int):
+    """Split a record batch so every varlen column's byte pool fits
+    ``limit`` bytes: one O(n) pass over per-row byte lengths (prefix
+    sums from the offsets buffers), then greedy cuts at the last row
+    that keeps every column under the limit."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    n = rb.num_rows
+    cums = []
+    for col in rb.columns:
+        t = col.type
+        if pa.types.is_string(t) or pa.types.is_binary(t) or \
+                pa.types.is_large_string(t) or \
+                pa.types.is_large_binary(t):
+            lens = pc.binary_length(col).cast(pa.int64()).fill_null(0)
+            cums.append(np.concatenate(
+                [[0], np.cumsum(lens.to_numpy(zero_copy_only=False))]))
+    if not cums or all(c[-1] <= limit for c in cums):
+        return [rb]
+    out = []
+    start = 0
+    while start < n:
+        # furthest end where every column's bytes stay under the limit
+        end = n
+        for c in cums:
+            e = int(np.searchsorted(c, c[start] + limit, side="right")) - 1
+            end = min(end, e)
+        if end <= start:
+            end = start + 1   # single row over the limit: let interop
+            #                   raise its capacity error downstream
+        out.append(rb.slice(start, end - start))
+        start = end
+    return out
+
+
 def table_from_pyarrow(pa_table, max_rows_per_batch: Optional[int] = None,
                        capacity: Optional[int] = None) -> Table:
+    import pyarrow as pa
     if max_rows_per_batch is None:
         max_rows_per_batch = 1 << 15  # ExecPlan::kMaxBatchSize analog
     pa_table = pa_table.combine_chunks()
+    has_varlen = any(
+        pa.types.is_string(f.type) or pa.types.is_binary(f.type) or
+        pa.types.is_large_string(f.type) or pa.types.is_large_binary(f.type)
+        for f in pa_table.schema)
     batches: List[Batch] = []
     for rb in pa_table.to_batches(max_chunksize=max_rows_per_batch):
-        batches.append(batch_from_pyarrow(rb, capacity=capacity))
+        pieces = _split_for_pools(rb, _MAX_POOL_BYTES) if has_varlen \
+            else [rb]
+        for piece in pieces:
+            if piece.num_rows == 0:
+                continue
+            # rebase sliced offsets so interop sees offset-0 arrays
+            if len(pieces) > 1:
+                piece = pa.record_batch(
+                    [pa.concat_arrays([c]) for c in piece.columns],
+                    schema=piece.schema)
+            batches.append(batch_from_pyarrow(piece, capacity=capacity))
+    if not batches:
+        for rb in pa_table.to_batches(max_chunksize=max_rows_per_batch):
+            batches.append(batch_from_pyarrow(rb, capacity=capacity))
     return Table(Schema.from_pyarrow(pa_table.schema), batches)

@@ -358,11 +358,14 @@ def bench_host_boundary(dev):
     pa_sec = _time_host(pa_run, reps=3)
 
     batch = at.Batch.from_pyarrow(rb).device_put(dev)
+    # the engine always jits its stages (FilterNode); an unjitted
+    # filter_batch here ran ~50 eager dispatches through the tunnel
+    fb = jax.jit(filter_batch)
 
     def run(_s):
         m = call_function("match_substring_regex", [batch.column(0)],
                           MatchSubstringOptions(pattern))
-        out = filter_batch(batch, m)
+        out = fb(batch, m)
         return out.column(1).values[::8191].astype(np.float32).sum() + \
             out.length.astype(np.float32)
 

@@ -347,6 +347,15 @@ def maybe_compact(b: Batch, vals: Optional[list] = None) -> Batch:
     import os
     if os.environ.get("ARROW_TPU_NO_COMPACT") or LAZY.active:
         return b
+    # Each compaction decision costs one ~25ms device_get RTT through the
+    # axon tunnel; below this capacity the downstream work it could save
+    # is smaller than the sync itself. Also skip batches a prior node
+    # already compacted (the flag is host-side metadata).
+    if b.capacity <= int(os.environ.get("ARROW_TPU_COMPACT_MIN",
+                                        str(1 << 20))):
+        return b
+    if getattr(b, "_compacted", False):
+        return b
     from ..core.interop import pad_capacity
     for leaf in jax.tree_util.tree_leaves(b):
         s = getattr(leaf, "sharding", None)
@@ -370,6 +379,7 @@ def maybe_compact(b: Batch, vals: Optional[list] = None) -> Batch:
         j, s = _slice_targets(b.column(i), vals, j, targets)
         pool_shrink = pool_shrink or s
     if target * 2 > b.capacity and not pool_shrink:
+        b._compacted = True   # decision made; spare downstream the RTT
         return b
 
     def run(bb: Batch) -> Batch:
@@ -380,7 +390,9 @@ def maybe_compact(b: Batch, vals: Optional[list] = None) -> Batch:
 
     fn = cached_stage(("compact", b.schema, b.capacity, target,
                        tuple(targets)), lambda: jax.jit(run))
-    return fn(b).with_index(b.index)
+    out = fn(b).with_index(b.index)
+    out._compacted = True
+    return out
 
 
 def _compact_take(b: Batch) -> Batch:

@@ -89,7 +89,7 @@ class Declaration:
         """True when every source is a single-batch device table — the
         single-morsel plan shape where the fully-async lazy driver is
         strictly better (no compaction or inline checks needed)."""
-        from ..core.table import Table as _T
+        from ..core.batch import Table as _T
         if self.factory_name == "table_source":
             t = getattr(self.options, "table", None)
             if isinstance(t, _T):
@@ -106,7 +106,12 @@ class Declaration:
         from . import nodes as _n
         env = os.environ.get("ARROW_TPU_LAZY_PLAN")
         if lazy is None:
-            lazy = env == "1" or (env != "0" and self._auto_lazy())
+            # measured on v5e through the axon relay (round 4): the
+            # fully-async lazy chain ran ~1.6x SLOWER than eager+
+            # gated-compaction on the Q3 plan (long uninterrupted
+            # dispatch chains sit badly with the relay), so lazy is
+            # explicit opt-in rather than auto
+            lazy = env == "1"
         if lazy and not _n.LAZY.active:
             # fully-async run: zero per-batch host syncs; every deferred
             # overflow scalar fetched in ONE device_get at the end. A

@@ -27,7 +27,7 @@ __all__ = ["Batch", "Table", "batch", "table"]
 class Batch:
     """An ordered set of equal-length Arrays + shared dynamic length."""
 
-    __slots__ = ("schema", "arrays", "length", "index")
+    __slots__ = ("schema", "arrays", "length", "index", "_compacted")
 
     def __init__(self, schema: Schema, arrays: Sequence[Array], length=None,
                  index: int = -1):

@@ -206,6 +206,9 @@ def _dense_group_kernel(gid_ref, *refs, kinds, G):
     # (elements x slots) mask has elements on sublanes, slots on lanes,
     # so per-slot reductions are lane-preserving axis-0 sums.
     gid = gid_ref[0]                                      # (128, S) int32
+    xs = [r[0] for r in in_refs]      # load each block ONCE (hoisting
+    #                                   this out of the per-block loops
+    #                                   is worth ~2x — round-4 regression)
     slot_row = jax.lax.broadcasted_iota(jnp.int32, (1, _DG_LANES), 1)
     for gb in range(G // _DG_LANES):
         slots = slot_row + gb * _DG_LANES
@@ -223,7 +226,7 @@ def _dense_group_kernel(gid_ref, *refs, kinds, G):
             elif kind in ("count", "sumc"):
                 parts.append([jnp.zeros((1, _DG_LANES), jnp.int32)])
             else:       # sum/min/max/imin/imax: the op identity
-                x = in_refs[ij][0]
+                x = xs[ij]
                 parts.append([jnp.full((1, _DG_LANES), _DG_IDENT[kind],
                                        dtype=x.dtype)])
             ij += ni
@@ -236,8 +239,8 @@ def _dense_group_kernel(gid_ref, *refs, kinds, G):
                 ni = _DG_ARITY[kind][0]
                 if kind in ("imin64", "imax64"):
                     is_min = kind == "imin64"
-                    hi = in_refs[ij][0][:, s:s + 1]
-                    lo = in_refs[ij + 1][0][:, s:s + 1]
+                    hi = xs[ij][:, s:s + 1]
+                    lo = xs[ij + 1][:, s:s + 1]
                     hi_id = _I32MAX if is_min else _I32MIN
                     hi_m = jnp.where(eq, hi, hi_id)
                     if is_min:
@@ -260,12 +263,11 @@ def _dense_group_kernel(gid_ref, *refs, kinds, G):
                     parts[i][0] = jnp.where(take, m_hi, p_hi)
                     parts[i][1] = jnp.where(take, m_lo, p_lo)
                 elif kind == "sumc":
-                    x = in_refs[ij][0]
-                    xb = jnp.where(eq, x[:, s:s + 1], 0)
+                    xb = jnp.where(eq, xs[ij][:, s:s + 1], 0)
                     parts[i][0] = parts[i][0] + jnp.sum(
                         xb, axis=0, keepdims=True, dtype=jnp.int32)
                 else:
-                    x = in_refs[ij][0]
+                    x = xs[ij]
                     ident = jnp.asarray(_DG_IDENT[kind], dtype=x.dtype)
                     xb = jnp.where(eq, x[:, s:s + 1], ident)
                     if kind == "sum":

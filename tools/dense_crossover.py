@@ -80,9 +80,13 @@ def main():
                         jnp.float32) + out.length.astype(jnp.float32)
                 return lax.fori_loop(0, 2, body, jnp.float32(0))
 
-            sec = timed(run, batch)
-            print(f"G={G:>6} {label:>5}: {n/sec/1e6:7.1f}M rows/s "
-                  f"({sec*1e3:.0f}ms)", flush=True)
+            try:
+                sec = timed(run, batch)
+                print(f"G={G:>6} {label:>5}: {n/sec/1e6:7.1f}M rows/s "
+                      f"({sec*1e3:.0f}ms)", flush=True)
+            except Exception as e:
+                print(f"G={G:>6} {label:>5}: FAILED "
+                      f"({type(e).__name__}: {str(e)[:120]})", flush=True)
 
 
 if __name__ == "__main__":

@@ -217,11 +217,12 @@ class HashAggregate:
     # reduction, and the per-slot partial states fold into the main state
     # through the ordinary ``merge_rows`` protocol, so sort-path and
     # dense-path batches interleave freely.
-    # max dense slots: kernel work is O(n*G); override via env for the
-    # crossover probe (tools/dense_crossover.py measures the sort-path
-    # break-even on chip)
+    # max dense slots: kernel work is O(n*G). MEASURED crossover vs the
+    # sort path on v5e (tools/dense_crossover.py, round 4, 30M rows):
+    # G=1024 dense 219M vs sort 64M; G=2048 124M vs 63M; G=4096 63.5M vs
+    # 63.2M (break-even); G=8192 41M (sort wins). Override via env.
     DENSE_CAP = int(__import__("os").environ.get(
-        "ARROW_TPU_DENSE_CAP", "8192"))
+        "ARROW_TPU_DENSE_CAP", "4096"))
     _DENSE_FNS = {"count", "count_all", "sum", "mean", "min", "max",
                   "any", "all"}
 

@@ -109,17 +109,20 @@ def _compact_kernel(sel_ref, loc_ref, cnt_ref):
     """
     sel = sel_ref[:].reshape((_SUBLANES, _LANES)).astype(jnp.float32)
     # exclusive prefix count in row-major order: lane cumsum + sublane
-    # row-offsets
-    lane_cum = jnp.cumsum(sel, axis=1)
+    # row-offsets (tri-matmuls; Mosaic has no cumsum primitive)
+    lane_cum = _tri_cumsum(sel)
     row_tot = lane_cum[:, -1:]
-    row_off = jnp.cumsum(row_tot, axis=0) - row_tot
+    row_off = _tri_cumsum(row_tot.reshape((1, _SUBLANES)),
+                          exclusive=True).reshape((_SUBLANES, 1))
     ps = (lane_cum - sel) + row_off                   # (8,128) exclusive
     flat_ps = ps.reshape((1, _TILE))
     flat_sel = sel.reshape((1, _TILE))
-    slots = jax.lax.broadcasted_iota(jnp.float32, (_TILE, _TILE), 1)
+    slots = jax.lax.broadcasted_iota(jnp.int32, (_TILE, _TILE), 1
+                                     ).astype(jnp.float32)
     onehot = ((flat_ps.reshape((_TILE, 1)) == slots) *
               flat_sel.reshape((_TILE, 1)))
-    local_iota = jax.lax.broadcasted_iota(jnp.float32, (1, _TILE), 1)
+    local_iota = jax.lax.broadcasted_iota(jnp.int32, (1, _TILE), 1
+                                          ).astype(jnp.float32)
     # HIGHEST precision: the TPU default truncates f32 dot inputs to
     # bf16, whose 8-bit mantissa cannot represent iotas > 256 exactly —
     # wrong take indices (preferred_element_type only sets the
@@ -420,6 +423,21 @@ def tile_compact_local(sel: jax.Array):
 _FC_ROWS = 256       # rows per filter-compaction tile
 
 
+def _tri_cumsum(x, exclusive: bool = False):
+    """Inclusive (or exclusive) prefix sum along the LAST axis via a
+    triangular-ones matmul — Mosaic has no cumsum lowering, but a
+    (w, w) f32 triangular dot is a handful of MXU cycles and exact for
+    the small counts involved (<= tile rows < 2^24)."""
+    w = x.shape[-1]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (w, w), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (w, w), 1)
+    tri = (rows < cols if exclusive else rows <= cols).astype(jnp.float32)
+    return jax.lax.dot_general(
+        x.astype(jnp.float32), tri, (((x.ndim - 1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)
+
+
 def _filter_dma_kernel(starts_ref, sel_ref, chunks_ref, out_ref,
                        scratch, sem):
     """Single-pass filter compaction: local one-hot-MXU compact + one
@@ -442,21 +460,27 @@ def _filter_dma_kernel(starts_ref, sel_ref, chunks_ref, out_ref,
     R = _FC_ROWS
     S = R // _LANES
     sel = sel_ref[0].astype(jnp.float32)               # (S, 128)
-    # exclusive prefix count in row-major order
-    lane_cum = jnp.cumsum(sel, axis=1)
+    # exclusive prefix count in row-major order (tri-matmul cumsums:
+    # Mosaic has no cumsum primitive)
+    lane_cum = _tri_cumsum(sel)
     row_tot = lane_cum[:, -1:]
-    row_off = jnp.cumsum(row_tot, axis=0) - row_tot
+    row_off = _tri_cumsum(row_tot.reshape((1, S)),
+                          exclusive=True).reshape((S, 1))
     ps = (lane_cum - sel) + row_off                    # (S, 128) exclusive
     ps_flat = ps.reshape((1, R))
     sel_flat = sel.reshape((1, R))
     # oh[p, i] = selected row i lands in output slot p
-    slot = jax.lax.broadcasted_iota(jnp.float32, (R, R), 0)
+    slot = jax.lax.broadcasted_iota(jnp.int32, (R, R), 0).astype(
+        jnp.float32)
     oh = ((ps_flat == slot) * sel_flat).astype(jnp.bfloat16)   # (R, R)
-    chunks = chunks_ref[0].astype(jnp.bfloat16)        # (R, C) u8 planes
+    # u8 -> i32 -> bf16: Mosaic has no direct u8->bf16 cast
+    chunks = chunks_ref[0].astype(jnp.int32).astype(
+        jnp.bfloat16)                                  # (R, C) u8 planes
     compacted = jax.lax.dot_general(
         oh, chunks, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)            # exact: <=1 term
-    scratch[:] = compacted.astype(jnp.uint8)
+    # f32 -> i32 -> u8 (no direct f32->u8 cast in Mosaic)
+    scratch[:] = compacted.astype(jnp.int32).astype(jnp.uint8)
     start = starts_ref[t]
     copy = pltpu.make_async_copy(
         scratch, out_ref.at[pl.ds(start, R)], sem)

@@ -547,13 +547,17 @@ def _filter_batch_dma(b: Batch, mask: Array,
     columns, capacity not tile-aligned) — caller falls back to the
     sort path."""
     cap = b.capacity
-    if cap % _DMA_TILE != 0 or cap < _DMA_TILE:
+    if cap < _DMA_TILE:
         return None
     for i in range(b.num_columns):
         a = b.column(i)
         if a.type.is_varlen or a.type.is_nested:
             return None
     sel, emit_valid, out_len = _selection_mask(mask, null_selection)
+    pad = (-cap) % _DMA_TILE
+    if pad:
+        # tile-align by padding unselected rows; outputs slice back
+        sel = jnp.concatenate([sel, jnp.zeros((pad,), jnp.bool_)])
 
     planes = []
     layout = []  # (col, kind, n_bytes, dtype)
@@ -578,7 +582,10 @@ def _filter_batch_dma(b: Batch, mask: Array,
     from .pallas_kernels import filter_compact_chunks
     chunks = jnp.concatenate(planes, axis=1) if planes else \
         jnp.zeros((cap, 0), jnp.uint8)
-    out = filter_compact_chunks(sel, chunks)
+    if pad:
+        chunks = jnp.concatenate(
+            [chunks, jnp.zeros((pad, chunks.shape[1]), jnp.uint8)])
+    out = filter_compact_chunks(sel, chunks)[:cap]
 
     pos = 0
     results = {}

@@ -127,6 +127,18 @@ def _via_pc(name: str, a: Array, pc_options, fallback):
     from ..core.array import array as make_array
     from .selection import take_array
 
+    import os
+    import time as _time
+    _dbg = os.environ.get("ARROW_TPU_HB_DEBUG")
+    _t0 = _time.perf_counter()
+
+    def _mark(label):
+        nonlocal _t0
+        if _dbg:
+            now = _time.perf_counter()
+            print(f"    hb {label}: {(now - _t0)*1e3:.1f}ms", flush=True)
+            _t0 = now
+
     codes = uniq_pa = None
     uniq_cap = 0
     if isinstance(a.type, dt.DictionaryType) and a.dictionary is not None \
@@ -143,29 +155,41 @@ def _via_pc(name: str, a: Array, pc_options, fallback):
         # host_boundary bottleneck); only the <=R unique slots (~64KB)
         # cross to the host for RE2
         c_dev, n_dev, slots_dev, lens_dev, err_dev = _pushdown_encode(a)
+        _mark("encode dispatch")
         n, slots, lens, err = jax.device_get(
             (n_dev, slots_dev, lens_dev, err_dev))
+        _mark("slots fetch")
         n = int(n)
         if n <= _PUSHDOWN_MAX_DISTINCT and not int(err):
             uniq_cap = _PUSHDOWN_MAX_DISTINCT
-            if isinstance(a.type, dt.BinaryType):
-                uniq_pa = pa.array(
-                    [slots[i, :lens[i]].tobytes() for i in range(n)],
-                    type=pa.binary())
-            else:
-                uniq_pa = pa.array(
-                    [slots[i, :lens[i]].tobytes().decode(
-                        "utf-8", errors="surrogateescape")
-                     for i in range(n)], type=pa.string())
+            # vectorized slots -> pyarrow varlen (the per-row python
+            # loop here was the host_boundary bench's largest single
+            # cost — round-4 hb_probe)
+            W = slots.shape[1]
+            ln = np.minimum(np.asarray(lens[:n], dtype=np.int64), W)
+            keep = np.arange(W, dtype=np.int64)[None, :] < ln[:, None]
+            pool = np.ascontiguousarray(np.asarray(slots[:n])[keep])
+            offs = np.zeros((n + 1,), np.int32)
+            np.cumsum(ln, out=offs[1:])
+            ptype = pa.binary() if isinstance(a.type, dt.BinaryType) \
+                else pa.string()
+            cls = pa.BinaryArray if isinstance(a.type, dt.BinaryType) \
+                else pa.StringArray
+            uniq_pa = cls.from_buffers(
+                n, pa.py_buffer(offs.tobytes()),
+                pa.py_buffer(pool.tobytes()))
             codes = Array(dt.int32, c_dev, a.validity,
                           length=a.length)
 
     if codes is not None:
+        _mark("slots->pa")
         try:
             uniq_out = getattr(pc, name)(uniq_pa, options=pc_options)
         except Exception:
             return fallback()
+        _mark("host regex")
         uniq_arr = make_array(uniq_out, capacity=uniq_cap)
+        _mark("uniq upload")
         grow = 1
         if uniq_arr.type.is_varlen:
             # fanout take: every output row may repeat the LONGEST unique
@@ -177,7 +201,9 @@ def _via_pc(name: str, a: Array, pc_options, fallback):
                 max_len = _PUSHDOWN_SLOT_BYTES
             pool = max(int(uniq_arr.values.shape[0]), 1)
             grow = max(1, -(-codes.capacity * max(max_len, 1) // pool))
-        return _pushdown_take(uniq_arr, codes, grow)
+        out = _pushdown_take(uniq_arr, codes, grow)
+        _mark("codes take dispatch")
+        return out
 
     try:
         out = getattr(pc, name)(array_to_pyarrow(a), options=pc_options)

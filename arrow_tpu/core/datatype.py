@@ -376,15 +376,22 @@ class DurationType(DataType):
 
 @dataclass(frozen=True)
 class DecimalType(DataType):
-    """decimal128 stored as scaled int64 on device (precision <= 18 only in
-    round 1); full 128-bit via dual-limb representation is future work."""
+    """decimal128/decimal256 stored as SCALED int64 on device.
+
+    The device representation holds the scaled integer in one int64
+    lane; interop verifies every (valid) value is representable and
+    raises otherwise (``array/array_decimal.h:71`` is the reference
+    layout; values beyond +-2^63 scaled units need the future multi-limb
+    representation). ``bits`` records the WIRE width (128 or 256) so
+    round trips re-emit the original Arrow type."""
 
     precision: int
     scale: int
+    bits: int = 128
 
     @property
     def id(self) -> str:
-        return f"decimal128({self.precision}, {self.scale})"
+        return f"decimal{self.bits}({self.precision}, {self.scale})"
 
     @property
     def storage_np(self) -> np.dtype:
@@ -756,6 +763,8 @@ def to_pyarrow_type(t: DataType):
     if isinstance(t, DurationType):
         return pa.duration(t.unit)
     if isinstance(t, DecimalType):
+        if t.bits == 256:
+            return pa.decimal256(t.precision, t.scale)
         return pa.decimal128(t.precision, t.scale)
     if isinstance(t, MonthIntervalType):
         # pyarrow<=25 exposes NO python constructor/wrapper for
@@ -840,7 +849,8 @@ def from_pyarrow_type(pt) -> DataType:
     if pat.is_duration(pt):
         return DurationType(pt.unit)
     if pat.is_decimal(pt):
-        return DecimalType(pt.precision, pt.scale)
+        bits = 256 if pat.is_decimal256(pt) else 128
+        return DecimalType(pt.precision, pt.scale, bits)
     if pat.is_interval(pt):
         if pt.equals(pa.month_day_nano_interval()):
             return month_day_nano_interval

@@ -77,6 +77,28 @@ def _primitive_values(pa_arr, t: dt.DataType, n: int) -> np.ndarray:
         raw = np.frombuffer(buf, dtype=np.uint8)
         start = pa_arr.offset * w
         return raw[start:start + n * w].reshape(n, w)
+    if isinstance(t, dt.DecimalType):
+        # wire: 16 (decimal128) / 32 (decimal256) little-endian bytes per
+        # value; device: ONE scaled int64 lane. Every VALID value must be
+        # representable in +-2^63 scaled units (the documented device
+        # decimal contract; array/array_decimal.h:71 is the wire layout)
+        words = t.bits // 64
+        raw = np.frombuffer(buf, dtype="<i8").reshape(-1, words)
+        raw = raw[pa_arr.offset:pa_arr.offset + n]
+        lo = raw[:, 0]
+        sign = lo >> 63                 # expected upper words (-1 or 0)
+        mask = _unpack_validity(pa_arr, n)
+        bad = np.zeros((n,), np.bool_)
+        for w_i in range(1, words):
+            bad |= raw[:, w_i] != sign
+        if mask is not None:
+            bad &= mask
+        if bad.any():
+            raise NotImplementedError(
+                f"decimal{t.bits}({t.precision},{t.scale}) value exceeds "
+                "the engine's 64-bit scaled-integer range (+-2^63 scaled "
+                "units); multi-limb decimals are not supported on device")
+        return np.ascontiguousarray(lo)
     npdt = t.storage_np
     raw = np.frombuffer(buf, dtype=npdt)
     return raw[pa_arr.offset:pa_arr.offset + n]
@@ -392,6 +414,19 @@ def array_to_pyarrow(arr: Array):
     if isinstance(t, dt.FixedSizeBinaryType):
         vals = np.asarray(jax.device_get(arr.values))[:n]
         data_buf = pa.py_buffer(np.ascontiguousarray(vals).tobytes())
+        return pa.Array.from_buffers(
+            pa_type, n, [validity_buf, data_buf],
+            null_count=null_count if validity_buf else 0)
+
+    if isinstance(t, dt.DecimalType):
+        vals = np.asarray(jax.device_get(arr.values))[:n].astype(
+            np.int64, copy=False)
+        words = t.bits // 64
+        wide = np.empty((n, words), dtype="<i8")
+        wide[:, 0] = vals
+        for w_i in range(1, words):
+            wide[:, w_i] = vals >> 63   # sign extension words
+        data_buf = pa.py_buffer(np.ascontiguousarray(wide).tobytes())
         return pa.Array.from_buffers(
             pa_type, n, [validity_buf, data_buf],
             null_count=null_count if validity_buf else 0)

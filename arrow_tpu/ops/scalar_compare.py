@@ -32,6 +32,10 @@ def _comparable_values(args):
         return vals
     if all(t.is_temporal for t in types) and len(set(types)) == 1:
         return [values_of(a) for a in args]
+    if all(isinstance(t, dt.DecimalType) for t in types) and \
+            len({(t.precision, t.scale) for t in types}) == 1:
+        # same (precision, scale): scaled int64 storage compares directly
+        return [values_of(a) for a in args]
     if all(isinstance(t, dt.DictionaryType) for t in types):
         raise NotImplementedError(
             "compare on dictionary: decode first (cast)")

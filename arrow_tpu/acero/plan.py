@@ -104,6 +104,16 @@ class Declaration:
     def to_table(self, stop_token=None, lazy=None) -> Table:
         import os
         from . import nodes as _n
+        # phase-fused execution for linear single-morsel plans (fuse.py):
+        # one program per pipeline segment, one device_get for all
+        # deferred errors; None -> unsupported shape or a fired overflow,
+        # both fall through to the standard driver
+        if os.environ.get("ARROW_TPU_FUSE_PLAN", "1") != "0" and \
+                not _n.LAZY.active:
+            from .fuse import try_fused_to_table
+            t = try_fused_to_table(self)
+            if t is not None:
+                return t
         env = os.environ.get("ARROW_TPU_LAZY_PLAN")
         if lazy is None:
             # measured on v5e through the axon relay (round 4): the

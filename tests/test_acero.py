@@ -321,3 +321,73 @@ def test_order_by_spill_external_sort(rng):
     # the external sort is STABLE (global __seq tiebreak through the
     # run merge), so tie order matches pyarrow's stable sort exactly
     assert got["s"].to_pylist() == exp["s"].to_pylist()
+
+
+def test_fused_plan_matches_eager(rng, monkeypatch):
+    """The phase-fused driver (acero/fuse.py, default-on for
+    single-morsel plans) must match the eager driver bit-for-bit across
+    a join->project->aggregate->order_by->fetch pipeline, and fall back
+    cleanly on deferred overflow."""
+    import os
+    import arrow_tpu as at
+    from arrow_tpu.acero import (AggregateNodeOptions, AggregateSpec,
+                                 Declaration, FetchNodeOptions,
+                                 FilterNodeOptions, HashJoinNodeOptions,
+                                 OrderByNodeOptions, ProjectNodeOptions,
+                                 TableSourceNodeOptions)
+    from arrow_tpu.compute.expressions import field, literal
+    n = 3000
+    li = pa.table({"k": pa.array(rng.integers(0, 400, n)),
+                   "x": pa.array(rng.standard_normal(n).astype(
+                       np.float32)),
+                   "d": pa.array(rng.integers(0, 100, n).astype(
+                       np.int32))})
+    rk = rng.permutation(500)[:300]
+    od = pa.table({"k2": pa.array(rk.astype(np.int64)),
+                   "y": pa.array(rng.integers(0, 7, 300).astype(
+                       np.int32))})
+    li_dev = at.Table.from_pyarrow(li, max_rows_per_batch=1 << 20)
+    od_dev = at.Table.from_pyarrow(od, max_rows_per_batch=1 << 20)
+
+    def make():
+        return Declaration.from_sequence([
+            Declaration("hashjoin", HashJoinNodeOptions(
+                "inner", left_keys=["k"], right_keys=["k2"],
+                left_output=["k", "x"], right_output=["y"],
+                max_build_rows=1 << 10),
+                inputs=[Declaration.from_sequence([
+                    Declaration("table_source",
+                                TableSourceNodeOptions(li_dev)),
+                    Declaration("filter", FilterNodeOptions(
+                        field("d") > literal(20)))]),
+                    Declaration("table_source",
+                                TableSourceNodeOptions(od_dev))]),
+            Declaration("project", ProjectNodeOptions(
+                [field("k"), field("x") * 2.0, field("y")],
+                ["k", "x2", "y"])),
+            Declaration("aggregate", AggregateNodeOptions(
+                [AggregateSpec("sum", "x2"), AggregateSpec("count_all")],
+                keys=["y"], max_groups=64)),
+            Declaration("order_by", OrderByNodeOptions(
+                [("x2_sum", "descending")])),
+            Declaration("fetch", FetchNodeOptions(1, 4)),
+        ])
+
+    t_fused = make().to_table().to_pyarrow()
+    monkeypatch.setenv("ARROW_TPU_FUSE_PLAN", "0")
+    t_eager = make().to_table().to_pyarrow()
+    assert t_fused.equals(t_eager)
+    monkeypatch.delenv("ARROW_TPU_FUSE_PLAN")
+
+    # deferred fanout overflow: fused run detects and falls back to the
+    # eager driver's doubling recovery — same answer, no error
+    d2 = Declaration("hashjoin", HashJoinNodeOptions(
+        "inner", left_keys=["k"], right_keys=["k2"],
+        max_build_rows=1 << 10, fanout_capacity=32),
+        inputs=[Declaration("table_source",
+                            TableSourceNodeOptions(li_dev)),
+                Declaration("table_source",
+                            TableSourceNodeOptions(od_dev))])
+    got = d2.to_table().num_rows
+    monkeypatch.setenv("ARROW_TPU_FUSE_PLAN", "0")
+    assert d2.to_table().num_rows == got

@@ -88,7 +88,8 @@ def _chain(node, sig: list):
         bsig: list = []
         bargs, bfn = _chain(node.inputs[1], bsig)
         bkey = ("fusedbuild", tuple(bsig))
-        bjit = cached_stage(bkey, lambda: jax.jit(
+        from .nodes import checked_jit
+        bjit = cached_stage(bkey, lambda: checked_jit(
             lambda *a: bfn(*a)[0]))
         build_in = bjit(*bargs)
         bs, impl = node._build_recover(build_in)
@@ -169,7 +170,8 @@ def try_fused_to_table(decl) -> Optional[Table]:
     except _Unsupported:
         return None
     key = ("fusedplan", tuple(sig))
-    jfn = cached_stage(key, lambda: jax.jit(lambda *a: fn(*a)))
+    from .nodes import checked_jit
+    jfn = cached_stage(key, lambda: checked_jit(lambda *a: fn(*a)))
     out, errs = jfn(*args)
     fetch = list(errs) + [out.length]
     vals = [int(np.asarray(v)) for v in jax.device_get(fetch)]
@@ -177,4 +179,7 @@ def try_fused_to_table(decl) -> Optional[Table]:
         return None     # overflow: eager driver re-runs with recovery
     n = vals[-1]
     schema = node.output_schema()
-    return Table(schema, [out] if n > 0 else [])
+    t = Table(schema, [out] if n > 0 else [])
+    from ..utils.tracing import metrics
+    metrics.record(f"plan:{decl.factory_name}", t.num_rows, 0.0)
+    return t

@@ -109,7 +109,7 @@ class Declaration:
         # deferred errors; None -> unsupported shape or a fired overflow,
         # both fall through to the standard driver
         if os.environ.get("ARROW_TPU_FUSE_PLAN", "1") != "0" and \
-                not _n.LAZY.active:
+                not _n.LAZY.active and stop_token is None:
             from .fuse import try_fused_to_table
             t = try_fused_to_table(self)
             if t is not None:

@@ -1,27 +1,33 @@
-"""Phase-fused execution for linear single-morsel plans.
+"""Fused (whole-stage-compiled) plan execution.
 
 The eager driver dispatches each node's programs separately and pays a
 ~25ms tunnel RTT per host synchronization (~12 per TPC-H Q3 run —
-round-4 cProfile: 0.93s of a 0.96s Q3 run was device_get waits). For
-plans whose sources are single-batch device tables, the whole pipeline
-can instead run as a handful of fused programs:
+round-4 cProfile: 0.93s of a 0.96s Q3 run was device_get waits). The
+fused driver instead compiles each PIPELINE SEGMENT into one program
+and defers every data-dependent check:
 
-  * each hash join's BUILD side (itself an arbitrary supported subplan)
-    compiles into ONE program; its single host fetch doubles as the
-    packed/unique probe-impl decision (HashJoinNode._build_recover);
-  * the probe spine — source -> filters/projects -> probe(s) ->
-    aggregate consume+finalize -> top-k -> fetch — compiles into ONE
-    program with every deferred-error scalar returned alongside the
-    result, fetched in ONE device_get.
+  * a pure segment — source -> filters/projects -> join probe(s) —
+    runs as ONE program per morsel (multi-batch sources stream through
+    it with zero per-batch host syncs; overflow flags accumulate as
+    device scalars);
+  * each hash join's BUILD side executes recursively as its own fused
+    subplan; its single host fetch doubles as the packed/unique
+    probe-impl decision (HashJoinNode._build_recover);
+  * accumulators compile to state-threaded folds: aggregate consume
+    threads HashAggregate state across morsels (finalize once),
+    order_by+limit folds a running top-k, order_by concatenates then
+    sorts once;
+  * ONE device_get at materialization fetches every deferred-error
+    scalar and output length.
 
-Deferred overflow (join fanout, aggregate group table) falls back to
-the standard eager driver, whose per-batch recovery paths are intact —
-fused runs are pure, so the fallback is always safe.
+A fired deferred check (join fanout, aggregate group table, checked
+kernels) falls back to the standard eager driver, whose per-batch
+recovery paths are intact — fused runs are pure, so the fallback is
+always safe. Unsupported shapes return None likewise.
 
 This is the engine's whole-stage-codegen analog: Acero fuses pipeline
 segments into tasks (``exec_plan.h:225`` push chains); under XLA the
-fusion is literal — one compiled program per pipeline segment.
-Unsupported shapes return None and the caller uses the normal driver.
+fusion is literal — one compiled program per segment.
 """
 
 from __future__ import annotations
@@ -39,40 +45,36 @@ class _Unsupported(Exception):
     pass
 
 
-def _single_batch(node) -> Batch:
+class _Ctx:
+    def __init__(self):
+        self.errors: list = []     # deferred device scalars
+
+
+def _prefix(node, ctx: _Ctx, sig: list):
+    """Pure per-morsel segment: returns (src_batches, extra_args,
+    fn(batch, *extra) -> (Batch, errs))."""
     from . import nodes as N
-    if not isinstance(node, N.TableSourceNode):
-        raise _Unsupported(type(node).__name__)
-    t = node.table if hasattr(node, "table") else None
-    if t is None or not isinstance(t, Table) or len(t.batches) != 1:
-        raise _Unsupported("multi-batch or non-device source")
-    return t.batches[0]
-
-
-def _chain(node, sig: list):
-    """Returns (args: list, fn(*args) -> (Batch, errors tuple)).
-
-    ``sig`` accumulates a hashable cache signature (node kinds, option
-    signatures, static shapes, probe impl decisions)."""
-    from . import nodes as N
-    from .nodes import cached_stage, plan_sig
+    from .nodes import plan_sig
 
     if isinstance(node, N.TableSourceNode):
-        b = _single_batch(node)
-        sig.append(("src", b.schema, b.capacity))
-        return [b], lambda b_: (b_, ())
+        t = node.table
+        if not isinstance(t, Table) or not t.batches:
+            raise _Unsupported("non-device or empty source")
+        sig.append(("src", t.schema,
+                    tuple(b.capacity for b in t.batches)))
+        return list(t.batches), [], lambda b: (b, ())
 
     if isinstance(node, (N.FilterNode, N.ProjectNode)):
-        args, fn = _chain(node.inputs[0], sig)
+        srcs, extra, fn = _prefix(node.inputs[0], ctx, sig)
         sig.append((node.factory_name, plan_sig(
             getattr(node.options, "filter_expression", None) or
             tuple(getattr(node.options, "expressions", ())))))
         pure = node._pure
 
-        def f(*a, _fn=fn, _p=pure):
-            x, errs = _fn(*a)
+        def f(b, *ex, _fn=fn, _p=pure):
+            x, errs = _fn(b, *ex)
             return _p(x), errs
-        return args, f
+        return srcs, extra, f
 
     if isinstance(node, N.HashJoinNode):
         if getattr(node, "_dist", None) is not None:
@@ -83,103 +85,172 @@ def _chain(node, sig: list):
         from .spill import spill_budget_bytes
         if spill_budget_bytes(node.join.options) is not None:
             raise _Unsupported("spill-budgeted join")
-        # BUILD PHASE: compile + run the build subplan as one program;
-        # the recovery fetch doubles as the probe-impl decision
-        bsig: list = []
-        bargs, bfn = _chain(node.inputs[1], bsig)
-        bkey = ("fusedbuild", tuple(bsig))
-        from .nodes import checked_jit
-        bjit = cached_stage(bkey, lambda: checked_jit(
-            lambda *a: bfn(*a)[0]))
-        build_in = bjit(*bargs)
+        # BUILD PHASE: run the build subplan as its own fused plan
+        build_batches = _execute(node.inputs[1], ctx)
+        if not build_batches:
+            from .nodes import empty_batch
+            build_in = empty_batch(node.inputs[1].output_schema())
+        elif len(build_batches) == 1:
+            build_in = build_batches[0]
+        else:
+            from ..ops.concat import concat_batches
+            build_in = concat_batches(build_batches)
         bs, impl = node._build_recover(build_in)
         sig.append(("hashjoin", plan_sig(node.join.options), impl,
-                    tuple(bsig), build_in.capacity))
+                    build_in.capacity))
 
-        pargs, pfn = _chain(node.inputs[0], sig)
+        srcs, extra, fn = _prefix(node.inputs[0], ctx, sig)
         join = node.join
         fanout = join.options.fanout_capacity
-        k = len(pargs)
+        k = len(extra)
 
-        def f(*a, _fn=pfn, _join=join, _impl=impl, _fanout=fanout, _k=k):
-            x, errs = _fn(*a[:_k])
-            out, bs2 = _join.probe(a[_k], x, _fanout, _impl)
+        def f(b, *ex, _fn=fn, _join=join, _impl=impl, _fanout=fanout,
+              _k=k):
+            x, errs = _fn(b, *ex[:_k])
+            out, bs2 = _join.probe(ex[_k], x, _fanout, _impl)
             return out, errs + (bs2.error,)
-        return pargs + [bs], f
+        return srcs, extra + [bs], f
+
+    raise _Unsupported(type(node).__name__)
+
+
+def _run_pure(srcs, extra, fn, sig, ctx: _Ctx) -> List[Batch]:
+    """Stream every source morsel through the compiled segment; defer
+    the per-morsel error scalars."""
+    from .nodes import cached_stage, checked_jit
+    key = ("fusedseg", tuple(sig))
+    jfn = cached_stage(key, lambda: checked_jit(
+        lambda b, *ex: fn(b, *ex)))
+    out = []
+    for i, b in enumerate(srcs):
+        x, errs = jfn(b, *extra)
+        ctx.errors.extend(errs)
+        out.append(x.with_index(i))
+    return out
+
+
+def _execute(node, ctx: _Ctx) -> List[Batch]:
+    """Run a (sub)plan fused; returns its output batches with every
+    data-dependent check deferred into ctx.errors."""
+    from . import nodes as N
+    from .nodes import cached_stage, checked_jit, plan_sig
 
     if isinstance(node, N.AggregateNode):
         if node.ha is None or getattr(node, "_dist", None) is not None:
             raise _Unsupported("scalar/dist aggregate")
         if getattr(node.options, "segment_keys", ()):
             raise _Unsupported("segmented aggregate")
-        args, fn = _chain(node.inputs[0], sig)
-        sig.append(("aggregate", plan_sig(node.options.aggregates),
-                    tuple(node.options.keys), node._max_groups))
+        sig: list = []
+        srcs, extra, fn = _prefix(node.inputs[0], ctx, sig)
         ha = node.ha
+        key = ("fusedagg", tuple(sig), plan_sig(node.options.aggregates),
+               tuple(node.options.keys), node._max_groups)
 
-        def f(*a, _fn=fn, _ha=ha):
-            x, errs = _fn(*a)
-            st = _ha.consume(_ha.init_state(), x, None, None, True)
-            out = _ha.finalize(st)
-            return out, errs + (st[0].error,)
-        return args, f
+        def consume(st, b, *ex, first):
+            x, errs = fn(b, *ex)
+            st2 = ha.consume(st, x, None, None, first)
+            return st2, errs
+
+        # `first` must be static: two cached wrappers
+        cjit_first = cached_stage(key + ("first",), lambda: checked_jit(
+            lambda st, b, *ex: consume(st, b, *ex, first=True)))
+        cjit_rest = cached_stage(key + ("rest",), lambda: checked_jit(
+            lambda st, b, *ex: consume(st, b, *ex, first=False)))
+        st = ha.init_state()
+        for i, b in enumerate(srcs):
+            st, errs = (cjit_first if i == 0 else cjit_rest)(
+                st, b, *extra)
+            ctx.errors.extend(errs)
+        ctx.errors.append(st[0].error)
+        from ..ops.grouper import SlotStrings
+        for agg, ast in zip(ha._aggregators, st[1]):
+            if hasattr(agg, "error_flag"):
+                ctx.errors.append(agg.error_flag(ast))
+        for u in (st[2] or ()):
+            if isinstance(u, SlotStrings):
+                ctx.errors.append(u.error)
+        fjit = cached_stage(key + ("fin",),
+                            lambda: checked_jit(ha.finalize))
+        return [fjit(st).with_index(0)]
 
     if isinstance(node, N.OrderByNode):
-        args, fn = _chain(node.inputs[0], sig)
         limit = getattr(node, "_limit", None)
-        sig.append(("order_by", plan_sig(node.options.sort_keys),
-                    node.options.null_placement, limit))
-        pure = node._make_topk(limit) if limit else node._pure_run
+        inner = _execute(node.inputs[0], ctx)
+        if not inner:
+            return []
+        from .nodes import plan_sig as _ps
+        okey = ("fusedsort", _ps(node.options.sort_keys),
+                node.options.null_placement, limit,
+                tuple(b.capacity for b in inner), inner[0].schema)
+        if limit:
+            topk = node._make_topk(limit)
+            if len(inner) == 1:
+                jfn = cached_stage(okey, lambda: checked_jit(topk))
+                return [jfn(inner[0]).with_index(0)]
+            from ..ops.concat import concat_batches
 
-        def f(*a, _fn=fn, _p=pure):
-            x, errs = _fn(*a)
-            return _p(x), errs
-        return args, f
+            def fold(best, b, _t=topk):
+                return _t(concat_batches([best, b]))
+            best = cached_stage(okey + ("seed",),
+                                lambda: checked_jit(topk))(inner[0])
+            for b in inner[1:]:
+                fkey = okey + ("fold", best.capacity, b.capacity)
+                best = cached_stage(fkey,
+                                    lambda: checked_jit(fold))(best, b)
+            return [best.with_index(0)]
+        if len(inner) > 1:
+            from ..ops.concat import concat_batches
+            big = concat_batches(inner)
+        else:
+            big = inner[0]
+        jfn = cached_stage(okey, lambda: checked_jit(node._pure_run))
+        return [jfn(big).with_index(0)]
 
     if isinstance(node, N.FetchNode):
-        args, fn = _chain(node.inputs[0], sig)
+        inner = _execute(node.inputs[0], ctx)
+        if len(inner) != 1:
+            raise _Unsupported("multi-batch fetch")
         off = int(node.options.offset)
         cnt = int(node.options.count)
-        sig.append(("fetch", off, cnt))
         from ..core import datatype as dt
         from ..core.array import Array
         from ..ops.selection import take_batch
 
-        def f(*a, _fn=fn, _o=off, _c=cnt):
-            x, errs = _fn(*a)
+        def sl(x, _o=off, _c=cnt):
             idx = jnp.minimum(
                 jnp.arange(x.capacity, dtype=jnp.int32) + _o,
                 x.capacity - 1)
             n = jnp.clip(jnp.asarray(x.length, jnp.int32) - _o, 0, _c)
-            return take_batch(x, Array(dt.int32, idx, None, length=n)), \
-                errs
-        return args, f
+            return take_batch(x, Array(dt.int32, idx, None, length=n))
 
-    raise _Unsupported(type(node).__name__)
+        key = ("fusedfetch", off, cnt, inner[0].schema,
+               inner[0].capacity)
+        return [cached_stage(key, lambda: checked_jit(sl))(
+            inner[0]).with_index(0)]
+
+    # pure chain all the way down
+    sig = []
+    srcs, extra, fn = _prefix(node, ctx, sig)
+    return _run_pure(srcs, extra, fn, sig, ctx)
 
 
 def try_fused_to_table(decl) -> Optional[Table]:
     """Fused execution, or None when the plan shape is unsupported or a
-    deferred overflow fired (caller falls back to the eager driver)."""
-    from . import nodes as N
-    from .nodes import cached_stage
+    deferred check fired (caller falls back to the eager driver)."""
     node = decl._build()
-    sig: list = []
+    ctx = _Ctx()
     try:
-        args, fn = _chain(node, sig)
+        batches = _execute(node, ctx)
     except _Unsupported:
         return None
-    key = ("fusedplan", tuple(sig))
-    from .nodes import checked_jit
-    jfn = cached_stage(key, lambda: checked_jit(lambda *a: fn(*a)))
-    out, errs = jfn(*args)
-    fetch = list(errs) + [out.length]
-    vals = [int(np.asarray(v)) for v in jax.device_get(fetch)]
-    if any(vals[:-1]):
-        return None     # overflow: eager driver re-runs with recovery
-    n = vals[-1]
-    schema = node.output_schema()
-    t = Table(schema, [out] if n > 0 else [])
+    lengths = [b.length for b in batches]
+    vals = [int(np.asarray(v)) for v in
+            jax.device_get(list(ctx.errors) + lengths)]
+    ne = len(ctx.errors)
+    if any(vals[:ne]):
+        return None     # deferred overflow: eager driver re-runs
+    out = [b for b, n in zip(batches, vals[ne:]) if n > 0]
+    t = Table(node.output_schema(), out)
     from ..utils.tracing import metrics
     metrics.record(f"plan:{decl.factory_name}", t.num_rows, 0.0)
     return t

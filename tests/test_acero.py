@@ -391,3 +391,82 @@ def test_fused_plan_matches_eager(rng, monkeypatch):
     got = d2.to_table().num_rows
     monkeypatch.setenv("ARROW_TPU_FUSE_PLAN", "0")
     assert d2.to_table().num_rows == got
+
+
+def test_fused_streaming_multi_morsel(rng, monkeypatch):
+    """Multi-batch sources stream through the fused driver: pure chains
+    emit per morsel, aggregates thread state across morsels, top-k
+    folds — all matching the eager driver (float sums to summation-
+    order tolerance; counts/keys exact)."""
+    import arrow_tpu as at
+    from arrow_tpu.acero import (AggregateNodeOptions, AggregateSpec,
+                                 Declaration, FetchNodeOptions,
+                                 FilterNodeOptions, HashJoinNodeOptions,
+                                 OrderByNodeOptions,
+                                 TableSourceNodeOptions)
+    from arrow_tpu.compute.expressions import field, literal
+    n = 9000
+    li = pa.table({"k": pa.array(rng.integers(0, 500, n)),
+                   "x": pa.array(rng.standard_normal(n).astype(
+                       np.float32)),
+                   "d": pa.array(rng.integers(0, 100, n).astype(
+                       np.int32))})
+    od = pa.table({"k2": pa.array(
+        rng.permutation(600)[:400].astype(np.int64)),
+        "y": pa.array(rng.integers(0, 9, 400).astype(np.int32))})
+    li_dev = at.Table.from_pyarrow(li, max_rows_per_batch=2048)
+    od_dev = at.Table.from_pyarrow(od, max_rows_per_batch=1 << 20)
+    assert len(li_dev.batches) > 1
+
+    def make(tail):
+        return Declaration.from_sequence([
+            Declaration("hashjoin", HashJoinNodeOptions(
+                "inner", left_keys=["k"], right_keys=["k2"],
+                left_output=["k", "x"], right_output=["y"],
+                max_build_rows=1 << 10),
+                inputs=[Declaration.from_sequence([
+                    Declaration("table_source",
+                                TableSourceNodeOptions(li_dev)),
+                    Declaration("filter", FilterNodeOptions(
+                        field("d") > literal(20)))]),
+                    Declaration("table_source",
+                                TableSourceNodeOptions(od_dev))]),
+        ] + tail)
+
+    shapes = {
+        "pure": [],
+        "agg": [Declaration("aggregate", AggregateNodeOptions(
+            [AggregateSpec("sum", "x"), AggregateSpec("count_all")],
+            keys=["y"], max_groups=64))],
+        "agg_sort_fetch": [
+            Declaration("aggregate", AggregateNodeOptions(
+                [AggregateSpec("count_all")], keys=["y"],
+                max_groups=64)),
+            Declaration("order_by", OrderByNodeOptions(
+                [("count_all", "descending")])),
+            Declaration("fetch", FetchNodeOptions(0, 5))],
+        "topk_stream": [
+            Declaration("order_by", OrderByNodeOptions(
+                [("x", "descending")])),
+            Declaration("fetch", FetchNodeOptions(0, 7))],
+    }
+    for name, tail in shapes.items():
+        d = make(tail)
+        fused = pa.table(d.to_table().to_pyarrow())
+        monkeypatch.setenv("ARROW_TPU_FUSE_PLAN", "0")
+        eager = pa.table(d.to_table().to_pyarrow())
+        monkeypatch.delenv("ARROW_TPU_FUSE_PLAN")
+        uniq = [f"c{i}" for i in range(fused.num_columns)]
+        keys = [(c, "ascending") for c in uniq]
+        f2 = fused.rename_columns(uniq).sort_by(keys)
+        e2 = eager.rename_columns(uniq).sort_by(keys)
+        assert f2.num_rows == e2.num_rows, name
+        for c, fld in zip(uniq, fused.schema):
+            fv, ev = f2[c].to_pylist(), e2[c].to_pylist()
+            if pa.types.is_floating(fld.type):
+                assert np.allclose(
+                    [x for x in fv if x is not None],
+                    [x for x in ev if x is not None],
+                    rtol=1e-4, atol=1e-4), (name, c)
+            else:
+                assert fv == ev, (name, c)

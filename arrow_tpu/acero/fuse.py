@@ -45,6 +45,13 @@ class _Unsupported(Exception):
     pass
 
 
+class _FallBack(Exception):
+    """A deferred device check fired mid-fusion (e.g. inside a join's
+    build subtree): fused outputs would be silently wrong, so the whole
+    plan is handed to the eager driver, whose per-batch recovery paths
+    re-run it correctly."""
+
+
 class _Ctx:
     def __init__(self):
         self.errors: list = []     # deferred device scalars
@@ -75,9 +82,10 @@ def _chain_single(node, sig: list):
 
     if isinstance(node, (N.FilterNode, N.ProjectNode)):
         args, fn = _chain_single(node.inputs[0], sig)
-        sig.append((node.factory_name, plan_sig(
-            getattr(node.options, "filter_expression", None) or
-            tuple(getattr(node.options, "expressions", ())))))
+        # node._sig includes project output names — two plans with the
+        # same expressions but different aliases must not share a cache
+        # entry (the cached program bakes in the output schema).
+        sig.append(node._sig)
         pure = node._pure
 
         def f(*a, _fn=fn, _p=pure):
@@ -98,11 +106,16 @@ def _chain_single(node, sig: list):
         # the recovery fetch doubles as the probe-impl decision
         bsig: list = []
         bargs, bfn = _chain_single(node.inputs[1], bsig)
-        bkey = ("fusedbuild", tuple(bsig))
+        bkey = ("fusedbuild2", tuple(bsig))
         from .nodes import checked_jit
         bjit = cached_stage(bkey, lambda: checked_jit(
-            lambda *a: bfn(*a)[0]))
-        build_in = bjit(*bargs)
+            lambda *a: bfn(*a)))
+        build_in, berrs = bjit(*bargs)
+        if berrs and any(int(np.asarray(v))
+                         for v in jax.device_get(list(berrs))):
+            # a nested join-fanout / group-table overflow in the build
+            # subtree: its batch content is truncated garbage
+            raise _FallBack("build-side deferred check fired")
         bs, impl = node._build_recover(build_in)
         sig.append(("hashjoin", plan_sig(node.join.options), impl,
                     tuple(bsig), build_in.capacity))
@@ -186,9 +199,7 @@ def _prefix(node, ctx: _Ctx, sig: list):
 
     if isinstance(node, (N.FilterNode, N.ProjectNode)):
         srcs, extra, fn = _prefix(node.inputs[0], ctx, sig)
-        sig.append((node.factory_name, plan_sig(
-            getattr(node.options, "filter_expression", None) or
-            tuple(getattr(node.options, "expressions", ())))))
+        sig.append(node._sig)      # includes project output names
         pure = node._pure
 
         def f(b, *ex, _fn=fn, _p=pure):
@@ -379,11 +390,15 @@ def try_fused_to_table(decl) -> Optional[Table]:
         from ..utils.tracing import metrics
         metrics.record(f"plan:{decl.factory_name}", t.num_rows, 0.0)
         return t
+    except _FallBack:
+        return None
     except _Unsupported:
         pass
     ctx = _Ctx()
     try:
         batches = _execute(node, ctx)
+    except _FallBack:
+        return None
     except _Unsupported:
         return None
     lengths = [b.length for b in batches]

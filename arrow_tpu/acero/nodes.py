@@ -348,12 +348,17 @@ def maybe_compact(b: Batch, vals: Optional[list] = None) -> Batch:
     if os.environ.get("ARROW_TPU_NO_COMPACT") or LAZY.active:
         return b
     # Each compaction decision costs one ~25ms device_get RTT through the
-    # axon tunnel; below this capacity the downstream work it could save
-    # is smaller than the sync itself. Also skip batches a prior node
-    # already compacted (the flag is host-side metadata).
+    # axon tunnel; below this size the downstream work it could save is
+    # smaller than the sync itself. Row capacity alone is a bad gate for
+    # varlen batches (32Ki-row morsels can drag multi-MB byte pools), so
+    # total device bytes gate independently. Also skip batches a prior
+    # node already compacted (the flag is host-side metadata).
     if b.capacity <= int(os.environ.get("ARROW_TPU_COMPACT_MIN",
                                         str(1 << 20))):
-        return b
+        from .spill import batch_device_bytes
+        if batch_device_bytes(b) <= int(os.environ.get(
+                "ARROW_TPU_COMPACT_MIN_BYTES", str(16 << 20))):
+            return b
     if getattr(b, "_compacted", False):
         return b
     from ..core.interop import pad_capacity
@@ -1246,7 +1251,8 @@ class HashJoinNode(ExecNode):
         # little as the bloom mask itself, and skipping bloom saves two
         # ~25ms host round-trips per probe batch.
         bits = self._bloom_build(bs) \
-            if (self._bloom_kind is not None and impl != "packed"
+            if (self._bloom_kind is not None
+                and not impl.startswith("packed")
                 and not LAZY.active) else None
         seen = passed = 0
         i = 0

@@ -587,8 +587,12 @@ class HashJoin:
         else:                       # inner
             keep = hit
         total = jnp.sum(keep, dtype=jnp.int32)
-        T = fanout_capacity or self.options.fanout_capacity or cap
-        overflow = jnp.int32(total > T)
+        # No fanout-overflow check here: the unique-build compaction
+        # emits at most one row per probe-side row, so ``total`` is
+        # bounded by this output batch's own capacity (kb.shape[0]) —
+        # a user-set small fanout_capacity must not trigger spurious
+        # doubling recompiles / fused-plan fallbacks.
+        overflow = jnp.int32(0)
 
         kb = (~keep).astype(jnp.uint8)
         ops = [kb, s["bstart"], hit.astype(jnp.int32)] + \

@@ -470,3 +470,69 @@ def test_fused_streaming_multi_morsel(rng, monkeypatch):
                     rtol=1e-4, atol=1e-4), (name, c)
             else:
                 assert fv == ev, (name, c)
+
+
+def test_fused_nested_build_error_falls_back(rng, monkeypatch):
+    """ADVICE r4 (high): a deferred fanout overflow INSIDE a join's
+    build subtree (build side = another join with a tiny
+    fanout_capacity) must trigger the eager fallback, not silently
+    truncate the build input (fuse.py previously dropped the build
+    chain's error tuple)."""
+    import arrow_tpu as at
+    from arrow_tpu.acero import (Declaration, HashJoinNodeOptions,
+                                 TableSourceNodeOptions)
+    n = 3000
+    a = pa.table({"k": pa.array(rng.integers(0, 40, n)),
+                  "v": pa.array(np.arange(n, dtype=np.int64))})
+    b = pa.table({"k2": pa.array(np.arange(40, dtype=np.int64)),
+                  "w": pa.array(rng.integers(0, 9, 40).astype(np.int32))})
+    c = pa.table({"k3": pa.array(rng.integers(0, 40, 500)),
+                  "u": pa.array(rng.integers(0, 5, 500).astype(np.int32))})
+    a_dev = at.Table.from_pyarrow(a, max_rows_per_batch=1 << 20)
+    b_dev = at.Table.from_pyarrow(b, max_rows_per_batch=1 << 20)
+    c_dev = at.Table.from_pyarrow(c, max_rows_per_batch=1 << 20)
+    # build side: a join whose fanout (3000 rows out, capacity 32)
+    # overflows its deferred check
+    build = Declaration("hashjoin", HashJoinNodeOptions(
+        "inner", left_keys=["k"], right_keys=["k2"],
+        left_output=["k", "v"], right_output=["w"],
+        max_build_rows=1 << 8, fanout_capacity=32),
+        inputs=[Declaration("table_source", TableSourceNodeOptions(a_dev)),
+                Declaration("table_source", TableSourceNodeOptions(b_dev))])
+    top = Declaration("hashjoin", HashJoinNodeOptions(
+        "inner", left_keys=["k3"], right_keys=["k"],
+        left_output=["k3", "u"], right_output=["v", "w"],
+        max_build_rows=1 << 13),
+        inputs=[Declaration("table_source", TableSourceNodeOptions(c_dev)),
+                build])
+    fused_rows = top.to_table().num_rows
+    monkeypatch.setenv("ARROW_TPU_FUSE_PLAN", "0")
+    eager_rows = top.to_table().num_rows
+    assert fused_rows == eager_rows
+
+
+def test_fused_project_alias_cache_distinct(rng, monkeypatch):
+    """ADVICE r4 (high): two fused plans with identical project
+    expressions but different output aliases must not collide in the
+    stage cache (the cached program bakes in the output schema)."""
+    import arrow_tpu as at
+    from arrow_tpu.acero import (Declaration, ProjectNodeOptions,
+                                 TableSourceNodeOptions)
+    from arrow_tpu.compute.expressions import field, literal
+    t = pa.table({"a": pa.array(rng.integers(0, 100, 2000)),
+                  "b": pa.array(rng.standard_normal(2000).astype(
+                      np.float32))})
+    t_dev = at.Table.from_pyarrow(t, max_rows_per_batch=1 << 20)
+
+    def make(names):
+        return Declaration.from_sequence([
+            Declaration("table_source", TableSourceNodeOptions(t_dev)),
+            Declaration("project", ProjectNodeOptions(
+                [field("a"), field("b") * 2.0], names))])
+
+    t1 = make(["a", "b2"]).to_table().to_pyarrow()
+    t2 = make(["x", "y"]).to_table().to_pyarrow()
+    assert t1.column_names == ["a", "b2"]
+    assert t2.column_names == ["x", "y"]
+    assert t1["a"].to_pylist() == t2["x"].to_pylist()
+    assert t1["b2"].to_pylist() == t2["y"].to_pylist()

@@ -68,14 +68,24 @@ def _time_best(fn, *args, reps=3):
     return float(np.median(real))
 
 
-def _time_host(fn, reps=2):
+# Oracle-measurement hardening (VERDICT r4 weak #6 / next #9): pyarrow
+# timings on this host swing 2-5x with CPU load, so the oracle is the
+# MEDIAN of >=5 reps, every rep is recorded into the bench JSON, and the
+# 1-minute load average is captured alongside. run_one() refuses to
+# report a speedup at all when the load gate fails (rows/s only).
+_LAST_HOST_SAMPLES: list = []
+
+
+def _time_host(fn, reps=5):
+    reps = max(int(reps), 5)
     fn()  # warm
-    best = float("inf")
+    times = []
     for _ in range(reps):
         t0 = time.perf_counter()
         fn()
-        best = min(best, time.perf_counter() - t0)
-    return best
+        times.append(time.perf_counter() - t0)
+    _LAST_HOST_SAMPLES[:] = times
+    return float(np.median(times))
 
 
 # ---------------------------------------------------------------- config 1
@@ -493,11 +503,98 @@ def bench_q3(dev):
     return n / sec, n / pa_sec
 
 
+# ---------------------------------------------------------------- config 8
+
+def bench_ingest(dev):
+    """The engine's front door (VERDICT r4 missing #6): Arrow IPC file on
+    disk -> host table -> device batches (from_pyarrow + device_put,
+    morsel-sized) -> trivial filter -> count. The oracle reads the same
+    IPC file and filters on CPU — both sides pay the storage read, ours
+    additionally pays host->device staging (the cost this config exists
+    to watch; the reference's scan readahead is ``dataset/
+    scan_node.cc:86-123``)."""
+    import tempfile
+    import jax
+    import jax.numpy as jnp
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.ipc as ipc
+    import arrow_tpu as at
+    from arrow_tpu.ops.selection import filter_batch
+    from arrow_tpu.compute import call_function
+
+    n = int(10_000_000 * SCALE)
+    rng = np.random.default_rng(23)
+    t = pa.table({
+        "k": pa.array(rng.integers(0, 1 << 40, n)),
+        "v": pa.array(rng.standard_normal(n).astype(np.float32)),
+        "tag": pa.array(np.array([f"t{i % 997:03d}" for i in range(4096)])
+                        [rng.integers(0, 4096, n)]),
+    })
+    path = os.path.join(tempfile.gettempdir(), "arrow_tpu_ingest.arrow")
+    with ipc.new_file(path, t.schema) as w:
+        for b in t.to_batches(max_chunksize=1 << 20):
+            w.write_batch(b)
+    del t
+
+    def pa_run():
+        tt = ipc.open_file(path).read_all()
+        m = pc.greater(tt["k"], 1 << 39)
+        return pc.sum(pc.cast(m, pa.int64())).as_py()
+
+    pa_sec = _time_host(pa_run)
+
+    fb = jax.jit(filter_batch)
+
+    def our_run():
+        tt = ipc.open_file(path).read_all()
+        td = at.Table.from_pyarrow(tt, max_rows_per_batch=1 << 22)
+        total = 0
+        fetches = []
+        for b in td.batches:
+            bd = b.device_put(dev)
+            m = call_function("greater", [bd["k"], 1 << 39])
+            fetches.append(fb(bd, m).length)
+        for v in jax.device_get(fetches):
+            total += int(np.asarray(v))
+        return total
+
+    assert our_run() == pa_run()
+    # staging is host-work dominated (real wall time, no relay
+    # memoization concern), so _time_host methodology applies to both
+    sec = _time_host(our_run)
+    return n / sec, n / pa_sec
+
+
 # run order: cheap/high-signal configs first so a driver kill mid-run
 # still lands the most informative partial set (every config re-prints
 # the cumulative headline line as soon as it finishes)
 CONFIG_NAMES = ["filter", "group_by_1k", "sort", "join", "group_by_3m",
-                "host_boundary", "q3"]
+                "host_boundary", "ingest", "q3"]
+
+# Roofline accounting (VERDICT r4 next #3): minimal-data-movement bytes
+# per row for each config (one read of every input byte the operator
+# must see + one write of its output at measured selectivity) — the
+# derivation is spelled out in BASELINE.md. sol_pct = achieved bytes/s
+# over v5e HBM bandwidth (819 GB/s).
+_HBM_GBS = 819.0
+_BYTES_PER_ROW = {
+    # read i64 8 + f64 8 + mask 1; write ~50% of (8+8)
+    "filter": 25.0,
+    # read k i64 8 + v f32 4; group-state writes amortize to ~0
+    "group_by_1k": 12.0,
+    "group_by_3m": 12.0,
+    # read key i64 8 + dict idx 4; write perm i32 4
+    "sort": 16.0,
+    # probe read k 8 + pv 4; write ~50% of (8+4+4)
+    "join": 20.0,
+    # read pool ~8.6 + offsets 4 + v 8 + mask write/read 1
+    "host_boundary": 21.6,
+    # lineitem columns touched: l_orderkey 8 + price 4 + disc 4 + date 4
+    "q3": 20.0,
+    # one read of the staged bytes (8 + 4 + tag ~4.0 + offsets 4)
+    "ingest": 20.0,
+}
 # Budget math (VERDICT r2 weak #2: 7 x 300s > 1500s could never fresh-run
 # the whole sweep): per-config x len(configs) MUST fit the total. Compiles
 # through the axon tunnel dominate a cold run; the in-repo .jax_cache is
@@ -523,11 +620,32 @@ def run_one(name: str) -> dict:
         "sort": lambda: bench_sort(dev),
         "join": lambda: bench_join(dev),
         "host_boundary": lambda: bench_host_boundary(dev),
+        "ingest": lambda: bench_ingest(dev),
         "q3": lambda: bench_q3(dev),
     }[name]
+    try:
+        load1 = os.getloadavg()[0]
+    except OSError:
+        load1 = -1.0
     ours, ref = fn()
-    return {"tpu_rows_s": round(ours), "pyarrow_rows_s": round(ref),
-            "speedup": round(ours / ref, 3), "chip": dev.platform}
+    res = {"tpu_rows_s": round(ours), "pyarrow_rows_s": round(ref),
+           "chip": dev.platform,
+           "oracle_reps_ms": [round(x * 1e3, 1)
+                              for x in _LAST_HOST_SAMPLES],
+           "load1": round(load1, 2)}
+    bpr = _BYTES_PER_ROW.get(name)
+    if bpr:
+        res["gbs"] = round(ours * bpr / 1e9, 2)
+        res["sol_pct"] = round(100.0 * ours * bpr / (_HBM_GBS * 1e9), 3)
+    # load gate: a busy host suppresses the oracle and flatters the
+    # ratio — above the threshold rows/s are still reported, the
+    # speedup is NOT (VERDICT r4 next #9)
+    load_max = float(os.environ.get("ARROW_TPU_ORACLE_LOAD_MAX", "4.0"))
+    if load1 < 0 or load1 <= load_max:
+        res["speedup"] = round(ours / ref, 3)
+    else:
+        res["load_gated"] = True
+    return res
 
 
 def _load_state() -> dict:
@@ -551,8 +669,8 @@ def _emit(state: dict) -> None:
     geomean = float(np.exp(np.mean(np.log(speedups)))) if speedups else 0.0
     print(json.dumps({
         "metric": "engine rows/s vs pyarrow cpu — geomean speedup over "
-                  "7 configs (filter, group_by x2, sort, join, "
-                  "host-boundary regex, tpch-q3)",
+                  "8 configs (filter, group_by x2, sort, join, "
+                  "host-boundary regex, ipc-ingest, tpch-q3)",
         "value": round(geomean, 3),
         "unit": "x",
         "vs_baseline": round(geomean, 3),

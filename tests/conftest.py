@@ -47,7 +47,7 @@ _SLOW_KEYWORDS = ("spill", "overflow", "grace", "external_sort",
                   "pivot_wider",
                   # 40s each on the 1-CPU box (multi-impl sweeps)
                   "dense_group_by_matches", "dense_group_by_mixed",
-                  "pushdown_encode_large", "pushdown_slot_overflow")
+                  "agg_sort_fetch")
 
 
 def pytest_addoption(parser):

@@ -277,7 +277,7 @@ def test_sorted_merge_round_compile_ratchet(rng):
     vocab = [f"k{i:04d}" for i in range(300)]
     parts = []
     for i in range(3):
-        n = 360
+        n = 128
         s = np.sort(rng.choice(vocab, n))
         parts.append(pa.table({"s": pa.array(s),
                                "v": pa.array(rng.integers(0, 100, n))}))
@@ -293,7 +293,7 @@ def test_sorted_merge_round_compile_ratchet(rng):
     assert got["s"].to_pylist() == expected["s"].to_pylist()
     if hasattr(N, "_STAGE_CACHE"):
         after = {k for k in N._STAGE_CACHE if k and k[0] == "smerge_round"}
-        # ~34 rounds run; the ratchet must keep distinct shapes tiny
+        # ~12 rounds run; the ratchet must keep distinct shapes tiny
         assert len(after - before) <= 6, len(after - before)
 
 

@@ -407,6 +407,13 @@ class DictionaryType(DataType):
     index_type: DataType
     value_type: DataType
     ordered: bool = False
+    # ingest-time encoding (TPU-native fast path for low-cardinality
+    # string columns — the engine-internal analog of the reference's
+    # dictionary kernels' fast paths): the column's LOGICAL type is
+    # ``value_type``; interop decodes on export so users round-trip
+    # plain strings. Excluded from equality/hash: engine-internal
+    # schema checks treat it as an ordinary dictionary type.
+    transparent: bool = dataclasses.field(default=False, compare=False)
 
     @property
     def id(self) -> str:
@@ -781,6 +788,9 @@ def to_pyarrow_type(t: DataType):
     if isinstance(t, MonthDayNanoIntervalType):
         return pa.month_day_nano_interval()
     if isinstance(t, DictionaryType):
+        if t.transparent:
+            # ingest-encoded: the logical (user-visible) type
+            return to_pyarrow_type(t.value_type)
         return pa.dictionary(to_pyarrow_type(t.index_type),
                              to_pyarrow_type(t.value_type), t.ordered)
     if isinstance(t, MapType):

@@ -11,6 +11,7 @@ here and only here.
 
 from __future__ import annotations
 
+import dataclasses
 from typing import List, Optional
 
 import jax
@@ -319,8 +320,12 @@ def array_to_pyarrow(arr: Array):
             [validity_buf, pa.py_buffer(np.ascontiguousarray(idx).tobytes())],
             null_count=null_count if validity_buf else 0)
         dictionary = array_to_pyarrow(arr.dictionary)
-        return pa.DictionaryArray.from_arrays(indices, dictionary,
-                                              ordered=t.ordered)
+        out = pa.DictionaryArray.from_arrays(indices, dictionary,
+                                             ordered=t.ordered)
+        if t.transparent:
+            # ingest-encoded: decode back to the logical plain type
+            return out.dictionary_decode()
+        return out
 
     if t.is_varlen:
         off = np.asarray(jax.device_get(arr.offsets))[:n + 1].astype(np.int32)
@@ -442,17 +447,106 @@ def array_to_pyarrow(arr: Array):
     raise NotImplementedError(f"array_to_pyarrow for {t}")
 
 
-def batch_from_pyarrow(rb, capacity: Optional[int] = None) -> Batch:
+# Transparent dictionary ingest (round 5): low-cardinality plain
+# string/binary columns dictionary-encode ON THE HOST at staging time,
+# so on device the regex/filter/compare/group paths move i32 codes and
+# tiny dictionaries instead of byte pools (the reference's string
+# kernels prefer the same dictionary fast paths; SURVEY.md §7 "most
+# kernels operate on dictionary-encoded or padded forms"). The column's
+# LOGICAL type stays the plain value type: DictionaryType.transparent
+# makes interop decode on export. Off: ARROW_TPU_INGEST_DICT=0.
+_DICT_INGEST_MIN = int(__import__("os").environ.get(
+    "ARROW_TPU_DICT_INGEST_MIN", str(1 << 16)))
+
+
+def _dict_ingest_enabled() -> bool:
+    import os
+    return os.environ.get("ARROW_TPU_INGEST_DICT", "1") == "1"
+
+
+def _dict_ingest_encode(tbl):
+    """Dictionary-encode qualifying plain varlen columns of a pyarrow
+    Table/RecordBatch. Returns (converted, frozenset(encoded names)).
+    Applied ONCE per source (before morsel slicing) so every batch of a
+    column shares one host-side encoding — codes are comparable across
+    the whole stream."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    if not _dict_ingest_enabled():
+        return tbl, frozenset()
+    n = tbl.num_rows
+    if n < _DICT_INGEST_MIN:
+        return tbl, frozenset()
+    is_table = isinstance(tbl, pa.Table)
+    names = set()
+    cols = [tbl.column(i) for i in range(tbl.num_columns)]
+    fields = list(tbl.schema)
+    for i, f in enumerate(fields):
+        t = f.type
+        if not (pa.types.is_string(t) or pa.types.is_binary(t) or
+                pa.types.is_large_string(t) or
+                pa.types.is_large_binary(t)):
+            continue
+        col = cols[i]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        try:
+            enc = pc.dictionary_encode(col)
+        except Exception:
+            continue
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        nd = len(enc.dictionary)
+        if nd == 0 or nd > min(n // 8, 1 << 16):
+            continue
+        cols[i] = enc
+        fields[i] = pa.field(f.name, enc.type, f.nullable)
+        names.add(f.name)
+    if not names:
+        return tbl, frozenset()
+    sch = pa.schema(fields)
+    out = pa.table(cols, schema=sch) if is_table else \
+        pa.record_batch(cols, schema=sch)
+    return out, frozenset(names)
+
+
+def _mark_transparent_schema(schema: Schema, names) -> Schema:
+    if not names:
+        return schema
+    from .schema import Field
+    fields = []
+    for f in schema.fields:
+        if f.name in names and isinstance(f.type, dt.DictionaryType):
+            f = Field(f.name, dataclasses.replace(f.type, transparent=True),
+                      f.nullable)
+        fields.append(f)
+    return Schema(tuple(fields))
+
+
+def batch_from_pyarrow(rb, capacity: Optional[int] = None,
+                       _transparent=frozenset()) -> Batch:
     import pyarrow as pa
     if isinstance(rb, pa.Table):
         rb = rb.combine_chunks().to_batches()
         if len(rb) != 1:
             raise ValueError("use table_from_pyarrow for multi-batch tables")
         rb = rb[0]
+    if not _transparent:
+        rb, _transparent = _dict_ingest_encode(rb)
     cap = pad_capacity(rb.num_rows, capacity)
     arrays = [array_from_pyarrow(rb.column(i), capacity=cap)
               for i in range(rb.num_columns)]
-    return Batch(Schema.from_pyarrow(rb.schema), arrays, rb.num_rows)
+    if _transparent:
+        arrays = [
+            Array(dataclasses.replace(a.type, transparent=True), a.values,
+                  a.validity, offsets=a.offsets, dictionary=a.dictionary,
+                  children=a.children, length=a.length)
+            if rb.schema.field(i).name in _transparent and
+            isinstance(a.type, dt.DictionaryType) else a
+            for i, a in enumerate(arrays)]
+    schema = _mark_transparent_schema(Schema.from_pyarrow(rb.schema),
+                                      _transparent)
+    return Batch(schema, arrays, rb.num_rows)
 
 
 def batch_to_pyarrow(b: Batch):
@@ -513,6 +607,10 @@ def table_from_pyarrow(pa_table, max_rows_per_batch: Optional[int] = None,
     if max_rows_per_batch is None:
         max_rows_per_batch = 1 << 15  # ExecPlan::kMaxBatchSize analog
     pa_table = pa_table.combine_chunks()
+    # transparent dictionary ingest happens at TABLE level, before
+    # morsel slicing: one encoding per column, codes comparable across
+    # every batch of this source
+    pa_table, transparent = _dict_ingest_encode(pa_table)
     has_varlen = any(
         pa.types.is_string(f.type) or pa.types.is_binary(f.type) or
         pa.types.is_large_string(f.type) or pa.types.is_large_binary(f.type)
@@ -529,8 +627,11 @@ def table_from_pyarrow(pa_table, max_rows_per_batch: Optional[int] = None,
                 piece = pa.record_batch(
                     [pa.concat_arrays([c]) for c in piece.columns],
                     schema=piece.schema)
-            batches.append(batch_from_pyarrow(piece, capacity=capacity))
+            batches.append(batch_from_pyarrow(
+                piece, capacity=capacity, _transparent=transparent))
     if not batches:
         for rb in pa_table.to_batches(max_chunksize=max_rows_per_batch):
-            batches.append(batch_from_pyarrow(rb, capacity=capacity))
-    return Table(Schema.from_pyarrow(pa_table.schema), batches)
+            batches.append(batch_from_pyarrow(
+                rb, capacity=capacity, _transparent=transparent))
+    return Table(_mark_transparent_schema(
+        Schema.from_pyarrow(pa_table.schema), transparent), batches)

@@ -137,6 +137,12 @@ def _raw_lanes(a: Array) -> List[jax.Array]:
     if a.type.is_varlen:
         from .hashing import varlen_content_lanes
         return varlen_content_lanes(a)
+    if isinstance(a.type, dt.DictionaryType):
+        # CONTENT lanes, not codes: codes are only comparable under one
+        # dictionary; values compare across join sides / shards /
+        # separately-ingested sources (ops/hashing.dict_content_lanes)
+        from .hashing import dict_content_lanes
+        return dict_content_lanes(a)
     return value_lanes32(a.values, a.type)
 
 
@@ -216,7 +222,8 @@ class Grouper:
             if t.is_varlen:
                 width = 5          # length + 2x 64-bit fingerprints
             elif isinstance(t, dt.DictionaryType):
-                width = 1
+                from .hashing import dict_value_lane_width
+                width = dict_value_lane_width(t)
             elif t.is_primitive and t.bit_width == 64:
                 width = 2
             else:

@@ -84,6 +84,11 @@ def _word_lanes(a: Array) -> List[jax.Array]:
         fp = _string_fingerprint64(a)
         return [fp.astype(jnp.uint32),
                 (fp >> jnp.uint64(32)).astype(jnp.uint32)]
+    from ..core import datatype as dt
+    if isinstance(t, dt.DictionaryType):
+        # content-based (codes are dictionary-local; shuffles hash the
+        # two sides of a join independently — see dict_content_lanes)
+        return dict_content_lanes(a)
     return value_lanes32(a.values, t)
 
 
@@ -304,6 +309,55 @@ def varlen_content_lanes(a: Array) -> List[jax.Array]:
                           None)
     return [lens32, lanes4[:, 0], lanes4[:, 1], lanes4[:, 2],
             lanes4[:, 3]]
+
+
+def dict_value_lane_width(t) -> int:
+    """Static lane count of ``dict_content_lanes`` for a dictionary
+    key column (must mirror bits.value_lanes32 / varlen_content_lanes
+    widths; +1 = the dictionary-slot validity lane, always present so
+    the width does not depend on a batch's buffers)."""
+    from ..core import datatype as dt
+    vt = t.value_type
+    if vt.is_varlen:
+        return 5 + 1
+    if isinstance(vt, dt.BoolType):
+        return 1 + 1
+    if vt.is_floating:
+        return (2 if vt.bits == 64 else 1) + 1
+    return (2 if getattr(vt, "bit_width", 32) == 64 else 1) + 1
+
+
+def dict_content_lanes(a: Array) -> List[jax.Array]:
+    """Content-based key lanes for a dictionary column: the lanes of the
+    DICTIONARY values (tiny) gathered per row by code — one amortized
+    row-gather from a (G, L) u32 matrix.
+
+    Codes are only comparable under ONE dictionary; lanes of the VALUES
+    are comparable across any dictionaries (join build vs probe sides,
+    shuffled shards, unions of separately-ingested sources). This is the
+    dictionary analog of the reference re-encoding dictionary join keys
+    (``hash_join_dict.cc``)."""
+    from ..core import datatype as dt
+    d = a.dictionary
+    if d is None:
+        return [a.values.astype(jnp.uint32)]
+    Gd = max(d.capacity, 1)
+    codes = jnp.clip(a.values.astype(jnp.int32), 0, Gd - 1)
+    if d.type.is_varlen:
+        dl = varlen_content_lanes(d)
+    else:
+        from .bits import value_lanes32
+        dl = value_lanes32(d.values, d.type)
+    if d.validity is not None:
+        # a null dictionary slot must not alias value 0
+        dl = [jnp.where(d.validity, l, 0) for l in dl] + \
+            [d.validity.astype(jnp.uint32)]
+    else:
+        # keep width static regardless of this batch's validity buffer
+        dl = dl + [jnp.ones((Gd,), jnp.uint32)]
+    mat = jnp.stack(dl, axis=1)            # (Gd, L+1)
+    rows = mat[codes]                      # amortized row gather
+    return [rows[:, j] for j in range(rows.shape[1])]
 
 
 def normalize_keys(columns: Sequence[Array]) -> List[jax.Array]:

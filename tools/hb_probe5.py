@@ -123,8 +123,10 @@ def main():
         return codes.sum() + nn
     timeit("slotted distinct (sim)", f_sdist)
 
-    # 5. current jitted filter (50% mask)
-    mask_np = rng.random(n) < 0.5
+    # 5. current jitted filter (50% mask) — mask padded to batch capacity
+    cap = batch.capacity
+    mask_np = np.zeros((cap,), bool)
+    mask_np[:n] = rng.random(n) < 0.5
     from arrow_tpu.core.array import Array as A
     from arrow_tpu.core import datatype as dt
     mask_dev = A(dt.bool_, jax.device_put(jnp.asarray(mask_np), dev),
@@ -145,6 +147,8 @@ def main():
         return out.astype(jnp.uint32).sum()
     timeit("_filter_varlen_bytes (pool sort)", f_fvb)
 
+    mask_n = mask_np[:n]
+
     # 7. SIMULATED slotted filter: one 1-bit-key sort, string rides as
     # 4 u32 lanes + lens payload; new offsets = cumsum of kept lens
     def f_sfilt(s):
@@ -152,7 +156,7 @@ def main():
             (slot_dev[0, 0] ^ (s & 1)).astype(jnp.uint8))
         lanes4 = jax.lax.bitcast_convert_type(
             sl.reshape((n, W // 4, 4)), jnp.uint32)
-        key = (~jnp.asarray(mask_np)).astype(jnp.uint8)
+        key = (~jnp.asarray(mask_n)).astype(jnp.uint8)
         ops = [key, ints_dev, lens_dev] + \
             [lanes4[:, j] for j in range(4)]
         out = jax.lax.sort(ops, num_keys=1, is_stable=True)

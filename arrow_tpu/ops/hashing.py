@@ -249,21 +249,28 @@ def varlen_content_lanes(a: Array) -> List[jax.Array]:
     4 content lanes. Equal content <=> equal lanes for short strings;
     ~2^-128 collision confidence for long ones.
 
-    Short-string fast path (``lax.cond`` on max row length <= 16): the
-    byte pool scatters into fixed (cap, 16) u8 slots — row index and row
-    start forward-fill through ``cummax`` (both are monotone at row
-    heads, so the fills are exact), the byte's destination is
-    ``row*16 + (pos - row_start)``, and ONE monotone unique-index
-    scatter places every byte. Zero gathers, zero fingerprint math —
-    the lanes are the EXACT padded bytes (bitcast to 4 u32). ~6
-    streaming passes vs the 2-fingerprint path's two u64 cumsums +
-    boundary gathers (measured 147 ms/fingerprint at an 18MB pool on
-    v5e; this path is ~5x cheaper).
+    The content-lane FORM is chosen PER ROW by the row's length (which
+    is itself lane 0): rows <= 16 bytes key by their exact padded bytes,
+    longer rows by two independent 64-bit full-content polynomial
+    fingerprints (the reference row table's varbinary region,
+    ``row_internal.h:33``; fingerprints are the same confidence class as
+    SwissTable stamp + full re-compare). Per-ROW selection is a
+    correctness requirement, not an optimization: lanes are compared
+    ACROSS arrays (join build vs probe, grouper table vs later batches),
+    so equal values must produce equal lanes no matter which array they
+    sit in — a per-ARRAY branch on max length silently dropped every
+    match when one side held any >16-byte row and the other did not
+    (round-5 regression test: test_join_keys_straddle_slot_width).
 
-    Long strings fall back to the two independent 64-bit full-content
-    polynomial fingerprints (the reference row table's varbinary region,
-    ``row_internal.h:33``, carries full bytes; the fingerprint is the
-    same confidence class as SwissTable stamp + full re-compare).
+    Short-slot formulation: the byte pool scatters into fixed (cap, 16)
+    u8 slots — row index and row start forward-fill through ``cummax``
+    (both are monotone at row heads, so the fills are exact), the byte's
+    destination is ``row*16 + (pos - row_start)``, and ONE monotone
+    unique-index scatter places every byte; the lanes are the EXACT
+    padded bytes (bitcast to 4 u32). When the whole array is short a
+    ``lax.cond`` still skips the fingerprint math entirely (measured
+    147 ms/fingerprint at an 18MB pool on v5e; the slot path is ~5x
+    cheaper) — the cond only skips WORK, never changes a row's lanes.
     """
     off = a.offsets
     cap = off.shape[0] - 1
@@ -296,35 +303,41 @@ def varlen_content_lanes(a: Array) -> List[jax.Array]:
         return jax.lax.bitcast_convert_type(
             slots.reshape((cap, _SLOT_W // 4, 4)), jnp.uint32)  # (cap, 4)
 
-    def _long(_):
+    def _mixed(_):
+        # some rows exceed the slot: short rows STILL key by their exact
+        # slot bytes (consistent with arrays where the cond skipped the
+        # fingerprints); only >16-byte rows take the fingerprint lanes
+        s4 = _short(None)
         fp1 = string_fingerprint_exact(a)
         fp2 = string_fingerprint_exact(a, mult=0xC2B2AE3D27D4EB4F)
-        return jnp.stack(
+        f4 = jnp.stack(
             [fp1.astype(jnp.uint32),
              (fp1 >> jnp.uint64(32)).astype(jnp.uint32),
              fp2.astype(jnp.uint32),
              (fp2 >> jnp.uint64(32)).astype(jnp.uint32)], axis=1)
+        return jnp.where((lens32 <= _SLOT_W)[:, None], s4, f4)
 
-    lanes4 = jax.lax.cond(jnp.max(lens32) <= _SLOT_W, _short, _long,
+    lanes4 = jax.lax.cond(jnp.max(lens32) <= _SLOT_W, _short, _mixed,
                           None)
     return [lens32, lanes4[:, 0], lanes4[:, 1], lanes4[:, 2],
             lanes4[:, 3]]
 
 
 def dict_value_lane_width(t) -> int:
-    """Static lane count of ``dict_content_lanes`` for a dictionary
-    key column (must mirror bits.value_lanes32 / varlen_content_lanes
-    widths; +1 = the dictionary-slot validity lane, always present so
-    the width does not depend on a batch's buffers)."""
+    """Static lane count of ``dict_content_lanes`` for a dictionary key
+    column. IDENTICAL to the plain value type's width (varlen: 5;
+    64-bit: 2; else 1) so a dictionary side keys consistently against a
+    plain side of the same logical type (transparent ingest encodes a
+    source only past a size threshold — mixed joins are the norm)."""
     from ..core import datatype as dt
     vt = t.value_type
     if vt.is_varlen:
-        return 5 + 1
+        return 5
     if isinstance(vt, dt.BoolType):
-        return 1 + 1
+        return 1
     if vt.is_floating:
-        return (2 if vt.bits == 64 else 1) + 1
-    return (2 if getattr(vt, "bit_width", 32) == 64 else 1) + 1
+        return 2 if vt.bits == 64 else 1
+    return 2 if getattr(vt, "bit_width", 32) == 64 else 1
 
 
 def dict_content_lanes(a: Array) -> List[jax.Array]:
@@ -334,9 +347,14 @@ def dict_content_lanes(a: Array) -> List[jax.Array]:
 
     Codes are only comparable under ONE dictionary; lanes of the VALUES
     are comparable across any dictionaries (join build vs probe sides,
-    shuffled shards, unions of separately-ingested sources). This is the
-    dictionary analog of the reference re-encoding dictionary join keys
-    (``hash_join_dict.cc``)."""
+    shuffled shards, unions of separately-ingested sources) AND against
+    a plain column of the value type (the lane forms are identical by
+    construction). This is the dictionary analog of the reference
+    re-encoding dictionary join keys (``hash_join_dict.cc``).
+
+    Limitation: a null DICTIONARY SLOT keys like the zero value/empty
+    string (nulls belong in row validity in this engine; ingest encodes
+    them that way — ``array_from_pyarrow`` zeroes null codes)."""
     from ..core import datatype as dt
     d = a.dictionary
     if d is None:
@@ -349,13 +367,8 @@ def dict_content_lanes(a: Array) -> List[jax.Array]:
         from .bits import value_lanes32
         dl = value_lanes32(d.values, d.type)
     if d.validity is not None:
-        # a null dictionary slot must not alias value 0
-        dl = [jnp.where(d.validity, l, 0) for l in dl] + \
-            [d.validity.astype(jnp.uint32)]
-    else:
-        # keep width static regardless of this batch's validity buffer
-        dl = dl + [jnp.ones((Gd,), jnp.uint32)]
-    mat = jnp.stack(dl, axis=1)            # (Gd, L+1)
+        dl = [jnp.where(d.validity, l, 0) for l in dl]
+    mat = jnp.stack(dl, axis=1)            # (Gd, L)
     rows = mat[codes]                      # amortized row gather
     return [rows[:, j] for j in range(rows.shape[1])]
 

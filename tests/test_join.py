@@ -452,3 +452,45 @@ def test_join_unpackable_keys_fall_back(rng):
                    output_suffix_for_left="_l", output_suffix_for_right="_r")
     expected = oracle_join(left, right, "inner", ["k"], ["k"])
     assert_join_equal(got.rename_columns(expected.schema.names), expected)
+
+
+def test_join_keys_straddle_slot_width():
+    """Round-5 regression: varlen content lanes must pick their FORM per
+    row (by length), not per array — a per-array branch on max length
+    made a join whose probe side held any >16-byte string (build side
+    all short) return 0 rows instead of every match."""
+    from arrow_tpu.acero import (Declaration, HashJoinNodeOptions,
+                                 TableSourceNodeOptions)
+    bk = [f"key{i:03d}" for i in range(50)]
+    long = "averyverylongstringkey_exceeding16"
+    for probe_extra, build_extra in (([long], []), ([], [long])):
+        b = pa.table({"k": pa.array(bk + build_extra),
+                      "w": pa.array(range(50 + len(build_extra)))})
+        p = pa.table({"k": pa.array(bk * 4 + probe_extra),
+                      "v": pa.array(range(200 + len(probe_extra)))})
+        d = Declaration("hashjoin", HashJoinNodeOptions(
+            "inner", left_keys=["k"], right_keys=["k"],
+            left_output=["k", "v"], right_output=["w"],
+            max_build_rows=256),
+            inputs=[Declaration("table_source", TableSourceNodeOptions(
+                        at.Table.from_pyarrow(p))),
+                    Declaration("table_source", TableSourceNodeOptions(
+                        at.Table.from_pyarrow(b)))])
+        exp = p.join(b, keys="k", join_type="inner")
+        assert d.to_table().num_rows == exp.num_rows
+
+
+def test_group_by_batches_straddle_slot_width():
+    """Same per-row lane-form requirement across BATCHES of one stream:
+    a later batch containing a >16-byte string must not re-key earlier
+    short strings."""
+    from arrow_tpu import acero
+    bk = [f"key{i:03d}" for i in range(50)]
+    keys = bk * 40 + ["averyverylongstringkey_exceeding16"] * 7
+    t = pa.table({"k": pa.array(keys), "v": pa.array(range(len(keys)))})
+    g = acero.group_by(at.Table.from_pyarrow(t, max_rows_per_batch=512),
+                       ["k"], [("count_all",)], max_groups=256).to_pyarrow()
+    exp = t.group_by("k").aggregate([([], "count_all")])
+    assert g.num_rows == exp.num_rows
+    assert sorted(g["count_all"].to_pylist()) == \
+        sorted(exp["count_all"].to_pylist())

@@ -57,6 +57,61 @@ class _Ctx:
         self.errors: list = []     # deferred device scalars
 
 
+# Adaptive fused capacities (round 5, from the committed fused stage
+# budget tools/reports/q3_fused_stage_r5.txt): a fused spine carries
+# every stage at its WORST-CASE static capacity (a 14.8K-row aggregate
+# input ran at the join's ~4M-row fanout capacity = 366ms of the 656ms
+# Q3 run) because the single-program spine never host-syncs to compact.
+# Instead, the end-of-run fetch additionally observes each stage's live
+# length (free — same device_get), and LATER runs compile a static
+# prefix slice down to a padded observed capacity right after each
+# shrinking stage (filter/join probe — their live rows are already a
+# left-packed prefix). A data change past the slice fires the deferred
+# overflow scalar: the run falls back to the eager driver and the
+# observation updates, so the next fused run recompiles bigger. This is
+# runtime-adaptive re-optimization, the fused analog of
+# nodes.maybe_compact.
+_PLAN_OBS: dict = {}
+
+
+def _tight_capacity(key) -> Optional[int]:
+    obs = _PLAN_OBS.get(key)
+    if obs is None:
+        return None
+    from ..core.interop import pad_capacity
+    return pad_capacity(int(obs * 1.3) + 16)
+
+
+def prefix_slice(b: Batch, C: int):
+    """Statically slice a batch's leading capacity to C (live rows must
+    be a left-packed prefix — true for filter/join/aggregate outputs).
+    Returns (sliced_batch, overflow_scalar); bails to the original
+    batch (err 0) when any column layout doesn't slice (nested/REE)."""
+    from ..core import datatype as dt
+    for i in range(b.num_columns):
+        t = b.column(i).type
+        if t.is_nested or isinstance(t, dt.RunEndEncodedType) or \
+                b.column(i).children is not None:
+            return b, jnp.int32(0)
+    from ..core.array import Array
+    n = jnp.asarray(b.length, jnp.int32)
+    err = (n > C).astype(jnp.int32)
+    nc = jnp.minimum(n, C)
+    arrays = []
+    for i in range(b.num_columns):
+        a = b.column(i)
+        al = jnp.minimum(jnp.asarray(a.length, jnp.int32), C)
+        validity = a.validity[:C] if a.validity is not None else None
+        if a.type.is_varlen:
+            arrays.append(Array(a.type, a.values, validity,
+                                offsets=a.offsets[:C + 1], length=al))
+        else:
+            arrays.append(Array(a.type, a.values[:C], validity,
+                                dictionary=a.dictionary, length=al))
+    out = Batch(b.schema, arrays, nc, b.index)
+    return out, err
+
+
 
 def _single_batch(node) -> Batch:
     from . import nodes as N
@@ -67,30 +122,56 @@ def _single_batch(node) -> Batch:
         raise _Unsupported("multi-batch or non-device source")
     return t.batches[0]
 
-def _chain_single(node, sig: list):
-    """Returns (args: list, fn(*args) -> (Batch, errors tuple)).
+def _obs_tap(sig: list, obs_keys: list, fn):
+    """Wrap a shrinking stage's chain fn: observe its live length (rides
+    the end-of-run fetch) and, when a previous run recorded one, slice
+    to the padded observed capacity (deferred overflow)."""
+    key = ("obs", tuple(sig))
+    C = _tight_capacity(key)
+    sig.append(("slice", C))
+    obs_keys.append(key)
+
+    def f(*a, _fn=fn, _C=C):
+        x, errs, obs = _fn(*a)
+        # observe the PRE-slice length: if the data grows past a
+        # previously-learned slice, the recorded value must reflect the
+        # true size so the next compile gets a bigger capacity (the
+        # clamped length would wedge the fused path in fallback forever)
+        n = jnp.asarray(x.length, jnp.int32)
+        if _C is not None and _C < x.capacity:
+            x, e = prefix_slice(x, _C)
+            errs = errs + (e,)
+        return x, errs, obs + (n,)
+    return f
+
+
+def _chain_single(node, sig: list, obs_keys: list):
+    """Returns (args: list, fn(*args) -> (Batch, errors tuple,
+    observations tuple)).
 
     ``sig`` accumulates a hashable cache signature (node kinds, option
-    signatures, static shapes, probe impl decisions)."""
+    signatures, static shapes, probe impl decisions, adaptive slice
+    capacities); ``obs_keys`` collects the _PLAN_OBS keys matching the
+    observation scalars the chain emits (in order)."""
     from . import nodes as N
     from .nodes import cached_stage, plan_sig
 
     if isinstance(node, N.TableSourceNode):
         b = _single_batch(node)
         sig.append(("src", b.schema, b.capacity))
-        return [b], lambda b_: (b_, ())
+        return [b], lambda b_: (b_, (), ())
 
     if isinstance(node, (N.FilterNode, N.ProjectNode)):
-        args, fn = _chain_single(node.inputs[0], sig)
-        # node._sig includes project output names — two plans with the
-        # same expressions but different aliases must not share a cache
-        # entry (the cached program bakes in the output schema).
+        args, fn = _chain_single(node.inputs[0], sig, obs_keys)
+        # node._sig includes project output names (cache-collision fix)
         sig.append(node._sig)
         pure = node._pure
 
         def f(*a, _fn=fn, _p=pure):
-            x, errs = _fn(*a)
-            return _p(x), errs
+            x, errs, obs = _fn(*a)
+            return _p(x), errs, obs
+        if isinstance(node, N.FilterNode):
+            f = _obs_tap(sig, obs_keys, f)
         return args, f
 
     if isinstance(node, N.HashJoinNode):
@@ -105,14 +186,17 @@ def _chain_single(node, sig: list):
         # BUILD PHASE: compile + run the build subplan as one program;
         # the recovery fetch doubles as the probe-impl decision
         bsig: list = []
-        bargs, bfn = _chain_single(node.inputs[1], bsig)
-        bkey = ("fusedbuild2", tuple(bsig))
+        bobs_keys: list = []
+        bargs, bfn = _chain_single(node.inputs[1], bsig, bobs_keys)
+        bkey = ("fusedbuild3", tuple(bsig))
         from .nodes import checked_jit
         bjit = cached_stage(bkey, lambda: checked_jit(
             lambda *a: bfn(*a)))
-        build_in, berrs = bjit(*bargs)
-        if berrs and any(int(np.asarray(v))
-                         for v in jax.device_get(list(berrs))):
+        build_in, berrs, bobs = bjit(*bargs)
+        fetched = jax.device_get(list(berrs) + list(bobs))
+        for k, v in zip(bobs_keys, fetched[len(berrs):]):
+            _PLAN_OBS[k] = int(np.asarray(v))
+        if any(int(np.asarray(v)) for v in fetched[:len(berrs)]):
             # a nested join-fanout / group-table overflow in the build
             # subtree: its batch content is truncated garbage
             raise _FallBack("build-side deferred check fired")
@@ -120,15 +204,16 @@ def _chain_single(node, sig: list):
         sig.append(("hashjoin", plan_sig(node.join.options), impl,
                     tuple(bsig), build_in.capacity))
 
-        pargs, pfn = _chain_single(node.inputs[0], sig)
+        pargs, pfn = _chain_single(node.inputs[0], sig, obs_keys)
         join = node.join
         fanout = join.options.fanout_capacity
         k = len(pargs)
 
         def f(*a, _fn=pfn, _join=join, _impl=impl, _fanout=fanout, _k=k):
-            x, errs = _fn(*a[:_k])
+            x, errs, obs = _fn(*a[:_k])
             out, bs2 = _join.probe(a[_k], x, _fanout, _impl)
-            return out, errs + (bs2.error,)
+            return out, errs + (bs2.error,), obs
+        f = _obs_tap(sig, obs_keys, f)
         return pargs + [bs], f
 
     if isinstance(node, N.AggregateNode):
@@ -136,32 +221,32 @@ def _chain_single(node, sig: list):
             raise _Unsupported("scalar/dist aggregate")
         if getattr(node.options, "segment_keys", ()):
             raise _Unsupported("segmented aggregate")
-        args, fn = _chain_single(node.inputs[0], sig)
+        args, fn = _chain_single(node.inputs[0], sig, obs_keys)
         sig.append(("aggregate", plan_sig(node.options.aggregates),
                     tuple(node.options.keys), node._max_groups))
         ha = node.ha
 
         def f(*a, _fn=fn, _ha=ha):
-            x, errs = _fn(*a)
+            x, errs, obs = _fn(*a)
             st = _ha.consume(_ha.init_state(), x, None, None, True)
             out = _ha.finalize(st)
-            return out, errs + (st[0].error,)
+            return out, errs + (st[0].error,), obs
         return args, f
 
     if isinstance(node, N.OrderByNode):
-        args, fn = _chain_single(node.inputs[0], sig)
+        args, fn = _chain_single(node.inputs[0], sig, obs_keys)
         limit = getattr(node, "_limit", None)
         sig.append(("order_by", plan_sig(node.options.sort_keys),
                     node.options.null_placement, limit))
         pure = node._make_topk(limit) if limit else node._pure_run
 
         def f(*a, _fn=fn, _p=pure):
-            x, errs = _fn(*a)
-            return _p(x), errs
+            x, errs, obs = _fn(*a)
+            return _p(x), errs, obs
         return args, f
 
     if isinstance(node, N.FetchNode):
-        args, fn = _chain_single(node.inputs[0], sig)
+        args, fn = _chain_single(node.inputs[0], sig, obs_keys)
         off = int(node.options.offset)
         cnt = int(node.options.count)
         sig.append(("fetch", off, cnt))
@@ -170,16 +255,17 @@ def _chain_single(node, sig: list):
         from ..ops.selection import take_batch
 
         def f(*a, _fn=fn, _o=off, _c=cnt):
-            x, errs = _fn(*a)
+            x, errs, obs = _fn(*a)
             idx = jnp.minimum(
                 jnp.arange(x.capacity, dtype=jnp.int32) + _o,
                 x.capacity - 1)
             n = jnp.clip(jnp.asarray(x.length, jnp.int32) - _o, 0, _c)
             return take_batch(x, Array(dt.int32, idx, None, length=n)), \
-                errs
+                errs, obs
         return args, f
 
     raise _Unsupported(type(node).__name__)
+
 
 
 
@@ -378,13 +464,19 @@ def try_fused_to_table(decl) -> Optional[Table]:
     node = decl._build()
     try:
         sig1: list = []
-        args, fn1 = _chain_single(node, sig1)
+        obs_keys: list = []
+        args, fn1 = _chain_single(node, sig1, obs_keys)
         key = ("fusedplan", tuple(sig1))
         jfn = cached_stage(key, lambda: checked_jit(lambda *a: fn1(*a)))
-        out, errs = jfn(*args)
-        fetch = list(errs) + [out.length]
+        out, errs, obs = jfn(*args)
+        ne = len(errs)
+        fetch = list(errs) + list(obs) + [out.length]
         vals = [int(np.asarray(v)) for v in jax.device_get(fetch)]
-        if any(vals[:-1]):
+        # adaptive capacities: record each shrinking stage's live length
+        # so the NEXT run's spine compiles with tight static slices
+        for k, v in zip(obs_keys, vals[ne:ne + len(obs)]):
+            _PLAN_OBS[k] = v
+        if any(vals[:ne]):
             return None
         t = Table(node.output_schema(), [out] if vals[-1] > 0 else [])
         from ..utils.tracing import metrics

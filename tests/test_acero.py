@@ -581,3 +581,71 @@ def test_fused_project_alias_cache_distinct(rng, monkeypatch):
     assert t2.column_names == ["x", "y"]
     assert t1["a"].to_pylist() == t2["x"].to_pylist()
     assert t1["b2"].to_pylist() == t2["y"].to_pylist()
+
+
+def test_fused_adaptive_capacity(rng, monkeypatch):
+    """Round-5 adaptive fused capacities: the second run of a plan
+    compiles static prefix slices from the first run's observed stage
+    lengths (tools/reports/q3_fused_stage_r5.txt), results stay equal
+    to eager, and a later data growth past a learned slice falls back
+    to eager and re-learns."""
+    import arrow_tpu as at
+    from arrow_tpu.acero import (AggregateNodeOptions, AggregateSpec,
+                                 Declaration, FilterNodeOptions,
+                                 HashJoinNodeOptions,
+                                 TableSourceNodeOptions)
+    from arrow_tpu.acero import fuse
+    from arrow_tpu.compute.expressions import field, literal
+    n = 20_000
+    def lt(dvals):
+        return at.Table.from_pyarrow(pa.table(
+            {"k": pa.array(rng.integers(0, 500, n)),
+             "x": pa.array(rng.standard_normal(n).astype(np.float32)),
+             "d": pa.array(dvals)}), max_rows_per_batch=1 << 20)
+    li_small = lt(rng.integers(0, 100, n).astype(np.int32))
+    li_big = lt(np.full(n, 99, dtype=np.int32))
+    od = at.Table.from_pyarrow(pa.table(
+        {"k2": pa.array(rng.permutation(800)[:400].astype(np.int64)),
+         "y": pa.array(rng.integers(0, 9, 400).astype(np.int32))}),
+        max_rows_per_batch=1 << 20)
+
+    def make(lidev):
+        return Declaration.from_sequence([
+            Declaration("hashjoin", HashJoinNodeOptions(
+                "inner", left_keys=["k"], right_keys=["k2"],
+                left_output=["k", "x"], right_output=["y"],
+                max_build_rows=1 << 10),
+                inputs=[Declaration.from_sequence([
+                    Declaration("table_source",
+                                TableSourceNodeOptions(lidev)),
+                    Declaration("filter", FilterNodeOptions(
+                        field("d") > literal(60)))]),
+                    Declaration("table_source",
+                                TableSourceNodeOptions(od))]),
+            Declaration("aggregate", AggregateNodeOptions(
+                [AggregateSpec("sum", "x"), AggregateSpec("count_all")],
+                keys=["y"], max_groups=64))])
+
+    before = len(fuse._PLAN_OBS)
+    r1 = make(li_small).to_table().to_pyarrow()
+    assert len(fuse._PLAN_OBS) > before   # observations recorded
+    r2 = make(li_small).to_table().to_pyarrow()   # sliced program
+    monkeypatch.setenv("ARROW_TPU_FUSE_PLAN", "0")
+    re_ = make(li_small).to_table().to_pyarrow()
+    monkeypatch.delenv("ARROW_TPU_FUSE_PLAN")
+    key = [("y", "ascending")]
+    assert r1.sort_by(key)["count_all"].to_pylist() == \
+        re_.sort_by(key)["count_all"].to_pylist()
+    assert r2.sort_by(key)["count_all"].to_pylist() == \
+        re_.sort_by(key)["count_all"].to_pylist()
+    # growth past the learned slice: fallback keeps results right,
+    # the NEXT fused run recompiles with the bigger observation
+    g1 = make(li_big).to_table().to_pyarrow()
+    g2 = make(li_big).to_table().to_pyarrow()
+    monkeypatch.setenv("ARROW_TPU_FUSE_PLAN", "0")
+    ge = make(li_big).to_table().to_pyarrow()
+    monkeypatch.delenv("ARROW_TPU_FUSE_PLAN")
+    assert g1.sort_by(key)["count_all"].to_pylist() == \
+        ge.sort_by(key)["count_all"].to_pylist()
+    assert g2.sort_by(key)["count_all"].to_pylist() == \
+        ge.sort_by(key)["count_all"].to_pylist()

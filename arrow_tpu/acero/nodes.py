@@ -705,11 +705,12 @@ class AggregateNode(ExecNode):
             route = self.ha.probe_route(b, vals)
         kind, params = route
         if kind == "dense":
-            dkey = self._key + ("dense", params["G"])
+            impl = params.get("impl", "pallas")
+            dkey = self._key + ("dense", params["G"], impl)
             consume_d = cached_stage(dkey, lambda: jax.jit(
-                self.ha.consume_dense, static_argnums=(3,)))
+                self.ha.consume_dense, static_argnums=(3, 4)))
             return consume_d(state, b, np.int64(params["lo"]),
-                             params["G"])
+                             params["G"], impl)
         if kind == "packed":
             lo, shift, outmap, K, fold = params
             return self._consume(state, b, (lo, shift, outmap),

@@ -184,7 +184,8 @@ def bench_group_by(dev, distinct):
             if kind == "dense":
                 state = ha.consume_dense(state, b2,
                                          np.int64(params["lo"]),
-                                         params["G"])
+                                         params["G"],
+                                         params.get("impl", "pallas"))
             elif kind == "packed":
                 lo, shift, outmap, Kp, fold = params
                 state = ha.consume(state, b2, (lo, shift, outmap),

@@ -544,3 +544,37 @@ def test_dense_group_by_any_all_bool():
         [("k", "ascending")])
     for c in ("k", "v_any", "v_all", "count_all"):
         assert got[c].to_pylist() == want[c].to_pylist(), c
+
+
+def test_sorted_dense_group_by_oracle(rng):
+    """Round-5 sorted-dense path (hash_aggregate.sorted_group_reduce):
+    dense int key domains past the Pallas kernel's cap route through
+    ONE stable 1-key sort + cumsum boundary-diffs / segmented scans,
+    scattering straight into dense slots. Oracle parity incl. i64
+    sum/min/max, nulls, counts, across the routing boundary."""
+    from arrow_tpu import acero
+    from arrow_tpu.ops.hash_aggregate import HashAggregate
+    n = 60_000
+    G = HashAggregate.DENSE_CAP * 4      # past the pallas cap
+    k = rng.integers(0, G, n)
+    km = rng.random(n) < 0.05
+    t = pa.table({"k": pa.array(k, mask=km),
+                  "v": pa.array(rng.standard_normal(n).astype(
+                      np.float32)),
+                  "w": pa.array(rng.integers(-1 << 40, 1 << 40, n))})
+    got = acero.group_by(at.Table.from_pyarrow(t), ["k"],
+                         [("sum", "v"), ("min", "v"), ("max", "w"),
+                          ("sum", "w"), ("count", "v"), ("count_all",)],
+                         max_groups=1 << 16).to_pyarrow()
+    exp = t.group_by("k").aggregate([("v", "sum"), ("v", "min"),
+                                     ("w", "max"), ("w", "sum"),
+                                     ("v", "count"), ([], "count_all")])
+    key = [("k", "ascending")]
+    g, e = got.sort_by(key), exp.sort_by(key)
+    assert g["k"].to_pylist() == e["k"].to_pylist()
+    for c in ("count_all", "w_max", "w_sum", "v_count", "v_min"):
+        assert g[c].to_pylist() == e[c].to_pylist(), c
+    assert np.allclose(
+        np.array(g["v_sum"].to_pylist(), dtype=np.float64),
+        np.array(e["v_sum"].to_pylist(), dtype=np.float64),
+        rtol=1e-4, atol=1e-4)

@@ -62,7 +62,7 @@ def main():
                             AggregateSpec("min", "v"),
                             AggregateSpec("count_all")],
                            max_groups=2 * G)
-        for label in ("dense", "sort"):
+        for label in ("dense", "sorted", "sort"):
             @jax.jit
             def run(s, b, label=label, G=G, ha=ha):
                 def body(i, acc):
@@ -73,6 +73,9 @@ def main():
                     st = ha.init_state()
                     if label == "dense":
                         st = ha.consume_dense(st, b2, np.int64(0), G)
+                    elif label == "sorted":
+                        st = ha.consume_dense(st, b2, np.int64(0), G,
+                                              "sorted")
                     else:
                         st = ha.consume(st, b2, None, None, True)
                     out = ha.finalize(st)

@@ -376,14 +376,18 @@ class DurationType(DataType):
 
 @dataclass(frozen=True)
 class DecimalType(DataType):
-    """decimal128/decimal256 stored as SCALED int64 on device.
+    """decimal128/decimal256 scaled-integer device storage.
 
-    The device representation holds the scaled integer in one int64
-    lane; interop verifies every (valid) value is representable and
-    raises otherwise (``array/array_decimal.h:71`` is the reference
-    layout; values beyond +-2^63 scaled units need the future multi-limb
-    representation). ``bits`` records the WIRE width (128 or 256) so
-    round trips re-emit the original Arrow type."""
+    Precision <= 18: ONE int64 lane (10^18 < 2^63, always fits).
+    Precision  > 18 (``wide``): TWO-limb (cap, 2) int64 storage
+    [low 64 bits, high signed 64] — full decimal128 magnitude
+    (``util/decimal.h:410`` int128 semantics). The representation is
+    chosen STATICALLY by precision so join sides / stream batches of
+    one logical type never mix limb layouts. decimal256 uses the same
+    two limbs; values beyond +-2^127 scaled units raise at ingest
+    (the documented remaining contract). ``bits`` records the WIRE
+    width (128 or 256) so round trips re-emit the original Arrow
+    type."""
 
     precision: int
     scale: int
@@ -392,6 +396,10 @@ class DecimalType(DataType):
     @property
     def id(self) -> str:
         return f"decimal{self.bits}({self.precision}, {self.scale})"
+
+    @property
+    def wide(self) -> bool:
+        return self.precision > 18
 
     @property
     def storage_np(self) -> np.dtype:

@@ -79,16 +79,38 @@ def _primitive_values(pa_arr, t: dt.DataType, n: int) -> np.ndarray:
         start = pa_arr.offset * w
         return raw[start:start + n * w].reshape(n, w)
     if isinstance(t, dt.DecimalType):
-        # wire: 16 (decimal128) / 32 (decimal256) little-endian bytes per
-        # value; device: ONE scaled int64 lane. Every VALID value must be
-        # representable in +-2^63 scaled units (the documented device
-        # decimal contract; array/array_decimal.h:71 is the wire layout)
+        # wire: 16 (decimal128) / 32 (decimal256) little-endian bytes
+        # per value. Device storage (array/array_decimal.h:71 is the
+        # wire layout; util/decimal.h:410 the int128 semantics):
+        #   precision <= 18  -> ONE scaled int64 lane (always fits);
+        #   precision  > 18  -> (n, 2) int64 limbs [lo bits, hi signed]
+        # decimal256 values beyond +-2^127 scaled units raise (the
+        # documented remaining contract).
         words = t.bits // 64
         raw = np.frombuffer(buf, dtype="<i8").reshape(-1, words)
         raw = raw[pa_arr.offset:pa_arr.offset + n]
         lo = raw[:, 0]
-        sign = lo >> 63                 # expected upper words (-1 or 0)
         mask = _unpack_validity(pa_arr, n)
+        if t.wide:
+            hi = raw[:, 1] if words > 1 else lo >> 63
+            sign = hi >> 63             # expected words 2.. (-1 or 0)
+            bad = np.zeros((n,), np.bool_)
+            for w_i in range(2, words):
+                bad |= raw[:, w_i] != sign
+            if mask is not None:
+                bad &= mask
+            if bad.any():
+                raise NotImplementedError(
+                    f"decimal{t.bits}({t.precision},{t.scale}) value "
+                    "exceeds the engine's 128-bit scaled-integer range "
+                    "(+-2^127 scaled units)")
+            out = np.empty((n, 2), np.int64)
+            out[:, 0] = lo
+            out[:, 1] = hi
+            if mask is not None:
+                out[~mask] = 0      # null slots may hold garbage
+            return out
+        sign = lo >> 63                 # expected upper words (-1 or 0)
         bad = np.zeros((n,), np.bool_)
         for w_i in range(1, words):
             bad |= raw[:, w_i] != sign
@@ -97,8 +119,8 @@ def _primitive_values(pa_arr, t: dt.DataType, n: int) -> np.ndarray:
         if bad.any():
             raise NotImplementedError(
                 f"decimal{t.bits}({t.precision},{t.scale}) value exceeds "
-                "the engine's 64-bit scaled-integer range (+-2^63 scaled "
-                "units); multi-limb decimals are not supported on device")
+                "the 64-bit scaled range; precision > 18 types use the "
+                "two-limb representation")
         return np.ascontiguousarray(lo)
     npdt = t.storage_np
     raw = np.frombuffer(buf, dtype=npdt)
@@ -280,6 +302,9 @@ def array_from_pyarrow(pa_arr, capacity: Optional[int] = None,
         if isinstance(t, dt.FixedSizeBinaryType):
             buf = np.zeros((cap, t.byte_width), dtype=np.uint8)
             buf[:n] = vals
+        elif isinstance(t, dt.DecimalType) and t.wide:
+            buf = np.zeros((cap, 2), dtype=np.int64)
+            buf[:n] = vals
         else:
             buf = np.zeros((cap,), dtype=t.storage_np)
             buf[:n] = vals
@@ -428,9 +453,17 @@ def array_to_pyarrow(arr: Array):
             np.int64, copy=False)
         words = t.bits // 64
         wide = np.empty((n, words), dtype="<i8")
-        wide[:, 0] = vals
-        for w_i in range(1, words):
-            wide[:, w_i] = vals >> 63   # sign extension words
+        if t.wide:
+            wide[:, 0] = vals[:, 0]
+            hi = vals[:, 1]
+            if words > 1:
+                wide[:, 1] = hi
+            for w_i in range(2, words):
+                wide[:, w_i] = hi >> 63     # sign extension words
+        else:
+            wide[:, 0] = vals
+            for w_i in range(1, words):
+                wide[:, w_i] = vals >> 63   # sign extension words
         data_buf = pa.py_buffer(np.ascontiguousarray(wide).tobytes())
         return pa.Array.from_buffers(
             pa_type, n, [validity_buf, data_buf],

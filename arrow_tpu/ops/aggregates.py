@@ -858,6 +858,88 @@ class GroupedApproximateMedian(GroupedTDigest):
         self.qs = [0.5]
 
 
+class GroupedDecimalSum(GroupedAggregator):
+    """hash_sum over decimal columns with EXACT 128-bit accumulation
+    (``util/decimal.h:410`` int128 semantics; output type
+    decimal(38|76, s) per ``hash_aggregate_numeric.cc`` promotion).
+
+    Each value decomposes into three nonnegative/signed i64 partials —
+    hi limb, high-32 and low-32 of the lo limb — each summed exactly in
+    int64 (n < 2^31 rows); finalize recombines with explicit carries
+    into the two-limb (G, 2) wide-decimal storage. Works for both
+    narrow ((cap,) scaled i64) and wide ((cap, 2) limb) inputs. Sums
+    beyond +-2^127 scaled units wrap (the reference's release-mode
+    decimal sum overflows silently too)."""
+
+    name = "decimal_sum"
+
+    @property
+    def out_type(self):
+        t = self.in_type
+        return dt.DecimalType(38 if t.bits == 128 else 76, t.scale,
+                              t.bits)
+
+    def init(self):
+        z = jnp.zeros((self.G,), dtype=jnp.int64)
+        return (z, z, z, jnp.zeros((self.G,), dtype=jnp.int64))
+
+    def _parts(self, values, ok):
+        v = values.values
+        if v.ndim == 2:
+            lo_u = v[:, 0].astype(jnp.uint64)
+            hi = v[:, 1]
+        else:
+            lo_u = v.astype(jnp.uint64)
+            hi = v >> jnp.int64(63)
+        lolo = (lo_u & jnp.uint64(0xFFFFFFFF)).astype(jnp.int64)
+        lohi = (lo_u >> jnp.uint64(32)).astype(jnp.int64)
+        z = jnp.int64(0)
+        return (jnp.where(ok, hi, z), jnp.where(ok, lohi, z),
+                jnp.where(ok, lolo, z))
+
+    def consume(self, state, values, group_ids):
+        hi_a, lohi_a, lolo_a, cnt = state
+        ok = _contrib_mask(values, group_ids)
+        pos = _positions(ok, group_ids, self.G)
+        hi, lohi, lolo = self._parts(values, ok)
+        return (hi_a.at[pos].add(hi, mode="drop"),
+                lohi_a.at[pos].add(lohi, mode="drop"),
+                lolo_a.at[pos].add(lolo, mode="drop"),
+                cnt.at[pos].add(ok.astype(jnp.int64), mode="drop"))
+
+    def consume_grouped(self, state, values, ctx):
+        from .segment import seg_sum
+        hi_a, lohi_a, lolo_a, cnt = state
+        v_sorted, ok = _sorted_inputs(values, ctx)
+        vv = Array(values.type, v_sorted, None, length=values.length)
+        hi, lohi, lolo = self._parts(vv, ok)
+        gp = _gpos(ctx, self.G)
+        kw = dict(mode="drop", unique_indices=True)
+        return (hi_a.at[gp].add(seg_sum(ctx, hi), **kw),
+                lohi_a.at[gp].add(seg_sum(ctx, lohi), **kw),
+                lolo_a.at[gp].add(seg_sum(ctx, lolo), **kw),
+                cnt.at[gp].add(seg_sum(ctx, ok.astype(jnp.int64)), **kw))
+
+    def merge(self, state, other, mapping):
+        return tuple(a.at[mapping].add(o, mode="drop")
+                     for a, o in zip(state, other))
+
+    def finalize(self, state, num_groups) -> Array:
+        hi_a, lohi_a, lolo_a, cnt = state
+        # total = hi*2^64 + lohi*2^32 + lolo (mod 2^128), with lolo,
+        # lohi exact nonnegative partial sums and hi a signed limb sum
+        a = lolo_a.astype(jnp.uint64)
+        b_low = (lohi_a.astype(jnp.uint64) &
+                 jnp.uint64(0xFFFFFFFF)) << jnp.uint64(32)
+        low64 = a + b_low                               # u64 wrap
+        carry = (((a >> jnp.uint64(32)) +
+                  (lohi_a.astype(jnp.uint64) & jnp.uint64(0xFFFFFFFF)))
+                 >> jnp.uint64(32)).astype(jnp.int64)
+        hi64 = hi_a + (lohi_a >> jnp.int64(32)) + carry  # i64 wrap
+        vals = jnp.stack([low64.astype(jnp.int64), hi64], axis=1)
+        return Array(self.out_type, vals, cnt > 0, length=num_groups)
+
+
 GROUPED_AGGREGATORS = {
     c.name: c for c in [
         GroupedCount, GroupedCountAll, GroupedSum, GroupedProduct,
@@ -873,6 +955,15 @@ def make_grouped_aggregator(name: str, in_type: Optional[dt.DataType],
                             max_groups: int, options=None
                             ) -> GroupedAggregator:
     key = name[5:] if name.startswith("hash_") else name
+    if isinstance(in_type, dt.DecimalType):
+        if key == "sum":
+            return GroupedDecimalSum(in_type, max_groups, options)
+        if key in ("mean", "product", "tdigest", "approximate_median",
+                   "variance", "stddev", "skew",
+                   "kurtosis") and in_type.wide:
+            raise NotImplementedError(
+                f"{key} over wide (precision>18) decimals: cast to a "
+                "narrower decimal or float first")
     if key not in GROUPED_AGGREGATORS:
         # some aggregators (list, pivot_wider) live in lazily-imported
         # kernel modules

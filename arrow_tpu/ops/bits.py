@@ -106,6 +106,11 @@ def value_lanes32(values: jax.Array, type_) -> List[jax.Array]:
         if t.bits == 16:
             return [_f16_bits(v)]
         return [_f32_bits(v)]
+    if isinstance(t, dt.DecimalType) and t.wide:
+        # two-limb (cap, 2) [lo bits, hi signed] -> 4 raw-bit lanes
+        hi_hi, hi_lo = split_u64(v[:, 1])
+        lo_hi, lo_lo = split_u64(v[:, 0])
+        return [hi_hi, hi_lo, lo_hi, lo_lo]
     if t.is_integer or t.is_temporal or isinstance(t, dt.DecimalType):
         if t.bit_width == 64:
             return list(split_u64(v))
@@ -142,6 +147,11 @@ def ascending_lanes32(values: jax.Array, type_) -> List[jax.Array]:
             return [jnp.where(sign, bits ^ jnp.uint32(0xFFFF),
                               bits | jnp.uint32(0x8000))]
         return [_f32_enc_ascending(bits)]
+    if isinstance(t, dt.DecimalType) and t.wide:
+        # i128 order: signed hi limb (sign-biased) then unsigned lo
+        hi_hi, hi_lo = split_u64(v[:, 1])
+        lo_hi, lo_lo = split_u64(v[:, 0])
+        return [hi_hi ^ jnp.uint32(0x80000000), hi_lo, lo_hi, lo_lo]
     if t.is_signed_integer or t.is_temporal or isinstance(t, dt.DecimalType):
         if t.bit_width == 64:
             hi, lo = split_u64(v)

@@ -224,6 +224,8 @@ class Grouper:
             elif isinstance(t, dt.DictionaryType):
                 from .hashing import dict_value_lane_width
                 width = dict_value_lane_width(t)
+            elif isinstance(t, dt.DecimalType) and t.wide:
+                width = 4          # two-limb decimal (bits.py)
             elif t.is_primitive and t.bit_width == 64:
                 width = 2
             else:

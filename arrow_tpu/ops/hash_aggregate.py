@@ -286,7 +286,10 @@ class HashAggregate:
                 continue   # multi-target aggs (pivot) read original rows
             col = batch.column(spec.targets[0])
             key = id(col.values)
-            if key in seen or col.type.is_varlen:
+            if key in seen or col.type.is_varlen or \
+                    col.values.ndim == 2:
+                # 2D (multi-limb) storage can't ride lax.sort operands;
+                # _sorted_inputs row-gathers it through perm instead
                 continue
             seen.add(key)
             payload_plan.append((key, col.validity is not None))

@@ -59,6 +59,8 @@ def _storage_lanes(a: Array) -> Optional[List[jax.Array]]:
             return [jax.lax.bitcast_convert_type(v, jnp.uint16).astype(
                 jnp.uint32)]
         return [jax.lax.bitcast_convert_type(v, jnp.uint32)]
+    if isinstance(t, dt.DecimalType) and t.wide:
+        return list(split_u64(v[:, 1])) + list(split_u64(v[:, 0]))
     if t.is_integer or t.is_temporal or isinstance(t, dt.DecimalType):
         if t.bit_width == 64:
             return list(split_u64(v))
@@ -87,6 +89,11 @@ def _storage_from_lanes(lanes: List[jax.Array], t: dt.DataType,
             return jax.lax.bitcast_convert_type(
                 lanes[0].astype(jnp.uint16), jnp.float16)
         return jax.lax.bitcast_convert_type(lanes[0], np_dtype)
+    from ..core import datatype as _ddt
+    if isinstance(t, _ddt.DecimalType) and t.wide:
+        hi = join_u32(lanes[0], lanes[1]).astype(jnp.int64)
+        lo = join_u32(lanes[2], lanes[3]).astype(jnp.int64)
+        return jnp.stack([lo, hi], axis=1)
     if t.bit_width == 64:
         return join_u32(lanes[0], lanes[1]).astype(np_dtype)
     if t.is_signed_integer or t.is_temporal or isinstance(t, dt.DecimalType):
@@ -104,7 +111,9 @@ def plane_width(t: dt.DataType) -> Optional[int]:
         return 1
     if t.is_floating:
         return 2 if t.bits == 64 else 1
-    if t.is_integer or t.is_temporal or isinstance(t, dt.DecimalType):
+    if isinstance(t, dt.DecimalType):
+        return 4 if t.wide else 2
+    if t.is_integer or t.is_temporal:
         return 2 if t.bit_width == 64 else 1
     return None
 

@@ -34,6 +34,9 @@ def _comparable_values(args):
         return [values_of(a) for a in args]
     if all(isinstance(t, dt.DecimalType) for t in types) and \
             len({(t.precision, t.scale) for t in types}) == 1:
+        if types[0].wide:
+            # two-limb: map to comparable (hi, lo) handled by _cmp_wide
+            return None
         # same (precision, scale): scaled int64 storage compares directly
         return [values_of(a) for a in args]
     if all(isinstance(t, dt.DictionaryType) for t in types):
@@ -49,6 +52,18 @@ def _is_stringy(a):
     return t.is_varlen
 
 
+def _cmp_wide(name, va, vb):
+    """Lexicographic (hi signed, lo unsigned) comparison of two-limb
+    (cap, 2) [lo, hi] decimal storage (util/decimal.h int128 order)."""
+    ha, la = va[:, 1], va[:, 0].astype(jnp.uint64)
+    hb, lb = vb[:, 1], vb[:, 0].astype(jnp.uint64)
+    eq = (ha == hb) & (la == lb)
+    lt = (ha < hb) | ((ha == hb) & (la < lb))
+    return {"equal": eq, "not_equal": ~eq, "less": lt,
+            "less_equal": lt | eq, "greater": ~(lt | eq),
+            "greater_equal": ~lt}[name]
+
+
 def _compare(name, op):
     @register_function(name, Kind.SCALAR, 2)
     def _fn(args, options, _op=op, _name=name):
@@ -57,7 +72,12 @@ def _compare(name, op):
             from .strings import compare_varlen
             return output_like(compare_varlen(_name, args[0], args[1]),
                                dt.bool_, args)
-        va, vb = _comparable_values(args)
+        va_vb = _comparable_values(args)
+        if va_vb is None:           # wide (two-limb) decimals
+            return output_like(
+                _cmp_wide(_name, values_of(args[0]), values_of(args[1])),
+                dt.bool_, args)
+        va, vb = va_vb
         return output_like(_op(va, vb), dt.bool_, args)
     return _fn
 

@@ -484,6 +484,12 @@ def _filter_batch_sorted(b: Batch, mask: Array,
             payloads.append((a.offsets[1:] - a.offsets[:-1]).astype(
                 jnp.int32))
             layout.append((i, "lens"))
+        elif a.values.ndim == 2:
+            # multi-limb storage (wide decimals): lax.sort operands are
+            # 1D — each limb rides as its own payload, re-stacked after
+            for j in range(a.values.shape[1]):
+                payloads.append(a.values[:, j])
+                layout.append((i, ("values2", j, a.values.shape[1])))
         else:
             payloads.append(a.values)
             layout.append((i, "values"))
@@ -529,6 +535,13 @@ def _filter_batch_sorted(b: Batch, mask: Array,
             arrays.append(Array(a.type, pool, validity, offsets=new_off,
                                 length=out_len))
             continue
+        if a.values.ndim == 2:
+            W = a.values.shape[1]
+            vals = jnp.stack([results[(i, ("values2", j, W))]
+                              for j in range(W)], axis=1)
+            arrays.append(Array(a.type, vals, validity,
+                                dictionary=a.dictionary, length=out_len))
+            continue
         arrays.append(Array(a.type, results[(i, "values")], validity,
                             dictionary=a.dictionary, length=out_len))
     return Batch(b.schema, arrays, out_len, b.index)
@@ -553,6 +566,8 @@ def _filter_batch_dma(b: Batch, mask: Array,
         a = b.column(i)
         if a.type.is_varlen or a.type.is_nested:
             return None
+        if isinstance(a.type, dt.DecimalType) and a.type.wide:
+            return None         # two-limb storage: sort path handles it
     sel, emit_valid, out_len = _selection_mask(mask, null_selection)
     pad = (-cap) % _DMA_TILE
     if pad:

@@ -259,10 +259,15 @@ def test_decimal_roundtrip_and_kernels():
     c = pa.array([D("7.5"), D("-0.5")], pa.decimal256(60, 1))
     assert at.array(c, capacity=4).to_pyarrow().equals(c)
 
-    # out-of-range values raise the documented contract error
-    huge = pa.array([D(10) ** 30], pa.decimal128(38, 0))
+    # round 5: values beyond +-2^63 scaled units round-trip through the
+    # two-limb representation (full decimal128 magnitude)
+    huge = pa.array([D(10) ** 30, -(D(10) ** 37) + 3],
+                    pa.decimal128(38, 0))
+    assert at.array(huge, capacity=2).to_pyarrow().equals(huge)
+    # the remaining contract: decimal256 beyond +-2^127 scaled units
+    over = pa.array([D(10) ** 45], pa.decimal256(76, 0))
     with pytest.raises(NotImplementedError):
-        at.array(huge, capacity=2)
+        at.array(over, capacity=2)
 
     # kernels: compare / filter / sort vs the oracle
     vals = [D("3.10"), D("-7.25"), None, D("0.00"), D("3.10"), D("-9.99")]
@@ -290,3 +295,64 @@ def test_decimal_roundtrip_and_kernels():
         [("k", "ascending")])
     assert got_t["k"].to_pylist() == want_t["k"].to_pylist()
     assert got_t["v_sum"].to_pylist() == want_t["v_sum"].to_pylist()
+
+
+def test_wide_decimal_full_magnitude(rng):
+    """Round-5 two-limb decimals (VERDICT r4 #6): decimal128(38,s) with
+    values far beyond +-2^63 scaled units — round-trip, comparisons,
+    sort, filter, group-by KEYS and EXACT 128-bit sum vs the oracle
+    (``util/decimal.h:410`` int128 semantics)."""
+    import decimal
+    import pyarrow.compute as pc
+    from arrow_tpu.compute import call_function
+    from arrow_tpu.ops.selection import filter_batch
+    from arrow_tpu.ops.sorting import ArraySortOptions
+    D = decimal.Decimal
+
+    vals = [D(10) ** 30, None, -D(10) ** 33 + 7, D("12.5") * 10 ** 20,
+            D(0), D(-1), D(10) ** 37 - 1, -(D(10) ** 37 - 1)]
+    a = pa.array(vals, pa.decimal128(38, 0))
+    arr = at.array(a, capacity=16)
+    assert arr.to_pyarrow().equals(a)
+
+    b = pa.array(list(reversed(vals)), pa.decimal128(38, 0))
+    brr = at.array(b, capacity=16)
+    for op in ("less", "greater", "equal", "less_equal",
+               "greater_equal", "not_equal"):
+        got = call_function(op, [arr, brr]).to_pyarrow()
+        assert got.equals(getattr(pc, op)(a, b)), op
+
+    gi = call_function("array_sort_indices", [arr],
+                       ArraySortOptions("ascending", "at_end"))
+    wi = pc.array_sort_indices(a, order="ascending",
+                               null_placement="at_end")
+    gs = pc.take(a, pa.array(gi.to_pylist(), pa.uint64())).to_pylist()
+    assert gs == pc.take(a, wi).to_pylist()
+
+    # group-by on a wide decimal KEY + exact wide SUM through the engine
+    n = 400
+    kpool = [D(10) ** 30, -D(10) ** 25, D(7), None]
+    keys = [kpool[i] for i in rng.integers(0, 4, n)]
+    sums = [D(int(rng.integers(-10 ** 17, 10 ** 17))) * D(10) ** 12
+            for _ in range(n)]
+    t = pa.table({"k": pa.array(keys, pa.decimal128(38, 0)),
+                  "v": pa.array(sums, pa.decimal128(38, 0)),
+                  "w": pa.array(rng.integers(0, 100, n))})
+    got = at.Table.from_pyarrow(t).group_by("k").aggregate(
+        [("v", "sum"), ("w", "sum")]).to_pyarrow().sort_by(
+        [("w_sum", "ascending")])
+    exp = t.group_by("k").aggregate(
+        [("v", "sum"), ("w", "sum")]).sort_by([("w_sum", "ascending")])
+    assert got["k"].to_pylist() == exp["k"].to_pylist()
+    assert got["v_sum"].to_pylist() == exp["v_sum"].to_pylist()
+    assert got.schema.field("v_sum").type == pa.decimal128(38, 0)
+
+    # filter with a wide decimal column in the batch
+    rb = pa.record_batch(t.combine_chunks().to_batches()[0])
+    bt = at.Batch.from_pyarrow(rb)
+    mask_np = rng.random(n) < 0.5
+    m = at.array(pa.array(mask_np), capacity=bt.capacity)
+    out = filter_batch(bt, m).to_pyarrow()
+    exp_f = rb.filter(pa.array(mask_np))
+    assert out["k"].to_pylist() == exp_f["k"].to_pylist()
+    assert out["v"].to_pylist() == exp_f["v"].to_pylist()

@@ -125,8 +125,17 @@ def _single_batch(node) -> Batch:
 def _obs_tap(sig: list, obs_keys: list, fn):
     """Wrap a shrinking stage's chain fn: observe its live length (rides
     the end-of-run fetch) and, when a previous run recorded one, slice
-    to the padded observed capacity (deferred overflow)."""
-    key = ("obs", tuple(sig))
+    to the padded observed capacity (deferred overflow).
+
+    The observation key MUST exclude earlier ("slice", C) sig entries:
+    keyed on the full sig, inserting one stage's slice would shift every
+    downstream stage's key, so each run discovered exactly one more
+    slice and paid a full recompile per stage (measured as a 5-compile
+    cascade on Q3). Slice-independent keys let run 2 apply ALL of run
+    1's observations in one recompile."""
+    key = ("obs", tuple(e for e in sig
+                        if not (isinstance(e, tuple) and e
+                                and e[0] == "slice")))
     C = _tight_capacity(key)
     sig.append(("slice", C))
     obs_keys.append(key)
@@ -138,7 +147,9 @@ def _obs_tap(sig: list, obs_keys: list, fn):
         # true size so the next compile gets a bigger capacity (the
         # clamped length would wedge the fused path in fallback forever)
         n = jnp.asarray(x.length, jnp.int32)
-        if _C is not None and _C < x.capacity:
+        # tiny batches aren't worth a slice (and its overflow risk)
+        if _C is not None and _C < x.capacity and \
+                x.capacity >= (1 << 16):
             x, e = prefix_slice(x, _C)
             errs = errs + (e,)
         return x, errs, obs + (n,)

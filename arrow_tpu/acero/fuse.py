@@ -73,6 +73,22 @@ class _Ctx:
 # nodes.maybe_compact.
 _PLAN_OBS: dict = {}
 
+# Probe-impl decisions learned by _build_recover's host fetch, keyed by
+# the (slice-stripped) build-subtree sig + join options. A cached impl
+# lets LATER runs compile the build INTO the spine — the whole plan
+# becomes ONE program with ONE end fetch (each join build otherwise
+# costs 2 extra ~25-50ms relay round-trips per run: the build-subtree
+# error fetch and the _build_recover decision fetch). The assumption is
+# validated IN-PROGRAM by deferred scalars (build overflow, pack-bits
+# range, key uniqueness for packed_u): a data change fires them and the
+# run falls back to the eager driver, which re-decides.
+_PLAN_IMPL: dict = {}
+
+
+def _strip_slices(sig) -> tuple:
+    return tuple(e for e in sig
+                 if not (isinstance(e, tuple) and e and e[0] == "slice"))
+
 
 def _tight_capacity(key) -> Optional[int]:
     obs = _PLAN_OBS.get(key)
@@ -133,9 +149,7 @@ def _obs_tap(sig: list, obs_keys: list, fn):
     slice and paid a full recompile per stage (measured as a 5-compile
     cascade on Q3). Slice-independent keys let run 2 apply ALL of run
     1's observations in one recompile."""
-    key = ("obs", tuple(e for e in sig
-                        if not (isinstance(e, tuple) and e
-                                and e[0] == "slice")))
+    key = ("obs", _strip_slices(sig))
     C = _tight_capacity(key)
     sig.append(("slice", C))
     obs_keys.append(key)
@@ -194,11 +208,48 @@ def _chain_single(node, sig: list, obs_keys: list):
         from .spill import spill_budget_bytes
         if spill_budget_bytes(node.join.options) is not None:
             raise _Unsupported("spill-budgeted join")
-        # BUILD PHASE: compile + run the build subplan as one program;
-        # the recovery fetch doubles as the probe-impl decision
+        # BUILD PHASE
         bsig: list = []
         bobs_keys: list = []
         bargs, bfn = _chain_single(node.inputs[1], bsig, bobs_keys)
+        ikey = ("impl", plan_sig(node.join.options),
+                _strip_slices(bsig))
+        impl = _PLAN_IMPL.get(ikey)
+        if impl is not None:
+            # INLINE form: the build compiles into the spine — no
+            # per-run build fetches; the learned impl is validated by
+            # deferred scalars (data change -> eager fallback + relearn)
+            join = node.join
+            # the form tag rides in a ("slice", ...) entry: part of the
+            # compile cache sig, but STRIPPED from observation keys so
+            # bootstrap-run observations carry over to the inline form
+            sig.append(("hashjoin", plan_sig(join.options), impl,
+                        tuple(bsig)))
+            sig.append(("slice", "form", "inline"))
+            pargs, pfn = _chain_single(node.inputs[0], sig, obs_keys)
+            fanout = join.options.fanout_capacity
+            kb = len(bargs)
+
+            def f(*a, _fn=pfn, _bfn=bfn, _join=join, _impl=impl,
+                  _fanout=fanout, _kb=kb):
+                xb, berrs, bobs = _bfn(*a[:_kb])
+                bs = _join.build(xb)
+                ierr = jnp.asarray(bs.error, jnp.int32)
+                if _impl.startswith("packed"):
+                    ierr = ierr | (bs.pack_bits > 30).astype(jnp.int32)
+                if _impl == "packed_u":
+                    ierr = ierr | (bs.num_groups !=
+                                   bs.num_active).astype(jnp.int32)
+                x, errs, obs = _fn(*a[_kb:])
+                out, bs2 = _join.probe(bs, x, _fanout, _impl)
+                return out, berrs + errs + (ierr, bs2.error), \
+                    bobs + obs
+            f = _obs_tap(sig, obs_keys, f)
+            return bargs + pargs, f
+
+        # BOOTSTRAP form: run the build subplan as its own program; the
+        # recovery fetch doubles as the probe-impl decision, cached for
+        # the inline form on later runs
         bkey = ("fusedbuild3", tuple(bsig))
         from .nodes import checked_jit
         bjit = cached_stage(bkey, lambda: checked_jit(
@@ -211,9 +262,15 @@ def _chain_single(node, sig: list, obs_keys: list):
             # a nested join-fanout / group-table overflow in the build
             # subtree: its batch content is truncated garbage
             raise _FallBack("build-side deferred check fired")
+        jb = node.join
         bs, impl = node._build_recover(build_in)
+        if node.join is jb and build_in.capacity < (1 << 26):
+            # no overflow recovery rewrote the stages: the decision is
+            # reproducible in-program -> enable the inline form
+            _PLAN_IMPL[ikey] = impl
         sig.append(("hashjoin", plan_sig(node.join.options), impl,
-                    tuple(bsig), build_in.capacity))
+                    tuple(bsig)))
+        sig.append(("slice", "form", "boot", build_in.capacity))
 
         pargs, pfn = _chain_single(node.inputs[0], sig, obs_keys)
         join = node.join

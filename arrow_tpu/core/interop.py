@@ -34,6 +34,22 @@ __all__ = [
 # distinct compiled shapes (recompilation buckets — SURVEY.md §7 hard part 1).
 _BUCKETS = [1 << k for k in range(4, 31)]
 
+# device dictionary values buffer -> the pyarrow dictionary it was
+# ingested from (host-boundary kernels read it back without a fetch)
+import weakref
+_HOST_DICTS: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def host_dictionary(dict_array: Array):
+    """The pyarrow array a dictionary Array was ingested from, or None
+    (then callers fetch via array_to_pyarrow)."""
+    if dict_array is None:
+        return None
+    try:
+        return _HOST_DICTS.get(dict_array.values)
+    except TypeError:
+        return None
+
 
 def pad_capacity(n: int, capacity: Optional[int] = None) -> int:
     if capacity is not None:
@@ -175,6 +191,14 @@ def array_from_pyarrow(pa_arr, capacity: Optional[int] = None,
     if isinstance(t, dt.DictionaryType):
         indices = pa_arr.indices
         dict_arr = array_from_pyarrow(pa_arr.dictionary)
+        try:
+            # host-boundary kernels (regex via RE2) need the dictionary
+            # VALUES back on the host; remember the pyarrow original so
+            # they skip a ~25-50ms relay fetch (weak: dies with the
+            # device buffer)
+            _HOST_DICTS[dict_arr.values] = pa_arr.dictionary
+        except TypeError:
+            pass
         idx_np = _primitive_values(indices, t.index_type, n)
         buf = np.zeros((cap,), dtype=t.index_type.storage_np)
         # null slots may hold garbage in pyarrow's indices buffer; zero them so

@@ -148,7 +148,11 @@ def _via_pc(name: str, a: Array, pc_options, fallback):
                       jnp.clip(a.values.astype(jnp.int32), 0,
                                uniq_cap - 1),
                       a.validity, length=a.length)
-        uniq_pa = array_to_pyarrow(a.dictionary)
+        from ..core.interop import host_dictionary
+        uniq_pa = host_dictionary(a.dictionary)
+        if uniq_pa is None:
+            uniq_pa = array_to_pyarrow(a.dictionary)
+        _mark("dict values on host")
     elif a.type.is_varlen and a.capacity >= _PUSHDOWN_MIN_ROWS:
         # codes STAY on device (2M rows of i32 = 8MB — fetching them
         # through the axon relay and re-uploading was the round-3

@@ -34,6 +34,8 @@ from __future__ import annotations
 
 from typing import Callable, List, Optional, Tuple
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -244,6 +246,13 @@ def _chain_single(node, sig: list, obs_keys: list):
                 out, bs2 = _join.probe(bs, x, _fanout, _impl)
                 return out, berrs + errs + (ierr, bs2.error), \
                     bobs + obs
+            # distinguish the join-OUTPUT tap from the probe side's
+            # last tap: without this entry their slice-stripped sigs
+            # are IDENTICAL (the join appends its entries before
+            # recursing into the probe chain), the observations
+            # collided, the probe filter got sliced to the join's
+            # output size, and every run overflowed into eager
+            sig.append(("joinout",))
             f = _obs_tap(sig, obs_keys, f)
             return bargs + pargs, f
 
@@ -281,6 +290,7 @@ def _chain_single(node, sig: list, obs_keys: list):
             x, errs, obs = _fn(*a[:_k])
             out, bs2 = _join.probe(a[_k], x, _fanout, _impl)
             return out, errs + (bs2.error,), obs
+        sig.append(("joinout",))   # see the inline form's comment
         f = _obs_tap(sig, obs_keys, f)
         return pargs + [bs], f
 
@@ -545,6 +555,10 @@ def try_fused_to_table(decl) -> Optional[Table]:
         for k, v in zip(obs_keys, vals[ne:ne + len(obs)]):
             _PLAN_OBS[k] = v
         if any(vals[:ne]):
+            if os.environ.get("ARROW_TPU_FUSE_DEBUG"):
+                fired = [i for i, v in enumerate(vals[:ne]) if v]
+                print(f"[fuse] deferred checks fired at {fired} of "
+                      f"{ne}; falling back eager", flush=True)
             return None
         t = Table(node.output_schema(), [out] if vals[-1] > 0 else [])
         from ..utils.tracing import metrics

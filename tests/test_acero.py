@@ -653,3 +653,54 @@ def test_fused_adaptive_capacity(rng, monkeypatch):
         ge.sort_by(key)["count_all"].to_pylist()
     assert g2.sort_by(key)["count_all"].to_pylist() == \
         ge.sort_by(key)["count_all"].to_pylist()
+
+
+def test_fused_adaptive_slice_varlen(rng):
+    """The adaptive prefix slice over a VARLEN column (offsets slice,
+    pool kept): high-cardinality strings (no dict ingest) through a
+    filter->join spine at >=2^16 capacity, three runs (bootstrap,
+    sliced, steady) all matching eager."""
+    import os
+    import arrow_tpu as at
+    from arrow_tpu.acero import (Declaration, FilterNodeOptions,
+                                 HashJoinNodeOptions,
+                                 TableSourceNodeOptions)
+    from arrow_tpu.acero import fuse
+    from arrow_tpu.compute.expressions import field, literal
+    n = 70_000
+    strs = np.array([f"val{i:06d}x{i % 7}" for i in range(n)])
+    li = pa.table({"k": pa.array(rng.integers(0, 5000, n)),
+                   "s": pa.array(strs),
+                   "d": pa.array(rng.integers(0, 100, n).astype(
+                       np.int32))})
+    od = pa.table({"k2": pa.array(
+        rng.permutation(8000)[:4000].astype(np.int64)),
+        "y": pa.array(rng.integers(0, 9, 4000).astype(np.int32))})
+    li_dev = at.Table.from_pyarrow(li, max_rows_per_batch=1 << 20)
+    od_dev = at.Table.from_pyarrow(od, max_rows_per_batch=1 << 20)
+
+    def make():
+        return Declaration("hashjoin", HashJoinNodeOptions(
+            "inner", left_keys=["k"], right_keys=["k2"],
+            left_output=["k", "s"], right_output=["y"],
+            max_build_rows=1 << 13),
+            inputs=[Declaration.from_sequence([
+                Declaration("table_source",
+                            TableSourceNodeOptions(li_dev)),
+                Declaration("filter", FilterNodeOptions(
+                    field("d") > literal(75)))]),
+                Declaration("table_source",
+                            TableSourceNodeOptions(od_dev))])
+
+    runs = [fuse.try_fused_to_table(make()) for _ in range(3)]
+    assert all(r is not None for r in runs)   # no silent fallback
+    os.environ["ARROW_TPU_FUSE_PLAN"] = "0"
+    try:
+        eager = make().to_table().to_pyarrow()
+    finally:
+        del os.environ["ARROW_TPU_FUSE_PLAN"]
+    e = eager.sort_by([("s", "ascending")])
+    for r in runs:
+        g = r.to_pyarrow().sort_by([("s", "ascending")])
+        assert g["s"].to_pylist() == e["s"].to_pylist()
+        assert g["y"].to_pylist() == e["y"].to_pylist()

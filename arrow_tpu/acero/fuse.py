@@ -88,8 +88,17 @@ _PLAN_IMPL: dict = {}
 
 
 def _strip_slices(sig) -> tuple:
-    return tuple(e for e in sig
-                 if not (isinstance(e, tuple) and e and e[0] == "slice"))
+    """Remove ("slice", ...) entries at EVERY depth: a hashjoin sig
+    entry embeds its build subtree's sig, so a shallow strip left the
+    build chain's evolving slice capacities inside downstream stages'
+    observation keys — each nesting level then re-discovered its slices
+    one run later (an N-deep plan took N+2 runs and N+2 recompiles to
+    stabilize)."""
+    if isinstance(sig, (list, tuple)):
+        return tuple(
+            _strip_slices(e) for e in sig
+            if not (isinstance(e, tuple) and e and e[0] == "slice"))
+    return sig
 
 
 def _tight_capacity(key) -> Optional[int]:
@@ -228,6 +237,11 @@ def _chain_single(node, sig: list, obs_keys: list):
             sig.append(("hashjoin", plan_sig(join.options), impl,
                         tuple(bsig)))
             sig.append(("slice", "form", "inline"))
+            # observation ORDER must match the emitted tuple
+            # (bobs + probe obs + join tap): the build-subtree keys go
+            # in FIRST — omitting them zip-shifted every value onto the
+            # wrong key and the drifting capacities recompiled forever
+            obs_keys.extend(bobs_keys)
             pargs, pfn = _chain_single(node.inputs[0], sig, obs_keys)
             fanout = join.options.fanout_capacity
             kb = len(bargs)

@@ -223,13 +223,29 @@ class DistGroupBy:
             out_specs=nspec, check_vma=False))
 
     # ------------------------------------------------------------------
-    def _exchange_and_merge(self, st_leaves):
-        """Inside shard_map: state-row exchange + merge + finalize."""
+    def _exchange_and_merge(self, st_leaves, key_dict_leaves=()):
+        """Inside shard_map: state-row exchange + merge + finalize.
+
+        ``key_dict_leaves``: replicated dictionary value buffers for
+        dictionary-typed key columns (the packed state template carries
+        codes only): content-gathered key lanes
+        (ops/hashing.dict_content_lanes) need the dictionary on both
+        the hashing and the post-exchange merge side."""
         ha = self.ha
         G, n, axis = self.G, self.n, self.axis
         grouper_state, agg_states, uniques = self._unpack(st_leaves)
         nloc = grouper_state.num_groups
         local_err = grouper_state.error
+        kd = iter(key_dict_leaves)
+        fixed = []
+        for u, f in zip(uniques, ha.key_fields):
+            if isinstance(f.type, dt.DictionaryType) and \
+                    not isinstance(u, SlotStrings):
+                d = next(kd, None)
+                if d is not None:
+                    u = Array(f.type, u.values, u.validity, dictionary=d)
+            fixed.append(u)
+        uniques = tuple(fixed)
 
         # compact key arrays for hashing/consume-compatible rows
         key_arrays = [u.to_array(f.type) if isinstance(u, SlotStrings)
@@ -247,10 +263,15 @@ class DistGroupBy:
         leaves = []
         for u, f in zip(uniques, ha.key_fields):
             if isinstance(u, SlotStrings):
-                plan.append(("slot", f.type, 3))
+                plan.append(("slot", f.type, 3, None))
                 leaves.extend([u.slots, u.lens, u.valid])
             else:
-                plan.append(("arr", f.type, 2))
+                # dictionary columns exchange CODES; the receiver
+                # reattaches its LOCAL dictionary — content-identical
+                # across shards (one host-side encode per source is the
+                # ingest contract), so the content-gathered key lanes
+                # (ops/hashing.dict_content_lanes) stay consistent
+                plan.append(("arr", f.type, 2, u.dictionary))
                 leaves.extend([u.values,
                                u.validity if u.validity is not None else
                                jnp.ones((G,), jnp.bool_)])
@@ -268,14 +289,14 @@ class DistGroupBy:
 
         it = iter(recv[:len(leaves)])
         o_keys = []
-        for kind, t, nl in plan:
+        for kind, t, nl, dct in plan:
             if kind == "slot":
                 slots, lens, valid = (next(it) for _ in range(3))
                 o_keys.append(SlotStrings(
                     slots, lens, valid, jnp.int32(0)).to_array(t))
             else:
                 vals, valid = next(it), next(it)
-                o_keys.append(Array(t, vals, valid))
+                o_keys.append(Array(t, vals, valid, dictionary=dct))
         o_agg_states = []
         pos = len(leaves)
         for td, ln in agg_defs:
@@ -305,17 +326,25 @@ class DistGroupBy:
         """Exchange + merge + collect per-shard disjoint group tables."""
         ha = self.ha
         axis = self.axis
+        # replicated dictionaries of dictionary-typed key columns
+        # (captured at consume; the packed state carries codes only)
+        key_dicts = tuple(
+            self._key_dicts.get(f.name)
+            for f in ha.key_fields
+            if isinstance(f.type, dt.DictionaryType))
+        key_dicts = tuple(d for d in key_dicts if d is not None)
         if self._finalize_fn is None:
             nspec = tuple(P(axis) for _ in state)
             n_out = sum(3 if f.type.is_varlen else 2
                         for f in ha.out_schema.fields)
+            kd_spec = jax.tree_util.tree_map(lambda _: P(), key_dicts)
             self._finalize_fn = jax.jit(jax.shard_map(
                 self._exchange_and_merge, mesh=self.ctx.mesh,
-                in_specs=(nspec,),
+                in_specs=(nspec, kd_spec),
                 out_specs=(tuple(P(axis) for _ in range(n_out)),
                            P(axis), P(axis)),
                 check_vma=False))
-        out_leaves, lengths, errs = self._finalize_fn(state)
+        out_leaves, lengths, errs = self._finalize_fn(state, key_dicts)
 
         errs_host = np.asarray(self.ctx.fetch(errs))
         if errs_host.any():

@@ -312,3 +312,31 @@ def test_dist_group_by_overflow_recovers(ctx, rng):
         .sort_by([("k", "ascending")])
     assert got["k"].to_pylist() == exp["k"].to_pylist()
     assert got["count_all"].to_pylist() == exp["count_all"].to_pylist()
+
+
+def test_dist_join_dict_keys_cross_dictionary(ctx, rng):
+    """Round 5: dictionary join keys with DIFFERENT dictionaries on the
+    two sides (content-gathered lanes, ops/hashing.dict_content_lanes)
+    — codes are dictionary-local, so only content keying makes the
+    co-partitioning shuffle + per-shard probe correct."""
+    from arrow_tpu.acero.options import HashJoinNodeOptions
+    words = np.array(["alpha", "beta", "gamma", "delta",
+                      "eps", "zeta", "eta", "theta"])
+    n = 512
+    lk = pa.array(words[rng.integers(0, 8, n)]).dictionary_encode()
+    left = at.Batch.from_pyarrow(pa.record_batch(
+        {"k": lk, "v": pa.array(np.arange(n))}))
+    rk = pa.array(words[[0, 2, 4, 6]]).dictionary_encode()
+    right = at.Batch.from_pyarrow(pa.record_batch(
+        {"k": rk, "w": pa.array([10, 20, 30, 40])}))
+    out = ctx.join(left, right, HashJoinNodeOptions(
+        "inner", ["k"], ["k"], right_output=["w"], max_build_rows=64),
+        fanout_per_shard=4 * n)
+    t = out.to_pyarrow()
+    lw = pa.table({"k": lk.cast(pa.string()), "v": pa.array(np.arange(n))})
+    rw = pa.table({"k": rk.cast(pa.string()),
+                   "w": pa.array([10, 20, 30, 40])})
+    exp = lw.join(rw, keys="k", join_type="inner")
+    assert t.num_rows == exp.num_rows
+    gk = [str(x) for x in t["k"].to_pylist()]
+    assert sorted(gk) == sorted(exp["k"].to_pylist())

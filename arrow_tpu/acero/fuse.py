@@ -75,6 +75,56 @@ class _Ctx:
 # nodes.maybe_compact.
 _PLAN_OBS: dict = {}
 
+# Disk persistence for the learned plan state (round 5): a FRESH process
+# otherwise pays the full bootstrap chronology again — the eager/boot
+# form's extra executables each cost a multi-second persistent-cache
+# load (and minutes of compile when the compile cache is cold) through
+# the axon relay. Keys are repr() strings of the hashable sigs (schema/
+# option reprs are deterministic), values are ints (observed lengths)
+# or strs (probe impls) — both JSON-able. Stale entries self-heal: every
+# persisted decision is re-validated in-program by deferred scalars, a
+# miss falls back to the eager driver and overwrites the entry.
+_PLAN_STORE_PATH = os.environ.get(
+    "ARROW_TPU_PLAN_CACHE",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), ".plan_cache.json"))
+_PLAN_LOADED = False
+_PLAN_DIRTY = False
+
+
+def _load_plan_store() -> None:
+    global _PLAN_LOADED
+    if _PLAN_LOADED:
+        return
+    _PLAN_LOADED = True
+    if not _PLAN_STORE_PATH:
+        return
+    try:
+        import json
+        with open(_PLAN_STORE_PATH) as f:
+            d = json.load(f)
+        for k, v in d.get("obs", {}).items():
+            _PLAN_OBS.setdefault(k, int(v))
+        for k, v in d.get("impl", {}).items():
+            _PLAN_IMPL.setdefault(k, v)
+    except Exception:
+        pass
+
+
+def _save_plan_store() -> None:
+    global _PLAN_DIRTY
+    if not _PLAN_DIRTY or not _PLAN_STORE_PATH:
+        return
+    _PLAN_DIRTY = False
+    try:
+        import json
+        tmp = _PLAN_STORE_PATH + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"obs": _PLAN_OBS, "impl": _PLAN_IMPL}, f)
+        os.replace(tmp, _PLAN_STORE_PATH)
+    except Exception:
+        pass
+
 # Probe-impl decisions learned by _build_recover's host fetch, keyed by
 # the (slice-stripped) build-subtree sig + join options. A cached impl
 # lets LATER runs compile the build INTO the spine — the whole plan
@@ -160,7 +210,7 @@ def _obs_tap(sig: list, obs_keys: list, fn):
     slice and paid a full recompile per stage (measured as a 5-compile
     cascade on Q3). Slice-independent keys let run 2 apply ALL of run
     1's observations in one recompile."""
-    key = ("obs", _strip_slices(sig))
+    key = repr(("obs", _strip_slices(sig)))
     C = _tight_capacity(key)
     sig.append(("slice", C))
     obs_keys.append(key)
@@ -223,8 +273,8 @@ def _chain_single(node, sig: list, obs_keys: list):
         bsig: list = []
         bobs_keys: list = []
         bargs, bfn = _chain_single(node.inputs[1], bsig, bobs_keys)
-        ikey = ("impl", plan_sig(node.join.options),
-                _strip_slices(bsig))
+        ikey = repr(("impl", plan_sig(node.join.options),
+                     _strip_slices(bsig)))
         impl = _PLAN_IMPL.get(ikey)
         if impl is not None:
             # INLINE form: the build compiles into the spine — no
@@ -279,8 +329,10 @@ def _chain_single(node, sig: list, obs_keys: list):
             lambda *a: bfn(*a)))
         build_in, berrs, bobs = bjit(*bargs)
         fetched = jax.device_get(list(berrs) + list(bobs))
+        global _PLAN_DIRTY
         for k, v in zip(bobs_keys, fetched[len(berrs):]):
             _PLAN_OBS[k] = int(np.asarray(v))
+            _PLAN_DIRTY = True
         if any(int(np.asarray(v)) for v in fetched[:len(berrs)]):
             # a nested join-fanout / group-table overflow in the build
             # subtree: its batch content is truncated garbage
@@ -291,6 +343,7 @@ def _chain_single(node, sig: list, obs_keys: list):
             # no overflow recovery rewrote the stages: the decision is
             # reproducible in-program -> enable the inline form
             _PLAN_IMPL[ikey] = impl
+            _PLAN_DIRTY = True
         sig.append(("hashjoin", plan_sig(node.join.options), impl,
                     tuple(bsig)))
         sig.append(("slice", "form", "boot", build_in.capacity))
@@ -553,6 +606,7 @@ def try_fused_to_table(decl) -> Optional[Table]:
     chains); multi-morsel plans take the streaming form (state-threaded
     folds, still zero per-batch host syncs)."""
     from .nodes import cached_stage, checked_jit
+    _load_plan_store()
     node = decl._build()
     try:
         sig1: list = []
@@ -566,8 +620,12 @@ def try_fused_to_table(decl) -> Optional[Table]:
         vals = [int(np.asarray(v)) for v in jax.device_get(fetch)]
         # adaptive capacities: record each shrinking stage's live length
         # so the NEXT run's spine compiles with tight static slices
+        global _PLAN_DIRTY
         for k, v in zip(obs_keys, vals[ne:ne + len(obs)]):
-            _PLAN_OBS[k] = v
+            if _PLAN_OBS.get(k) != v:
+                _PLAN_OBS[k] = v
+                _PLAN_DIRTY = True
+        _save_plan_store()
         if any(vals[:ne]):
             if os.environ.get("ARROW_TPU_FUSE_DEBUG"):
                 fired = [i for i, v in enumerate(vals[:ne]) if v]

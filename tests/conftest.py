@@ -10,6 +10,11 @@ backend initialization to get 8 virtual CPU devices.
 
 import os
 
+# Hermetic tests: the fused driver's learned-plan disk persistence
+# (acero/fuse._PLAN_STORE_PATH) would otherwise leak observations
+# between pytest runs and break bootstrap-chronology assertions.
+os.environ["ARROW_TPU_PLAN_CACHE"] = ""
+
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (

@@ -655,6 +655,73 @@ def test_fused_adaptive_capacity(rng, monkeypatch):
         ge.sort_by(key)["count_all"].to_pylist()
 
 
+def test_fused_plan_store_roundtrip(rng, tmp_path, monkeypatch):
+    """Round-5 learned-plan persistence: observations + probe-impl
+    decisions survive a process restart (simulated by clearing the
+    in-memory dicts and reloading from disk), so a fresh process
+    compiles the optimized inline spine directly instead of replaying
+    the bootstrap chronology. Stale entries are validated in-program
+    (deferred scalars) — results must match eager either way."""
+    import os
+    import arrow_tpu as at
+    from arrow_tpu.acero import (AggregateNodeOptions, AggregateSpec,
+                                 Declaration, FilterNodeOptions,
+                                 HashJoinNodeOptions,
+                                 TableSourceNodeOptions)
+    from arrow_tpu.acero import fuse
+    from arrow_tpu.compute.expressions import field, literal
+    n = 70_000
+    li = at.Table.from_pyarrow(pa.table(
+        {"k": pa.array(rng.integers(0, 500, n)),
+         "x": pa.array(rng.standard_normal(n).astype(np.float32)),
+         "d": pa.array(rng.integers(0, 100, n).astype(np.int32))}),
+        max_rows_per_batch=1 << 20)
+    od = at.Table.from_pyarrow(pa.table(
+        {"k2": pa.array(rng.permutation(800)[:400].astype(np.int64)),
+         "y": pa.array(rng.integers(0, 9, 400).astype(np.int32))}),
+        max_rows_per_batch=1 << 20)
+
+    def make():
+        return Declaration.from_sequence([
+            Declaration("hashjoin", HashJoinNodeOptions(
+                "inner", left_keys=["k"], right_keys=["k2"],
+                left_output=["k", "x"], right_output=["y"]),
+                inputs=[
+                    Declaration.from_sequence([
+                        Declaration("table_source",
+                                    TableSourceNodeOptions(li)),
+                        Declaration("filter", FilterNodeOptions(
+                            field("d") < literal(50)))]),
+                    Declaration("table_source",
+                                TableSourceNodeOptions(od))]),
+            Declaration("aggregate", AggregateNodeOptions(
+                [AggregateSpec("sum", "x"), AggregateSpec("count_all")],
+                keys=["y"], max_groups=64))])
+
+    store = str(tmp_path / "plans.json")
+    monkeypatch.setattr(fuse, "_PLAN_STORE_PATH", store)
+    monkeypatch.setattr(fuse, "_PLAN_LOADED", True)  # skip default load
+    r1 = make().to_table().to_pyarrow()   # bootstrap: learns obs+impl
+    r2 = make().to_table().to_pyarrow()   # optimized spine, saves store
+    saved_obs = {k: v for k, v in fuse._PLAN_OBS.items()}
+    saved_impl = {k: v for k, v in fuse._PLAN_IMPL.items()}
+    assert os.path.exists(store)
+    # "restart": wipe learned state, reload from disk
+    monkeypatch.setattr(fuse, "_PLAN_OBS", {})
+    monkeypatch.setattr(fuse, "_PLAN_IMPL", {})
+    monkeypatch.setattr(fuse, "_PLAN_LOADED", False)
+    r3 = make().to_table().to_pyarrow()   # runs with persisted state
+    assert set(saved_obs.items()) <= set(fuse._PLAN_OBS.items())
+    assert set(saved_impl.items()) <= set(fuse._PLAN_IMPL.items())
+    monkeypatch.setenv("ARROW_TPU_FUSE_PLAN", "0")
+    re_ = make().to_table().to_pyarrow()
+    monkeypatch.delenv("ARROW_TPU_FUSE_PLAN")
+    key = [("y", "ascending")]
+    want = re_.sort_by(key)["count_all"].to_pylist()
+    for r in (r1, r2, r3):
+        assert r.sort_by(key)["count_all"].to_pylist() == want
+
+
 def test_fused_adaptive_slice_varlen(rng):
     """The adaptive prefix slice over a VARLEN column (offsets slice,
     pool kept): high-cardinality strings (no dict ingest) through a

@@ -109,7 +109,7 @@ def main():
     orig_tap = fuse._obs_tap
 
     def spy_tap(sig, obs_keys, fn):
-        key = ("obs", fuse._strip_slices(sig))
+        key = repr(("obs", fuse._strip_slices(sig)))
         C = fuse._tight_capacity(key)
         last = sig[-1] if sig else None
         tag = last[0] if isinstance(last, tuple) and last else last
